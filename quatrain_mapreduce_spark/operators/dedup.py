@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its closest analogue is DISTINCT / group-by
+key — SemanticAnalyzer.java:747); these are the engine's first-class
+extensions, each designed for the 100 TB path:
+
+- exact_dedup:     hash-groupBy on a normalized fingerprint — one shuffle,
+                   map-side combinable.
+- ngram_jaccard_pairs: blocked pairwise verification — O(block²), intended
+                   for final verification within candidate blocks only.
+- minhash_lsh_pairs: shingle → minhash signature → banded LSH buckets →
+                   bucket self-join → exact-jaccard verify. The standard
+                   near-dup pipeline (Broder '97): candidate generation is
+                   linear in corpus size; only colliding pairs are verified.
+- simhash_pairs:   64-bit simhash signatures (Charikar '02) via a vectorized
+                   Pandas UDF, banded on 16-bit chunks, hamming-verified with
+                   JVM-side bit_count(xor).
+
+Skew/scale guards: LSH buckets larger than ``max_bucket`` are dropped from
+candidate generation (a degenerate bucket means the band is non-discriminative
+for those docs; they are still covered by the other bands), keeping the
+self-join near-linear under skew.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from quatrain_mapreduce_spark.operators.projection import tokenize
+
+MERSENNE_MASK = (1 << 61) - 1
+
+
+def normalized_text(col) -> F.Column:
+    """Canonical text form: collapse whitespace, lowercase, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint.
+
+    Emits one row per distinct content: md5 fingerprint, the kept (minimum)
+    id, and the duplicate count. Single hash shuffle on the fingerprint.
+    """
+    return (
+        df.select(F.md5(normalized_text(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def word_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of a text column (empty-safe)."""
+    toks = tokenize(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sequence(0, size-n) is only valid when size >= n (Spark's sequence
+    # would otherwise count *down* and fabricate indices)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def _jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard over two distinct-element arrays: |∩| / (|A|+|B|-|∩|)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard near-dup pairs.
+
+    Pairwise comparison is restricted to a blocking key (language, length
+    band, LSH bucket, ...) so cost is sum(block²), not corpus². Emits
+    (a_id, b_id, jac) for pairs ≥ threshold, a < b.
+    """
+    sh = df.select(
+        F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            # raw |∩|/|∪| — an int/int IEEE division, bit-identical across
+            # engines, so no rounding needed for oracle comparison
+            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+
+
+def minhash_signature(shingles: F.Column, num_perm: int = 32, seed: int = 42) -> F.Column:
+    """MinHash signature array over a shingle array.
+
+    Base hash: xxhash64(shingle) masked positive; permutation family:
+    h_j(x) = (a_j * x + b_j) mod (2^61 - 1) with (a_j, b_j) drawn from a
+    fixed seeded PRNG — fully deterministic, all JVM-side expression code.
+    """
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, MERSENNE_MASK), rng.randrange(0, MERSENNE_MASK)) for _ in range(num_perm)]
+    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MERSENNE_MASK)))
+    sig = [
+        F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_MASK)))
+        for a, b in params
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → signature → explode into ``bands`` band-hashes →
+    self-join within (band, band_hash) buckets → distinct candidate pairs →
+    verify exact Jaccard on shingle sets ≥ threshold. Candidate generation is
+    one explode + one shuffle; verification touches only colliding pairs.
+    """
+    rows_per_band = num_perm // bands
+    docs = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).where(F.size("sh") > 0)
+    signed = docs.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    band_rows = signed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+    # skew guard: drop degenerate buckets
+    w = Window.partitionBy("band", "bhash")
+    band_rows = band_rows.withColumn("bucket_n", F.count("*").over(w)).where(
+        F.col("bucket_n") <= max_bucket
+    ).drop("bucket_n")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    sets = docs.select(F.col(id_col), F.col("sh"))
+    return (
+        cand.join(sets.withColumnsRenamed({id_col: "a_id", "sh": "a_sh"}), "a_id")
+        .join(sets.withColumnsRenamed({id_col: "b_id", "sh": "b_sh"}), "b_id")
+        .select("a_id", "b_id", F.round(_jaccard(F.col("a_sh"), F.col("b_sh")), 6).alias("jac"))
+        .where(F.col("jac") >= threshold)
+    )
+
+
+def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Pandas UDF.
+
+    Token hashes are computed JVM-side (xxhash64 per token); the bit-vote
+    accumulation (popcount over 64 bit positions, weighted sign sum) runs in
+    numpy over Arrow batches — the sanctioned Python path for logic Spark
+    expressions can't vectorize.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for pos in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(pos)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    toks = df.select(
+        F.col(id_col), F.transform(tokenize(text_col), lambda t: F.xxhash64(t)).alias("th")
+    )
+    return toks.select(F.col(id_col), simhash(F.col("th")).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, max_bucket: int = 1000
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), self-join per
+    chunk, verify hamming via bit_count(xor)."""
+    sigs = simhash_signature(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+            ) for c in range(4)
+        ])).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.ckey")
+    w = Window.partitionBy("chunk", "ckey")
+    chunks = chunks.withColumn("n", F.count("*").over(w)).where(F.col("n") <= max_bucket).drop("n")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

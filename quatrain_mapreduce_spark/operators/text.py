@@ -1,0 +1,77 @@
+"""Text-analysis operators for training-data pipelines.
+
+Engine extensions (no reference analogue beyond tokenizing mappers). All are
+pure Column expressions — language ID, quality scoring, token counting and
+fingerprinting run inside whole-stage codegen with zero Python in the hot
+path. Integer-ratio arithmetic only (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.dedup import normalized_text
+from quatrain_mapreduce_spark.operators.projection import tokenize
+
+# "BPE-ish" tokenizer: letter runs, digit runs, single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _stop_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: token counts (whitespace + BPE-ish regex),
+    char count, stopword ratio."""
+    toks = tokenize(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_raw"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).alias("n_bpe_tokens"),
+        _stop_count(toks).alias("n_stopwords"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio + length saturation.
+
+    score = 0.3 * stopword_ratio + 0.7 * min(n_tokens/100, 1). Deterministic
+    rational arithmetic; the shape (ratios → weighted sum → threshold)
+    mirrors production quality filters (C4/Gopher rules).
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    stop_ratio = F.when(n > 0, _stop_count(toks) / n).otherwise(F.lit(0.0))
+    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        (F.lit(0.3) * stop_ratio + F.lit(0.7) * length_sat).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: English-stopword density thresholding.
+
+    A real n-gram profile model plugs in the same shape (per-language score
+    columns → greatest() argmax). On this corpus (shared synthetic vocab)
+    the heuristic resolves en-like vs other.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    stop_ratio = F.when(n > 0, _stop_count(toks) / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.when(stop_ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over normalized text (stable document id)."""
+    return df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp"))

@@ -1,0 +1,257 @@
+"""LLM training-data pipeline workloads: dedup, similarity search, text
+analysis, multimodal plumbing (BASELINE.json north-star extensions).
+
+Oracle-checked where the math is engine-portable (integer/ratio arithmetic,
+md5); hash-family-dependent operators (minhash/simhash/LSH — xxhash64 has no
+DuckDB twin) register without an oracle and get the driver's rows-only check
+plus dedicated pytest coverage with synthetic near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+from quatrain_mapreduce_spark.operators.multimodal import attach_media, extract_features
+from quatrain_mapreduce_spark.operators.similarity import (
+    brute_force_topk, embedding_neardup_pairs, lsh_topk,
+)
+from quatrain_mapreduce_spark.operators.text import (
+    BPE_TOKEN_RE, STOPWORDS, fingerprint, lang_id, quality_score, text_stats,
+)
+from quatrain_mapreduce_spark.registry import register
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: normalized-content md5 → hash groupBy. One shuffle, "
+        "map-side combinable; the 100 TB workhorse.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.8
+    """,
+    doc="Blocked pairwise word-bigram Jaccard near-dup pairs (block = lang; "
+        "at scale the block key is an LSH bucket — this is the verify stage).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        block_col="lang", n=2, threshold=0.8,
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 permutation family has no DuckDB twin — rows-only
+    doc="MinHash+LSH near-dup pairs (shingle→signature→band→bucket-join→"
+        "exact-Jaccard verify). Candidate generation linear in corpus size; "
+        "bucket-size cap guards skew. Verified against ngram_jaccard in tests.",
+    tags=("dedup", "no-oracle"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, num_perm=32, bands=8, threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signatures — rows-only
+    doc="SimHash near-dup pairs: 64-bit signatures via vectorized Pandas UDF, "
+        "16-bit banding (pigeonhole for hamming≤3), bit_count(xor) verify.",
+    tags=("dedup", "no-oracle"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "similarity_bruteforce",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
+                         FROM generate_series(1, len(embedding)) t(i))) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   round((SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+                          FROM generate_series(1, len(q.embedding)) t(i))
+                         / (q.nrm * c.nrm), 6) AS cos
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        )
+        SELECT q_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+        QUALIFY rk <= 10
+    """,
+    doc="Brute-force cosine top-k (broadcast queries × streamed corpus, "
+        "JVM-side zip_with/aggregate dot products): the exact ANN baseline.",
+    tags=("similarity",),
+)
+def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    return out.select("q_id", "neighbor_id", "cos", "rk")
+
+
+@register(
+    "similarity_lsh",
+    oracle=None,  # approximate by construction — recall vs brute force tested in pytest
+    doc="ANN via random-hyperplane LSH with multi-probe: bucket-partitioned "
+        "join instead of cross join — the 100 TB scale path.",
+    tags=("similarity", "no-oracle"),
+)
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = lsh_topk(queries, emb, "vec_id", "embedding", k=10, n_planes=8, multiprobe=True)
+    return out.select("q_id", "neighbor_id", "cos", "rk")
+
+
+@register(
+    "embedding_neardup",
+    oracle=None,
+    doc="Embedding-cosine near-duplicate pairs via LSH blocking (cos ≥ 0.95 "
+        "within shared sign-pattern buckets).",
+    tags=("dedup", "similarity", "no-oracle"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.95
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_raw,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_STOP_SQL}'))) AS INTEGER) AS n_stopwords
+        FROM documents
+    """,
+    doc="Token counting (whitespace + BPE-ish regex) and char/stopword stats.",
+    tags=("text",),
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+                   len(list_filter(string_split(text, ' '), x -> x IN ('{_STOP_SQL}'))) AS stop_n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               CASE WHEN n > 0 THEN stop_n / n ELSE 0.0 END AS stop_ratio,
+               0.3 * (CASE WHEN n > 0 THEN stop_n / n ELSE 0.0 END)
+                 + 0.7 * least(n / 100.0, 1.0) AS quality
+        FROM t
+    """,
+    doc="Quality scoring: stopword ratio + length saturation (C4/Gopher-style "
+        "rule shape), pure rational arithmetic.",
+    tags=("text",),
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+                          THEN len(list_filter(string_split(text, ' '), x -> x IN ('{_STOP_SQL}')))
+                               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                          ELSE 0.0 END) >= 0.05
+                    THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    """,
+    doc="Language ID: stopword-density heuristic (n-gram profile models plug "
+        "into the same argmax shape).",
+    tags=("text",),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT source,
+               count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS uniq_fp,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    doc="Document fingerprinting: md5 over normalized text; per-source "
+        "fingerprint diversity.",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(d, "doc_id", "text").join(d.select("doc_id", "source"), "doc_id")
+    return fp.groupBy("source").agg(
+        F.countDistinct("fp").alias("uniq_fp"), F.count("*").alias("n_docs")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas decode path — rows-only (byte math over blobs is not portable SQL)
+    doc="Multimodal plumbing: binary payload column + metadata struct → "
+        "Arrow-batched mapInPandas feature extraction (decode stubbed, "
+        "deterministic; schema/batch shape real).",
+    tags=("multimodal", "no-oracle"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return extract_features(media)

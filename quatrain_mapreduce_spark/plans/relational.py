@@ -1,0 +1,398 @@
+"""Relational core — the Hive SQL surface (SURVEY.md §2.2-2.7, §2.9).
+
+Each query pins one slice of the reference's Hive dialect to an idiomatic
+Catalyst plan and a DuckDB oracle. Shapes follow the reference's golden `.q`
+corpus (groupby2.q, join2.q, union.q, sample*.q, udf*.q, cast1.q) re-cut
+onto the driver's TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.joins import override_join
+from quatrain_mapreduce_spark.operators.sort import bucket_sample, cluster_by
+from quatrain_mapreduce_spark.operators.aggregates import top_k_per_group
+from quatrain_mapreduce_spark.registry import register
+
+
+@register(
+    "groupby2_shape",
+    oracle="""
+        SELECT substr(o_orderpriority, 1, 1) AS pri,
+               count(DISTINCT o_custkey) AS uniq_cust,
+               concat(substr(o_orderpriority, 1, 1),
+                      CAST(CAST(floor(round(sum(o_totalprice), 2)) AS BIGINT) AS VARCHAR)) AS tag
+        FROM orders GROUP BY 1
+    """,
+    doc="Flagship: groupby2.q shape — substr group key, count(DISTINCT), concat+sum "
+        "(ql/src/test/queries/clientpositive/groupby2.q).",
+    tags=("hive", "aggregate", "flagship"),
+)
+def groupby2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.substring("o_orderpriority", 1, 1).alias("pri"), "o_custkey", "o_totalprice")
+        .groupBy("pri")
+        .agg(F.countDistinct("o_custkey").alias("uniq_cust"),
+             F.floor(F.round(F.sum("o_totalprice"), 2)).cast("bigint").alias("_s"))
+        .select("pri", "uniq_cust", F.concat(F.col("pri"), F.col("_s").cast("string")).alias("tag"))
+    )
+
+
+@register(
+    "tpch_q1_shape",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing-summary scan→filter→agg spine (the §7 'minimum slice').",
+    tags=("hive", "aggregate"),
+)
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    """,
+    doc="Hive common join (ql/exec/JoinOperator.java:43) + aggregation.",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    doc="Chained multi-way join in one plan (SemanticAnalyzer genJoinPlan "
+        "chains; Catalyst reorders + broadcasts the dimension sides).",
+    tags=("join",),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_outer_full",
+    oracle="""
+        SELECT coalesce(o_custkey, c_custkey) AS key, ord_cnt, c_acctbal AS acctbal
+        FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS ord_cnt FROM orders GROUP BY 1) a
+        FULL JOIN customer b ON a.o_custkey = b.c_custkey
+    """,
+    doc="Full-outer composite join with null padding (join/OuterJoinRecordReader.java:30, "
+        "JoinOperator null-padding :80,187).",
+    tags=("join",),
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("ord_cnt"))
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey, "full")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("key"),
+            F.col("ord_cnt"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "join_override",
+    oracle="""
+        SELECT coalesce(b.key, a.key) AS key, coalesce(b.val, a.val) AS val
+        FROM (SELECT s_nationkey AS key, min(s_acctbal) AS val FROM supplier GROUP BY 1) a
+        FULL JOIN (SELECT c_nationkey AS key, min(c_acctbal) AS val FROM customer GROUP BY 1) b
+          ON a.key = b.key
+    """,
+    doc="CompositeInputFormat override(a,b): rightmost non-null wins "
+        "(join/OverrideRecordReader.java:36) = coalesce over full outer.",
+    tags=("join",),
+)
+def join_override_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    a = supplier.groupBy(F.col("s_nationkey").alias("key")).agg(F.min("s_acctbal").alias("val"))
+    b = customer.groupBy(F.col("c_nationkey").alias("key")).agg(F.min("c_acctbal").alias("val"))
+    return override_join([a, b], "key", "val")
+
+
+@register(
+    "union_all",
+    oracle="""
+        SELECT nkey, src, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT c_nationkey AS nkey, 'customer' AS src FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nkey, 'supplier' AS src FROM supplier)
+        GROUP BY 1, 2
+    """,
+    doc="UNION ALL subquery form (genUnionPlan, union.q) / MultipleInputs.",
+    tags=("setop",),
+)
+def union_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    u = customer.select(F.col("c_nationkey").alias("nkey"), F.lit("customer").alias("src")).unionByName(
+        supplier.select(F.col("s_nationkey").alias("nkey"), F.lit("supplier").alias("src"))
+    )
+    return u.groupBy("nkey", "src").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "distinct_select",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="SELECT DISTINCT → GROUP BY rewrite (SemanticAnalyzer.java:747).",
+    tags=("aggregate",),
+)
+def distinct_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "order_by_limit",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 1000
+    """,
+    doc="Global total-order sort + two-stage limit (Hive ORDER BY numReducers=-1, "
+        "genLimitMapRedPlan; Sort.java:158 TotalOrderPartitioner parity). "
+        "Spark plans TakeOrderedAndProject: per-partition heap + single merge.",
+    tags=("sort",),
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(1000)
+    )
+
+
+@register(
+    "cluster_by_shape",
+    oracle="SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem",
+    doc="Hive CLUSTER BY: repartition(expr) + sortWithinPartitions "
+        "(SemanticAnalyzer.java:1553). Values equal a plain select; the plan "
+        "exercises the partition-local sort.",
+    tags=("sort",),
+)
+def cluster_by_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber")
+    return cluster_by(li, ["l_returnflag"], [F.col("l_returnflag"), F.col("l_orderkey"), F.col("l_linenumber")])
+
+
+@register(
+    "sample_bucket",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 7 = 2
+    """,
+    doc="TABLESAMPLE (BUCKET 3 OUT OF 7 ON l_orderkey) — SamplePruner.java:62; "
+        "bucket-pruned when bucketed, else a pushed-down hash filter.",
+    tags=("sample",),
+)
+def sample_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = bucket_sample(load_table(spark, sf_dir, "lineitem"), "l_orderkey", x=3, y=7)
+    return li.agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+@register(
+    "scalar_funcs",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS name_up,
+               lower(c_mktsegment) AS seg_lo,
+               substr(c_name, 1, 8) AS name_pfx,
+               concat(c_name, '|', c_mktsegment) AS name_seg,
+               trim(c_name) AS name_trim,
+               (c_name LIKE '%er%') AS has_er,
+               regexp_matches(c_name, '[0-9]+$') AS ends_num,
+               regexp_replace(c_name, '[aeiou]', '*', 'g') AS name_mask,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+               CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+               abs(c_acctbal) AS bal_abs,
+               (c_acctbal % 10) AS bal_mod
+        FROM customer
+    """,
+    doc="Hive scalar-function surface in one projection (FunctionRegistry.java:45-133, "
+        "udf1-4.q): string/like/rlike/regexp_replace/math — all codegen'd builtins.",
+    tags=("functions",),
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.col("c_name").like("%er%").alias("has_er"),
+        F.col("c_name").rlike("[0-9]+$").alias("ends_num"),
+        F.regexp_replace(F.col("c_name"), "[aeiou]", "*").alias("name_mask"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.abs(F.col("c_acctbal")).alias("bal_abs"),
+        (F.col("c_acctbal") % 10).alias("bal_mod"),
+    )
+
+
+@register(
+    "cast_types",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(o_orderkey AS DOUBLE) AS key_dbl,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_int,
+               CAST(floor(round(o_totalprice, 2)) AS BIGINT) AS price_long
+        FROM orders
+    """,
+    doc="CAST surface (UDFTo*.java, cast1.q). double→int via floor(round()) — "
+        "bare casts trunc in Spark but round in other engines; the engine pins "
+        "floor semantics.",
+    tags=("functions",),
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_int"),
+        F.floor(F.round(F.col("o_totalprice"), 2)).cast("bigint").alias("price_long"),
+    )
+
+
+@register(
+    "like_rlike_filter",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_name LIKE '%ol%' OR regexp_matches(p_name, '^b.*t$')
+    """,
+    doc="LIKE (SQL wildcards, UDFLike) and RLIKE (regex, UDFRegExp) predicates.",
+    tags=("filter",),
+)
+def like_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%ol%") | F.col("p_name").rlike("^b.*t$")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+        FROM part
+        QUALIFY rk <= 3
+    """,
+    doc="Per-group top-k via ranking window — the declarative form of "
+        "TopK.java:126's bounded-heap reducer, per group. (Window functions "
+        "are a superset: the reference has no OVER clause — SURVEY §2.5.)",
+    tags=("sort", "window"),
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=3,
+    )
+
+
+@register(
+    "multi_insert_shared_scan",
+    oracle="""
+        SELECT 'high' AS dest, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_totalprice >= 30000
+        UNION ALL
+        SELECT 'low' AS dest, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_totalprice < 30000
+    """,
+    doc="Multi-insert single scan (FROM src INSERT OVERWRITE t1 ... INSERT "
+        "OVERWRITE t2 — SemanticAnalyzer.java:1991): one shared subplan, N "
+        "destination branches. Here both branches return in one DataFrame; "
+        "the write path lives in sources.sinks.multi_sink.",
+    tags=("hive", "multi-insert"),
+)
+def multi_insert_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    high = orders.where(F.col("o_totalprice") >= 30000).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    ).select(F.lit("high").alias("dest"), "cnt", "sum_price")
+    low = orders.where(F.col("o_totalprice") < 30000).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    ).select(F.lit("low").alias("dest"), "cnt", "sum_price")
+    return high.unionByName(low)

@@ -1,0 +1,103 @@
+"""HOP streaming-layer workloads (SURVEY.md §2.8) as checkable queries.
+
+Batch/stream parity is the whole design: the same window() transformations
+run over the events table as a batch DataFrame (oracle-checkable) and as a
+replayed file stream (``stream_tumbling_count`` runs a real Structured
+Streaming query with availableNow and returns the drained memory sink).
+Window starts are emitted as epoch seconds (BIGINT) — engine-portable, no
+timestamp formatting dependence.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.registry import register
+from quatrain_mapreduce_spark.streaming.hop import (
+    read_events_stream, run_available_now, tumbling_window_agg,
+)
+
+_stream_counter = itertools.count()
+
+
+@register(
+    "cq_tumbling_window",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="HOP continuous job: tumbling 5-min window per key "
+        "(mapred.reduce.window — ReduceTask.java:565-629), batch form via "
+        "window(); streaming form is the same expression (streaming/hop.py).",
+    tags=("streaming", "window"),
+)
+def cq_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                "event_type", "cnt", "sum_value", "avg_value")
+    )
+
+
+@register(
+    "cq_sliding_window",
+    oracle="""
+        SELECT CAST(ws AS BIGINT) AS win_start, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM (SELECT unnest([floor(epoch(ts) / 300) * 300,
+                             floor(epoch(ts) / 300) * 300 - 300]) AS ws,
+                     event_type, value
+              FROM events)
+        GROUP BY 1, 2
+    """,
+    doc="CQ sliding aggregate (examples/CQ.java:365-398 hostAvg): 10-min "
+        "window sliding by 5 — each event lands in two windows.",
+    tags=("streaming", "window"),
+)
+def cq_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("win_start"),
+                "event_type", "cnt", "sum_value")
+    )
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+               event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    doc="Real Structured Streaming execution: events replayed as a file "
+        "stream, tumbling 1-h count per key, drained with availableNow into a "
+        "memory sink — proves stream/batch parity on the same expression "
+        "(the engine's HOP continuous-job equivalent, end to end).",
+    tags=("streaming", "no-sql-plan"),
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = tumbling_window_agg(
+        stream, "ts", ["event_type"], [F.count("*").alias("cnt")],
+        window_duration="1 hour", watermark=None,
+    )
+    name = f"qms_stream_tumbling_{next(_stream_counter)}"
+    result = run_available_now(agg, name)
+    return result.select(
+        F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type", "cnt"
+    )

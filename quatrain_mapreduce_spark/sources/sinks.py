@@ -1,0 +1,77 @@
+"""Sinks: the reference's OutputFormat surface as df.write calls.
+
+SURVEY.md §2.1 mapping:
+- TextOutputFormat (K\\tV)                      -> write_kv_text
+- SequenceFileOutputFormat                      -> write_parquet (canonical)
+- MapFileOutputFormat (sorted+indexed)          -> write_bucketed_sorted
+- MultipleOutputFormat / MultipleOutputs        -> write_partitioned / multi_sink
+- NullOutputFormat                              -> write_noop
+- Hive FileSink + partitioned INSERT            -> write_partitioned
+- DBOutputFormat                                -> write_jdbc
+
+Multi-insert single-scan (FROM src INSERT ... INSERT ... —
+SemanticAnalyzer.java:1991) is ``multi_sink``: persist the shared scan once,
+fan out N filtered writes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def write_kv_text(df: DataFrame, key: str, value: str, path: str, sep: str = "\t") -> None:
+    """K\\tV text sink (TextOutputFormat)."""
+    df.select(F.concat_ws(sep, F.col(key).cast("string"), F.col(value).cast("string")).alias("value")) \
+      .write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Columnar sink — the SequenceFile successor."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """MultipleOutputFormat demux-by-key / Hive dynamic partitions:
+    one directory per partition value."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_sorted(df: DataFrame, table: str, bucket_cols: list[str],
+                          sort_cols: list[str], num_buckets: int = 8) -> None:
+    """MapFileOutputFormat / Hive CLUSTERED BY ... SORTED BY ... INTO N BUCKETS:
+    bucketed+sorted table enabling shuffle-free joins and indexed point reads."""
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(num_buckets, *bucket_cols).sortBy(*sort_cols).saveAsTable(table))
+
+
+def write_noop(df: DataFrame) -> None:
+    """NullOutputFormat: execute the plan, discard output (benchmarking)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def multi_sink(df: DataFrame, sinks: list[Callable[[DataFrame], None]]) -> None:
+    """Multi-insert single scan: persist the shared subplan, run each sink.
+
+    The reference reads the source once and branches the operator tree; here
+    the persisted DataFrame is the branch point. MEMORY_AND_DISK so a 100 TB
+    scan's working set can spill instead of recomputing per sink.
+    """
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for sink in sinks:
+            sink(df)
+    finally:
+        df.unpersist()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """Batched INSERT sink (DBOutputFormat)."""
+    df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table) \
+      .options(**options).save()

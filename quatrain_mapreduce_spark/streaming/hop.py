@@ -1,0 +1,151 @@
+"""HOP's streaming & online-aggregation semantics on Structured Streaming.
+
+The reference's distinctive layer (SURVEY.md §2.8):
+
+- continuous jobs with tumbling wall-clock windows
+  (``mapred.reduce.window`` — ReduceTask.java:565-629: every N ms run reduce
+  over the window's input, then free state) -> windowed groupBy +
+  ``update`` output mode; processing-time trigger.
+- CQ-style sliding averages (examples/CQ.java:365-398) -> sliding
+  event-time window + watermark (a documented superset: the reference has
+  no event time / late-data story at all).
+- online aggregation snapshots (``mapred.snapshot.frequency`` —
+  ReduceTask.java:631-669: full reduce over data-so-far at each progress
+  quantum, emitting snapshot-<progress> outputs) -> a bounded file stream
+  consumed incrementally; each micro-batch re-aggregates data-so-far and
+  writes a snapshot tagged with the ingest fraction. Divergence pinned in
+  SURVEY §7: reference progress is scheduler-based, ours is
+  ingest-fraction-based; both converge to the exact answer.
+- inter-job pipelining (JobClient.submitJobs / PipelineMapTask.java:52) —
+  in Spark a multi-stage query is ONE plan; nothing to build.
+
+All builders take/return DataFrames so batch and streaming share the same
+transformation code (the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay the events table as a file stream (the batch stand-in for an
+    unbounded source; swap for kafka/rate in production)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def clock_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """ClockInputFormat / RealTimeRecordReader: infinite (sequence, now) ticks
+    (monitor/ClockInputFormat.java:12) — the built-in rate source."""
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+        .select(F.col("value").alias("sequence"), F.col("timestamp").alias("now"))
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, ts_col: str, keys: list[str], aggs: list[Column],
+    window_duration: str = "5 minutes", watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """HOP continuous job: periodic full-reduce over a tumbling window.
+
+    The reference windows on reducer wall-clock and discards state each
+    firing; the event-time equivalent is window() + update mode, with a
+    watermark bounding state (superset: the reference drops nothing late
+    because it has no event time)."""
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return events.groupBy(F.window(ts_col, window_duration).alias("win"), *[F.col(k) for k in keys]).agg(*aggs)
+
+
+def sliding_window_agg(
+    events: DataFrame, ts_col: str, keys: list[str], aggs: list[Column],
+    window_duration: str = "10 minutes", slide: str = "5 minutes",
+    watermark: str | None = "20 minutes",
+) -> DataFrame:
+    """CQ-shape sliding aggregate (last-N-seconds per key, refreshed every
+    slide — CQ.java hostAvg)."""
+    if watermark:
+        events = events.withWatermark(ts_col, watermark)
+    return events.groupBy(
+        F.window(ts_col, window_duration, slide).alias("win"), *[F.col(k) for k in keys]
+    ).agg(*aggs)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a bounded stream with availableNow into a memory sink; return the
+    result table. Deterministic harness for tests/oracle checks."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(query_name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+class OnlineAggregator:
+    """Online aggregation with snapshots over a bounded input.
+
+    Consumes a bounded file stream micro-batch by micro-batch; after each
+    batch the aggregate-so-far is recomputed (complete mode) and handed to
+    ``on_snapshot(progress_fraction, snapshot_df)`` — the engine's analogue
+    of HOP's snapshot-<progress>-<partition> outputs. Early results
+    approximate, converging to exact at progress 1.0.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        schema,
+        agg_fn: Callable[[DataFrame], DataFrame],
+        total_rows: int,
+        max_files_per_trigger: int = 1,
+    ):
+        self.spark = spark
+        self.source_path = source_path
+        self.schema = schema
+        self.agg_fn = agg_fn
+        self.total_rows = total_rows
+        self.max_files_per_trigger = max_files_per_trigger
+        self.snapshots: list[tuple[float, list]] = []
+
+    def run(self, on_snapshot: Callable[[float, DataFrame], None] | None = None) -> DataFrame:
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.source_path)
+        )
+        seen = {"rows": 0}
+        agg_fn, total = self.agg_fn, self.total_rows
+        accumulated: dict[str, DataFrame] = {}
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            seen["rows"] += batch_df.count()
+            acc = accumulated.get("df")
+            acc = batch_df if acc is None else acc.unionByName(batch_df)
+            accumulated["df"] = acc.localCheckpoint(eager=True)
+            progress = min(seen["rows"] / total, 1.0) if total else 1.0
+            snap = agg_fn(accumulated["df"])
+            if on_snapshot is not None:
+                on_snapshot(progress, snap)
+            self.snapshots.append((progress, snap.collect()))
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", f"/tmp/qms_online_{id(self)}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return agg_fn(accumulated["df"]) if "df" in accumulated else None
