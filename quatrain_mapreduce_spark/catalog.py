@@ -38,6 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division, no float rounding) so downstream window/event-time ops
     are idiomatic.
     """
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet: the conf is runtime-settable, and setting
+        # it here (not only in get_spark) makes the read work on ANY session,
+        # including externally-built harness sessions.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

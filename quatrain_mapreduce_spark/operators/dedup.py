@@ -34,7 +34,10 @@ from pyspark.sql.types import LongType
 
 from quatrain_mapreduce_spark.operators.projection import tokenize
 
-MERSENNE_MASK = (1 << 61) - 1
+# 31-bit Mersenne prime field: with a,b < 2^31 and base hash masked to 31
+# bits, a*h + b < 2^62 — always inside int64, so the expression never trips
+# Spark 4's default ANSI overflow check.
+MERSENNE_31 = (1 << 31) - 1
 
 
 def normalized_text(col) -> F.Column:
@@ -110,15 +113,16 @@ def ngram_jaccard_pairs(
 def minhash_signature(shingles: F.Column, num_perm: int = 32, seed: int = 42) -> F.Column:
     """MinHash signature array over a shingle array.
 
-    Base hash: xxhash64(shingle) masked positive; permutation family:
-    h_j(x) = (a_j * x + b_j) mod (2^61 - 1) with (a_j, b_j) drawn from a
-    fixed seeded PRNG — fully deterministic, all JVM-side expression code.
+    Base hash: xxhash64(shingle) masked to 31 bits; permutation family:
+    h_j(x) = (a_j * x + b_j) mod (2^31 - 1) with (a_j, b_j) drawn from a
+    fixed seeded PRNG — fully deterministic, all JVM-side expression code,
+    and overflow-free under ANSI mode (a*x+b < 2^62 < int64 max).
     """
     rng = random.Random(seed)
-    params = [(rng.randrange(1, MERSENNE_MASK), rng.randrange(0, MERSENNE_MASK)) for _ in range(num_perm)]
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MERSENNE_MASK)))
+    params = [(rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31)) for _ in range(num_perm)]
+    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MERSENNE_31)))
     sig = [
-        F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_MASK)))
+        F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))))
         for a, b in params
     ]
     return F.array(*sig)

@@ -31,14 +31,34 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """FileStreamSource requires a *directory* source; the testdata table is a
+    single flat parquet file. Stage a symlink into a per-sf temp directory
+    (created once, idempotent) — the production shape is a real landing
+    directory fed by the upstream system."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{os.path.realpath(sf_dir)}/{table}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"qms_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """Replay the events table as a file stream (the batch stand-in for an
     unbounded source; swap for kafka/rate in production)."""
+    # runtime-set so the nanos read works on externally-built sessions too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(_stage_stream_dir(sf_dir, "events"))
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
