@@ -1,0 +1,80 @@
+"""Benchmark runner — the BASELINE.md workload set at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (full plan execution into a noop sink —
+no driver-side collection cost, no result serialization) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}. The driver records this as BENCH_r{N}.json.
+
+Workloads (BASELINE.md "Workload set for BENCH"): WordCount, Grep, global
+Sort, Join, TopK, aggregate-package, Hive-style SQL mix shapes, CQ window,
+plus the LLM-pipeline headliners (exact + minhash dedup, text quality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quatrain_mapreduce_spark.registry import all_queries  # noqa: E402
+from quatrain_mapreduce_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "wordcount",
+    "grep",
+    "order_by_limit",      # global sort (TeraSort-shape: total order + bounded output)
+    "join_multiway",       # fact-fact SMJ + broadcast dims
+    "topk_users",
+    "aggregate_pkg",       # multi-agg single pass
+    "groupby2_shape",      # SQL mix: groupby2.q shape
+    "union_all",           # SQL mix: union.q shape
+    "cq_tumbling_window",  # CQ window on events
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+]
+
+
+def run_query(df) -> None:
+    """Execute the full plan without driver-side result transfer."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    spark = get_spark(app_name="qms-bench")
+    qs = all_queries()
+
+    # warm-up: JIT/codegen + catalog caches on a trivial action
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        try:
+            run_query(qs[name].fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # never let one query kill the artifact
+            times[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ self-join near-linear under skew.
 
 from __future__ import annotations
 
+import math
 import random
 
 import pandas as pd
@@ -86,19 +87,41 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 2,
     threshold: float = 0.8,
+    length_band: bool = True,
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard near-dup pairs.
 
-    Pairwise comparison is restricted to a blocking key (language, length
-    band, LSH bucket, ...) so cost is sum(block²), not corpus². Emits
+    Blocking key = ``block_col`` composed with a logarithmic shingle-count
+    band: J(A,B) >= t implies |A|/|B| in [t, 1/t], so banding set sizes at
+    ratio 1/t and probing each doc's own band ± 1 is *complete* for the
+    threshold (floor over log-ratio <= 1 differs by at most one band) while
+    capping every block at near-equal-length docs — sum(block²) stays
+    near-linear even when one language dominates the corpus. Emits
     (a_id, b_id, jac) for pairs ≥ threshold, a < b.
+
+    ``length_band=False`` degrades to plain block_col blocking (the verify
+    stage inside LSH buckets, where the bucket already bounds block size).
     """
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh")
     ).where(F.size("sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
+    if length_band:
+        band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(math.log(1.0 / threshold)))
+        sh = sh.withColumn("band", band)
+        # probe side A into its own and both adjacent bands; at most one probe
+        # equals B's band, so each (a,b) pair appears exactly once — no distinct
+        a = sh.withColumn("probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))).alias("a")
+        b = sh.alias("b")
+        cond = (
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.probe") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),

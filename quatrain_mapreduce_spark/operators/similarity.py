@@ -7,11 +7,22 @@ Engine extension (no reference analogue). Two tiers:
   corpus, no shuffle of the big side; per-pair math is JVM-side
   (zip_with/aggregate inside codegen). The correctness baseline.
 
-- lsh_topk: random-hyperplane LSH (Charikar '02). Each vector is bucketed by
-  the sign pattern of ``n_planes`` fixed hyperplane dot products; search only
-  compares within matching buckets (+ optional multi-probe by hamming-1
-  neighbors). At 100 TB this turns the quadratic cross join into a
-  bucket-partitioned join; recall is tested against the brute-force tier.
+- lsh_topk: random-hyperplane LSH (Charikar '02), multi-table: L independent
+  hash tables of ``n_planes`` sign bits each; search compares only within
+  matching (table, bucket) cells, optionally multi-probing hamming-1
+  neighbor buckets. Recall is governed by L × multiprobe; cost stays linear
+  and bucket-partitioned. At 100 TB raise ``n_planes`` (bucket count grows
+  2^n_planes) and L together instead of widening buckets.
+
+- embedding_neardup_pairs: banded sign-signature blocking (pigeonhole: two
+  vectors whose sign patterns differ in < n_bands positions share at least
+  one identical band), cosine-verified, with a ``max_bucket`` skew cap like
+  the minhash/simhash pipelines.
+
+Vector dimensionality is an explicit parameter everywhere (it is pipeline
+configuration, like the embedding model itself); ``embedding_dim`` reads it
+from a parquet footer + first value locally — a metadata peek, never a Spark
+job in the query plan.
 
 All arithmetic is float→double widened, sequential-fold accumulation, so
 results are deterministic and engine-comparable.
@@ -41,6 +52,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def embedding_dim(parquet_path: str, vec_col: str = "embedding") -> int:
+    """Vector dimensionality from one locally-read value (pyarrow, no Spark
+    job). In production the dim is pipeline config; this helper exists so
+    test harnesses don't hardcode it."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(parquet_path)
+    batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
+    return len(batch.column(0)[0])
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int = 10
 ) -> DataFrame:
@@ -66,15 +88,20 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
+def sign_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """One 0/1 bit per hyperplane: sign(vec · plane_i) >= 0."""
+    return [
+        F.when(_dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Pack sign(vec · plane_i) bits into an integer bucket id."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
+    bits = sign_bits(vec, planes)
     out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    for i, b in enumerate(bits[1:], start=1):
+        out = out + b * (1 << i)
     return out.cast("int")
 
 
@@ -83,60 +110,97 @@ def lsh_topk(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 10,
+    n_tables: int = 4,
     multiprobe: bool = True,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only within matching LSH buckets.
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
-    ``multiprobe`` also probes all hamming-1 buckets of the query signature
-    (flipping one hyperplane bit), trading n_planes× candidate volume for
-    much better recall — still linear, still bucket-partitioned.
+    L = ``n_tables`` independent tables, each bucketing on ``n_planes`` sign
+    bits; a candidate is any corpus vector sharing a (table, bucket) cell with
+    the query in ANY table. ``multiprobe`` additionally probes every
+    hamming-1 bucket per table. Cost: corpus stored L times (explode), joins
+    stay bucket-partitioned; recall rises as 1-(1-p^b)^L.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tab"), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+            for t, planes in enumerate(tables)
+        ])).alias("cell"),
+    ).select("neighbor_id", "c_vec", "cell.tab", "cell.bucket")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        *[lsh_bucket(F.col(vec_col), planes).alias(f"qb{t}") for t, planes in enumerate(tables)],
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                       lsh_bucket(F.col(vec_col), planes).alias("qb"))
-    if multiprobe:
-        probes = F.array(*([F.col("qb")] + [F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]))
-        q = q.select("q_id", "q_vec", F.explode(probes).alias("bucket"))
-    else:
-        q = q.withColumnRenamed("qb", "bucket")
+    probe_cells = []
+    for t in range(n_tables):
+        probe_cells.append(F.struct(F.lit(t).alias("tab"), F.col(f"qb{t}").alias("bucket")))
+        if multiprobe:
+            probe_cells.extend(
+                F.struct(F.lit(t).alias("tab"), F.col(f"qb{t}").bitwiseXOR(F.lit(1 << i)).alias("bucket"))
+                for i in range(n_planes)
+            )
+    q = q.select("q_id", "q_vec", F.explode(F.array(*probe_cells)).alias("cell")).select(
+        "q_id", "q_vec", "cell.tab", "cell.bucket"
+    )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tab", "bucket"])
         .where(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"))
+        .select("q_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["q_id", "neighbor_id"])
+        .select("q_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.98, n_planes: int = 8, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking.
+    """Embedding-cosine near-duplicate pairs via banded sign-signature blocking.
 
-    Pairs sharing an LSH bucket are cosine-verified against ``threshold``.
-    Near-identical vectors agree on all hyperplane signs with high
-    probability, so recall at high thresholds is strong while cost stays
-    bucket-local.
+    The ``n_planes`` sign bits are split into ``n_bands`` bands; a pair is a
+    candidate iff it matches on ALL bits of at least one band (pigeonhole:
+    sign-hamming < n_bands ⇒ some band identical — near-identical vectors
+    flip very few signs). Oversized buckets are dropped from candidate
+    generation (non-discriminative band; other bands still cover the pair),
+    capping the self-join under skew exactly like the minhash/simhash
+    pipelines.
     """
-    dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
-    v = df.select(F.col(id_col), F.col(vec_col).alias("vec"),
-                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    bits = sign_bits(F.col(vec_col), planes)
+    per_band = n_planes // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(bits[b * per_band + i] * (1 << i) for i in range(per_band)).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    v = df.select(F.col(id_col), F.col(vec_col).alias("vec"), F.explode(F.array(*bands)).alias("bd")) \
+          .select(id_col, "vec", "bd.band", "bd.bkey")
+    w = Window.partitionBy("band", "bkey")
+    v = v.withColumn("n", F.count("*").over(w)).where(F.col("n") <= max_bucket).drop("n")
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
-        )
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
+                F.col("a.vec").alias("a_vec"), F.col("b.vec").alias("b_vec"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

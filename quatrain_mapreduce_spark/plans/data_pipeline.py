@@ -18,7 +18,7 @@ from quatrain_mapreduce_spark.operators.dedup import (
 )
 from quatrain_mapreduce_spark.operators.multimodal import attach_media, extract_features
 from quatrain_mapreduce_spark.operators.similarity import (
-    brute_force_topk, embedding_neardup_pairs, lsh_topk,
+    brute_force_topk, embedding_dim, embedding_neardup_pairs, lsh_topk,
 )
 from quatrain_mapreduce_spark.operators.text import (
     BPE_TOKEN_RE, STOPWORDS, fingerprint, lang_id, quality_score, text_stats,
@@ -58,23 +58,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 i -> toks[i] || ' ' || toks[i + 1])
                             ELSE [] END) AS sh
             FROM t
+        ), banded AS (
+            SELECT doc_id, lang, sh, floor(ln(len(sh)) / ln(1.25)) AS band
+            FROM sh WHERE len(sh) > 0
         ), pairs AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    len(list_intersect(a.sh, b.sh))
                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND b.band BETWEEN a.band - 1 AND a.band + 1
+             AND a.doc_id < b.doc_id
         )
         SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.8
     """,
-    doc="Blocked pairwise word-bigram Jaccard near-dup pairs (block = lang; "
-        "at scale the block key is an LSH bucket — this is the verify stage).",
+    doc="Blocked pairwise word-bigram Jaccard near-dup pairs. Block = "
+        "(lang, log-length band ± 1): complete for J>=0.8 by the size-ratio "
+        "bound, and every block is near-equal-length docs, so sum(block²) "
+        "stays near-linear at 100 TB (no corpus-sized self-join).",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        block_col="lang", n=2, threshold=0.8,
+        block_col="lang", n=2, threshold=0.8, length_band=True,
     )
 
 
@@ -109,14 +115,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH v AS (
             SELECT vec_id, embedding,
-                   sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
-                         FROM generate_series(1, len(embedding)) t(i))) AS nrm
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))::DOUBLE) AS nrm
             FROM embeddings
         ),
         scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-                   round((SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
-                          FROM generate_series(1, len(q.embedding)) t(i))
+                   round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))::DOUBLE
                          / (q.nrm * c.nrm), 6) AS cos
             FROM v q JOIN v c ON c.vec_id <> q.vec_id
             WHERE q.vec_id < 8
@@ -139,28 +143,46 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh",
-    oracle=None,  # approximate by construction — recall vs brute force tested in pytest
-    doc="ANN via random-hyperplane LSH with multi-probe: bucket-partitioned "
-        "join instead of cross join — the 100 TB scale path.",
+    oracle=None,  # approximate by construction — recall vs brute force asserted in tests/test_similarity.py
+    doc="ANN via multi-table random-hyperplane LSH with multi-probe: "
+        "bucket-partitioned join instead of cross join — the 100 TB scale "
+        "path (recall scales with table count, bucket count with 2^planes).",
     tags=("similarity", "no-oracle"),
 )
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    out = lsh_topk(queries, emb, "vec_id", "embedding", k=10, n_planes=8, multiprobe=True)
+    out = lsh_topk(
+        queries, emb, "vec_id", "embedding",
+        dim=embedding_dim(f"{sf_dir}/embeddings.parquet"),
+        k=10, n_planes=10, n_tables=4, multiprobe=True,
+    )
     return out.select("q_id", "neighbor_id", "cos", "rk")
 
 
 @register(
     "embedding_neardup",
-    oracle=None,
-    doc="Embedding-cosine near-duplicate pairs via LSH blocking (cos ≥ 0.95 "
-        "within shared sign-pattern buckets).",
-    tags=("dedup", "similarity", "no-oracle"),
+    oracle="""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))::DOUBLE
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))::DOUBLE)
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))::DOUBLE)), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))::DOUBLE
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))::DOUBLE)
+                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))::DOUBLE)) >= 0.95
+    """,
+    doc="Embedding-cosine near-duplicate pairs via banded sign-signature "
+        "blocking + max_bucket skew cap. Oracle = exact all-pairs threshold "
+        "filter (LSH recall at cos>=0.95 makes the outputs coincide; recall "
+        "on planted near-identical vectors asserted in tests).",
+    tags=("dedup", "similarity"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.95
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=embedding_dim(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.95, n_planes=32, n_bands=4,
     )
 
 

@@ -1,0 +1,162 @@
+"""SQL entry path — the reference's biggest surface is Hive SQL text
+(ql/Driver.java:104, grammar ql/parse/Hive.g). These queries go through
+``spark.sql(...)`` over catalog.register_views, pinning dialect semantics the
+DataFrame-API queries can't exercise: SQL text parsing, view resolution,
+DDL, and partitioned-table pruning.
+
+Shapes mirror the reference's golden corpus
+(ql/src/test/queries/clientpositive/{groupby2,join2,union}.q) re-cut onto
+the driver's tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table, register_views
+from quatrain_mapreduce_spark.registry import register
+
+
+@register(
+    "sql_groupby2",
+    oracle="""
+        SELECT substr(o_orderpriority, 1, 1) AS pri,
+               count(DISTINCT o_custkey) AS uniq_cust,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY substr(o_orderpriority, 1, 1)
+    """,
+    doc="groupby2.q through the SQL text path: spark.sql over registered "
+        "views (count DISTINCT + agg on a computed group key).",
+    tags=("sql", "hive"),
+)
+def sql_groupby2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT substr(o_orderpriority, 1, 1) AS pri,
+               count(DISTINCT o_custkey) AS uniq_cust,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY substr(o_orderpriority, 1, 1)
+    """)
+
+
+@register(
+    "sql_join2",
+    oracle="""
+        SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+        FROM nation n1
+        JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        JOIN customer c ON n1.n_nationkey + n2.n_nationkey = c.c_nationkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="join2.q parity: chained join where the second join key is an "
+        "EXPRESSION over both prior sides (src1.key + src2.key = src3.key — "
+        "ql/src/test/queries/clientpositive/join2.q), via SQL text.",
+    tags=("sql", "join"),
+)
+def sql_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql("""
+        SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+        FROM nation n1
+        JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        JOIN customer c ON n1.n_nationkey + n2.n_nationkey = c.c_nationkey
+        GROUP BY c.c_mktsegment
+    """)
+
+
+@register(
+    "sql_union",
+    oracle="""
+        SELECT src, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(key) AS BIGINT) AS sum_key
+        FROM (SELECT 'o' AS src, o_orderkey AS key FROM orders
+              UNION ALL
+              SELECT 'l' AS src, l_orderkey AS key FROM lineitem) u
+        GROUP BY src
+    """,
+    doc="union.q parity: FROM (a UNION ALL b) alias subquery form "
+        "(genUnionPlan — SemanticAnalyzer.java:2090), via SQL text.",
+    tags=("sql", "setop"),
+)
+def sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT src, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(key) AS BIGINT) AS sum_key
+        FROM (SELECT 'o' AS src, o_orderkey AS key FROM orders
+              UNION ALL
+              SELECT 'l' AS src, l_orderkey AS key FROM lineitem) u
+        GROUP BY src
+    """)
+
+
+@register(
+    "sql_ddl_roundtrip",
+    oracle="""
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM nation GROUP BY n_regionkey
+    """,
+    doc="DDL surface (ql/exec/DDLTask.java, DDLSemanticAnalyzer): CREATE "
+        "TABLE AS / SHOW TABLES / DESCRIBE / DROP through spark.sql against "
+        "the session catalog; the query reads back the created table.",
+    tags=("sql", "ddl"),
+)
+def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    register_views(spark, sf_dir, ("nation",))
+    spark.sql("DROP TABLE IF EXISTS qms_nation_ddl")
+    # DROP removes the catalog entry but a stale location from a previous
+    # session blocks CREATE (LOCATION_ALREADY_EXISTS) — clear it too
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, "qms_nation_ddl"), ignore_errors=True)
+    spark.sql("CREATE TABLE qms_nation_ddl USING parquet AS SELECT * FROM nation")
+    # exercise the inspection DDL (results intentionally unused — parity with
+    # SHOW TABLES / DESCRIBE in DDLTask)
+    spark.sql("SHOW TABLES").collect()
+    spark.sql("DESCRIBE TABLE qms_nation_ddl").collect()
+    return spark.sql("""
+        SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM qms_nation_ddl GROUP BY n_regionkey
+    """)
+
+
+def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders partitioned by o_orderstatus once per sf_dir (idempotent):
+    the srcpart ds/hr fixture pattern (QTestUtil.java:211-313)."""
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"qms_part_orders_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite") \
+            .partitionBy("o_orderstatus").parquet(d)
+        open(marker, "w").close()
+    return d
+
+
+@register(
+    "sql_partition_pruning",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    doc="Partitioned table + partition pruning (ql/parse/PartitionPruner."
+        "java:238; srcpart fixture): orders written partitionBy(o_orderstatus), "
+        "read back with a partition-column predicate — the scan touches only "
+        "the matching directory (PartitionFilters in the physical plan).",
+    tags=("sql", "partition"),
+)
+def sql_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_partitioned_orders(spark, sf_dir)
+    part = spark.read.parquet(d)
+    return (
+        part.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

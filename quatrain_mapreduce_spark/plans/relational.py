@@ -164,6 +164,52 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, ord_cnt, round(sum_price, 2) AS sum_price
+        FROM customer LEFT JOIN
+             (SELECT o_custkey, CAST(count(*) AS BIGINT) AS ord_cnt,
+                     sum(o_totalprice) AS sum_price
+              FROM orders GROUP BY o_custkey) o
+          ON c_custkey = o.o_custkey
+    """,
+    doc="LEFT OUTER join with null padding for customers without orders "
+        "(ql/parse/joinType.java:21, JoinOperator null-padding :80,187).",
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("ord_cnt"), F.sum("o_totalprice").alias("_sum")
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", "c_mktsegment", "ord_cnt", F.round("_sum", 2).alias("sum_price"))
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+        SELECT s_suppkey, s_name, n_name
+        FROM (SELECT * FROM nation WHERE n_regionkey <= 1) n
+        RIGHT JOIN supplier ON s_nationkey = n.n_nationkey
+    """,
+    doc="RIGHT OUTER join: all suppliers kept, nation attributes null-padded "
+        "where the filtered dimension has no match (joinType.java:21).",
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") <= 1)
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "right")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
     "join_override",
     oracle="""
         SELECT coalesce(b.key, a.key) AS key, coalesce(b.val, a.val) AS val

@@ -18,10 +18,28 @@ from pyspark.sql import functions as F
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.registry import register
 from quatrain_mapreduce_spark.streaming.hop import (
-    read_events_stream, run_available_now, tumbling_window_agg,
+    OnlineAggregator, read_events_stream, run_available_now, tumbling_window_agg,
 )
 
 _stream_counter = itertools.count()
+
+
+def stage_multifile_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Write the events table once per sf_dir as an n-file parquet dir so a
+    maxFilesPerTrigger=1 stream replays it in n micro-batches (the bounded
+    stand-in for HOP's progress quanta). Idempotent per (sf_dir, n)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:{n_files}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"qms_online_src_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(d)
+        open(marker, "w").close()
+    return d
 
 
 @register(
@@ -101,3 +119,32 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.unix_timestamp(F.col("win.start")).alias("win_start"), "event_type", "cnt"
     )
+
+
+@register(
+    "online_agg_events",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    doc="HOP online aggregation (mapred.snapshot.frequency — "
+        "ReduceTask.java:631-669, EX/TopK.java:259-262): events replayed as "
+        "a 4-file bounded stream; each micro-batch re-aggregates data-so-far "
+        "and writes a snapshot-<progress> parquet. The returned (final) "
+        "snapshot is exact — checked against the batch oracle; snapshot "
+        "convergence asserted in tests/test_streaming.py.",
+    tags=("streaming", "online-agg"),
+)
+def online_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stage_multifile_events(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(src).schema
+
+    def agg_fn(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+
+    total = spark.read.parquet(src).count()
+    runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
+    return runner.run()

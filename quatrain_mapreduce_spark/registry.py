@@ -51,6 +51,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 def all_queries() -> dict[str, Query]:
     """Import all plan modules (side-effect: registration) and return REGISTRY."""
-    from quatrain_mapreduce_spark.plans import relational, mrlib, data_pipeline, streaming_queries  # noqa: F401
+    from quatrain_mapreduce_spark.plans import (  # noqa: F401
+        relational, mrlib, data_pipeline, streaming_queries, hive_sql, udf_surface,
+    )
 
     return dict(REGISTRY)

@@ -118,10 +118,17 @@ class OnlineAggregator:
     """Online aggregation with snapshots over a bounded input.
 
     Consumes a bounded file stream micro-batch by micro-batch; after each
-    batch the aggregate-so-far is recomputed (complete mode) and handed to
-    ``on_snapshot(progress_fraction, snapshot_df)`` — the engine's analogue
-    of HOP's snapshot-<progress>-<partition> outputs. Early results
-    approximate, converging to exact at progress 1.0.
+    batch the aggregate over data-so-far is recomputed and written to a
+    parquet snapshot directory (``snapshot-<progress>`` naming — HOP's
+    snapshot-<progress>-<partition> analogue, ReduceTask.java:631-669).
+    Early results approximate, converging to exact at progress 1.0.
+
+    Scale design: nothing accumulates on the driver. Each batch is appended
+    to a parquet staging dir (distributed write); snapshots re-aggregate the
+    staging files (distributed read); ``self.snapshots`` holds only
+    (progress, path) metadata. Checkpoint location is a fresh mkdtemp per
+    run — a reused checkpoint would mark all files processed and silently
+    produce zero batches.
     """
 
     def __init__(
@@ -132,6 +139,7 @@ class OnlineAggregator:
         agg_fn: Callable[[DataFrame], DataFrame],
         total_rows: int,
         max_files_per_trigger: int = 1,
+        work_dir: str | None = None,
     ):
         self.spark = spark
         self.source_path = source_path
@@ -139,33 +147,49 @@ class OnlineAggregator:
         self.agg_fn = agg_fn
         self.total_rows = total_rows
         self.max_files_per_trigger = max_files_per_trigger
-        self.snapshots: list[tuple[float, list]] = []
+        self.work_dir = work_dir
+        self.snapshots: list[tuple[float, str]] = []
+
+    def snapshot_df(self, i: int = -1) -> DataFrame:
+        """Read back a written snapshot (default: the latest)."""
+        return self.spark.read.parquet(self.snapshots[i][1])
 
     def run(self, on_snapshot: Callable[[float, DataFrame], None] | None = None) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        work = self.work_dir or tempfile.mkdtemp(prefix="qms_online_")
+        staging = os.path.join(work, "staging")
+        checkpoint = os.path.join(work, "checkpoint")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
         stream = (
             self.spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.source_path)
         )
         seen = {"rows": 0}
-        agg_fn, total = self.agg_fn, self.total_rows
-        accumulated: dict[str, DataFrame] = {}
+        agg_fn, total, spark = self.agg_fn, self.total_rows, self.spark
 
         def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-            seen["rows"] += batch_df.count()
-            acc = accumulated.get("df")
-            acc = batch_df if acc is None else acc.unionByName(batch_df)
-            accumulated["df"] = acc.localCheckpoint(eager=True)
+            batch_df.write.mode("append").parquet(staging)
+            seen["rows"] = spark.read.parquet(staging).count()
             progress = min(seen["rows"] / total, 1.0) if total else 1.0
-            snap = agg_fn(accumulated["df"])
+            snap_path = os.path.join(work, f"snapshot-{progress:.4f}")
+            snap = agg_fn(spark.read.parquet(staging))
+            snap.write.mode("overwrite").parquet(snap_path)
+            self.snapshots.append((progress, snap_path))
             if on_snapshot is not None:
-                on_snapshot(progress, snap)
-            self.snapshots.append((progress, snap.collect()))
+                on_snapshot(progress, spark.read.parquet(snap_path))
 
         q = (
             stream.writeStream.foreachBatch(per_batch)
-            .option("checkpointLocation", f"/tmp/qms_online_{id(self)}")
+            .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start()
         )
         q.awaitTermination()
-        return agg_fn(accumulated["df"]) if "df" in accumulated else None
+        if not self.snapshots:
+            return None
+        return agg_fn(self.spark.read.parquet(staging))

@@ -1,0 +1,114 @@
+"""Dedup tier: exact, n-gram Jaccard (banded blocking), MinHash+LSH, SimHash.
+
+Includes the promised cross-validation: minhash candidates cover the exact
+ngram-Jaccard ground truth on planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs, word_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog near the old river bank "
+        "while birds sing in the tall green trees above the quiet meadow")
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Planted near-duplicates: 0↔1 differ by one word, 2 is a shuffled copy
+    of 0, 10..19 are unrelated texts."""
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE.replace("quick", "swift"), "en"),
+        (2, BASE.replace("near the old", "close to the old"), "en"),
+    ] + [
+        (10 + i, f"completely different document number {i} with words nobody reuses "
+                 f"plus unique token zz{i}x repeated zz{i}x again zz{i}x", "en")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    got = {r["keep_id"]: r["dup_cnt"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert got == {1: 2, 3: 1}  # whitespace+case-normalized match
+
+
+def test_ngram_jaccard_finds_planted_pairs(neardup_docs):
+    pairs = ngram_jaccard_pairs(neardup_docs, "doc_id", "text", "lang", n=2, threshold=0.5)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert all(a < 10 and b < 10 for a, b in got)  # no false positives among planted uniques
+
+
+def test_ngram_banding_complete_across_band_boundary(spark):
+    """Docs whose shingle counts land in adjacent length bands must still pair."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " iota"  # superset: high jaccard, larger shingle set
+    df = spark.createDataFrame([(1, short, "x"), (2, long, "x")], "doc_id long, text string, lang string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", "lang", n=2, threshold=0.7)
+    assert {(r["a_id"], r["b_id"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_minhash_covers_ngram_ground_truth(neardup_docs):
+    """Promised cross-check: every exact-Jaccard pair is recalled by the
+    MinHash+LSH pipeline (threshold below the planted pairs' similarity)."""
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(neardup_docs, "doc_id", "text", "lang", n=3, threshold=0.5).collect()
+    }
+    assert truth  # planted pairs exist at trigram level
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(neardup_docs, "doc_id", "text",
+                                   shingle_n=3, num_perm=32, bands=8, threshold=0.5).collect()
+    }
+    assert truth <= got
+
+
+def test_minhash_jaccard_estimates_match_exact(neardup_docs):
+    """The verified jac column IS exact jaccard (verify stage recomputes)."""
+    pairs = minhash_lsh_pairs(neardup_docs, "doc_id", "text", threshold=0.5).collect()
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in neardup_docs.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    for r in pairs:
+        a, b = sh[r["a_id"]], sh[r["b_id"]]
+        exact = len(a & b) / len(a | b)
+        assert abs(r["jac"] - exact) < 1e-6
+
+
+def test_simhash_finds_near_identical(spark):
+    """SimHash's contract is LONG near-identical docs (a single-token edit in
+    a ~120-token doc flips 1-2 signature bits; a one-word-in-24 edit flips ~9
+    and is out of banding's hamming<=3 pigeonhole — minhash covers that
+    regime). Unrelated docs sit at hamming ~30 and must not pair."""
+    long_base = (BASE + " ") * 5
+    rows = [
+        (0, long_base + "one"),
+        (1, long_base + "two"),
+        (2, long_base + "one extra"),
+        (10, "totally unrelated words about ships and harbors and salt water twelve times over"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]) for r in
+           simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert not any(10 in p for p in got)
+
+
+def test_minhash_on_real_documents_no_crash(spark, sf_dir):
+    """ANSI-mode overflow regression (operators/dedup.py hash family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    assert all(0.0 <= r["jac"] <= 1.0 for r in pairs)

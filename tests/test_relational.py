@@ -1,0 +1,96 @@
+"""Relational core: join types, set ops, sort/limit/sample — SURVEY §2.3/2.6/2.7.
+
+Small synthetic frames with hand-computed expectations (the reference's
+operator-level test tier, src/test/org/apache/hadoop/mapred style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.joins import (
+    composite_inner_join, composite_outer_join, override_join, tagged_join,
+)
+from quatrain_mapreduce_spark.operators.sort import bucket_sample, cluster_by, secondary_sort_agg
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "key int, val string")
+
+
+def test_composite_inner_join(spark):
+    a = _kv(spark, [(1, "a1"), (2, "a2")])
+    b = spark.createDataFrame([(1, "b1"), (3, "b3")], "key int, other string")
+    got = composite_inner_join([a, b], "key").collect()
+    assert len(got) == 1 and got[0]["key"] == 1
+
+
+def test_composite_outer_join_null_padding(spark):
+    a = _kv(spark, [(1, "a1")])
+    b = spark.createDataFrame([(2, "b2")], "key int, other string")
+    got = {r["key"]: (r["val"], r["other"]) for r in composite_outer_join([a, b], "key").collect()}
+    assert got == {1: ("a1", None), 2: (None, "b2")}
+
+
+def test_override_join_rightmost_nonnull_wins(spark):
+    a = _kv(spark, [(1, "old"), (2, "keep")])
+    b = _kv(spark, [(1, "new")])
+    got = {r["key"]: r["val"] for r in override_join([a, b], "key", "val").collect()}
+    assert got == {1: "new", 2: "keep"}
+
+
+def test_left_right_join_padding(spark):
+    a = _kv(spark, [(1, "a1"), (2, "a2")])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], "key int, other string")
+    left = a.join(b, "key", "left").collect()
+    assert {r["key"]: r["other"] for r in left} == {1: None, 2: "b2"}
+    right = a.join(b, "key", "right").collect()
+    assert {r["key"]: r["val"] for r in right} == {2: "a2", 3: None}
+
+
+def test_tagged_join_prefixes_columns(spark):
+    a = _kv(spark, [(1, "a")])
+    b = _kv(spark, [(1, "b")])
+    out = tagged_join({"l": a, "r": b}, "key")
+    assert set(out.columns) == {"key", "l_val", "r_val"}
+    assert out.collect()[0]["r_val"] == "b"
+
+
+def test_secondary_sort_orders_within_key(spark):
+    df = spark.createDataFrame([(1, 3), (1, 1), (1, 2), (2, 9)], "k int, v int")
+    got = {r["k"]: r["sorted_values"] for r in secondary_sort_agg(df, "k", F.col("v")).collect()}
+    assert got == {1: "1,2,3", 2: "9"}
+
+
+def test_bucket_sample_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "key int")
+    got = sorted(r["key"] for r in bucket_sample(df, "key", x=3, y=7).collect())
+    assert got == [k for k in range(100) if k % 7 == 2]
+
+
+def test_cluster_by_partitions_and_sorts(spark):
+    df = spark.createDataFrame([(i % 3, i) for i in range(30)], "g int, v int")
+    out = cluster_by(df, ["g"], [F.col("g"), F.col("v")])
+    # same multiset of rows; partition-local sort verified via partition dump
+    assert out.count() == 30
+    parts = out.rdd.glom().collect()
+    for part in parts:
+        vals = [(r["g"], r["v"]) for r in part]
+        assert vals == sorted(vals)
+        # one group never splits across partitions (hash repartition on g)
+    groups_per_part = [set(r["g"] for r in p) for p in parts if p]
+    seen = [g for s in groups_per_part for g in s]
+    assert len(seen) == len(set(seen))
+
+
+def test_limit_is_two_stage(spark, sf_dir):
+    """orderBy().limit() must plan TakeOrderedAndProject — per-partition heap
+    + single merge, not a global sort materialization."""
+    from quatrain_mapreduce_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        li.orderBy(F.desc("l_extendedprice")).limit(10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,108 @@
+"""Similarity tier: exact brute force, multi-table LSH recall, near-dup pairs.
+
+LSH recall is asserted on clustered synthetic vectors with genuinely-near
+neighbors (cos >= 0.9) — the regime LSH contracts for; weakly-similar random
+vectors are covered by the brute-force (exact) tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from quatrain_mapreduce_spark.operators.similarity import (
+    brute_force_topk, embedding_dim, embedding_neardup_pairs, lsh_topk,
+)
+
+DIM = 32
+SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """20 cluster centers × 10 members with small noise: each vector's true
+    top neighbors are its cluster siblings (cos well above 0.9)."""
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for _ in range(20):
+        center = rng.randn(DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + 0.05 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_brute_force_exact_on_hand_vectors(spark):
+    """3 orthogonal-ish vectors: cosine ranks verifiable by hand."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = brute_force_topk(df.where(F.col("vec_id") == 0), df, "vec_id", "embedding", k=2).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert order == [1, 2]
+
+
+def test_lsh_recall_vs_brute_force(spark, clustered):
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            clustered.where(F.col("vec_id") < 20), clustered, "vec_id", "embedding", k=5
+        ).collect()
+        if r["cos"] >= 0.9  # the near-neighbor regime LSH contracts for
+    }
+    assert len(truth) >= 50
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in lsh_topk(
+            clustered.where(F.col("vec_id") < 20), clustered, "vec_id", "embedding",
+            dim=DIM, k=5, n_planes=10, n_tables=4, multiprobe=True,
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """Planted near-identical vectors (tiny perturbation) must pair; an
+    unrelated vector must not."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(DIM)
+    base /= np.linalg.norm(base)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01 * rng.randn(DIM)]),
+        (2, [float(x) for x in base + 0.02 * rng.randn(DIM)]),
+        (99, [float(x) for x in rng.randn(DIM)]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["a_id"], r["b_id"]) for r in
+           embedding_neardup_pairs(df, "vec_id", "embedding", dim=DIM,
+                                   threshold=0.95, n_planes=32, n_bands=4).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert not any(99 in p for p in got)
+
+
+def test_embedding_dim_reads_footer(sf_dir):
+    assert embedding_dim(f"{sf_dir}/embeddings.parquet") == 64
+
+
+def test_neardup_skew_cap_drops_degenerate_buckets(spark):
+    """With max_bucket=1 every bucket is degenerate → zero candidates, no
+    quadratic blowup (skew-guard behavior)."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(DIM)
+    rows = [(i, [float(x) for x in base]) for i in range(10)]  # identical vectors
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = embedding_neardup_pairs(df, "vec_id", "embedding", dim=DIM, max_bucket=1).collect()
+    assert got == []

@@ -1,0 +1,79 @@
+"""HOP streaming layer: stream/batch parity, online-aggregation convergence."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.streaming.hop import (
+    OnlineAggregator, read_events_stream, run_available_now, tumbling_window_agg,
+)
+
+
+def test_stream_batch_parity(spark, sf_dir):
+    """The same window expression over the events table as a stream and as a
+    batch frame must agree exactly (the point of Structured Streaming)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(
+        stream, "ts", ["event_type"], [F.count("*").alias("cnt")],
+        window_duration="1 hour", watermark=None,
+    )
+    streamed = {
+        (r["win"]["start"], r["event_type"]): r["cnt"]
+        for r in run_available_now(agg, "qms_test_parity").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["win"]["start"], r["event_type"]): r["cnt"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                   .agg(F.count("*").alias("cnt")).collect()
+    }
+    assert streamed == batch
+
+
+def test_online_aggregator_converges(spark, sf_dir):
+    """Snapshots: monotonically increasing progress, final snapshot == exact
+    batch answer (EX/TopK.java:259-262 snapshot semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="qms_test_online_src_")
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+
+    def agg_fn(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    total = ev.count()
+    runner = OnlineAggregator(spark, src, spark.read.parquet(src).schema, agg_fn, total_rows=total)
+    final = runner.run()
+
+    progresses = [p for p, _ in runner.snapshots]
+    assert len(progresses) >= 2, "multi-file source must produce multiple snapshots"
+    assert progresses == sorted(progresses)
+    assert abs(progresses[-1] - 1.0) < 1e-9
+
+    exact = {r["event_type"]: r["cnt"] for r in agg_fn(ev).collect()}
+    got_final = {r["event_type"]: r["cnt"] for r in final.collect()}
+    assert got_final == exact
+    # last written snapshot equals the returned final aggregate
+    last_snap = {r["event_type"]: r["cnt"] for r in runner.snapshot_df(-1).collect()}
+    assert last_snap == exact
+    # early snapshots are partial: counts never exceed the exact answer
+    first_snap = {r["event_type"]: r["cnt"] for r in runner.snapshot_df(0).collect()}
+    assert all(first_snap[k] <= exact[k] for k in first_snap)
+
+
+def test_online_aggregator_rerun_not_poisoned_by_checkpoint(spark, sf_dir):
+    """Fresh checkpoint per run: a second run must produce snapshots again
+    (the id()-reuse bug from round 1 silently produced none)."""
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    src = tempfile.mkdtemp(prefix="qms_test_online_src2_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    def agg_fn(df):
+        return df.agg(F.count("*").alias("n"))
+
+    for _ in range(2):
+        runner = OnlineAggregator(spark, src, spark.read.parquet(src).schema, agg_fn, total_rows=100)
+        final = runner.run()
+        assert final is not None and runner.snapshots, "run produced no snapshots"
