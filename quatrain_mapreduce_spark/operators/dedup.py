@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from quatrain_mapreduce_spark.operators.projection import tokenize
+from quatrain_mapreduce_spark.operators.util import spread
 
 # 31-bit Mersenne prime field: with a,b < 2^31 and base hash masked to 31
 # bits, a*h + b < 2^62 — always inside int64, so the expression never trips
@@ -54,7 +55,7 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     id, and the duplicate count. Single hash shuffle on the fingerprint.
     """
     return (
-        df.select(F.md5(normalized_text(text_col)).alias("fp"), F.col(id_col))
+        spread(df).select(F.md5(normalized_text(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_cnt"))
     )
@@ -102,9 +103,15 @@ def ngram_jaccard_pairs(
     ``length_band=False`` degrades to plain block_col blocking (the verify
     stage inside LSH buckets, where the bucket already bounds block size).
     """
-    sh = df.select(
-        F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh")
-    ).where(F.size("sh") > 0)
+    # filter on the CHEAP equivalent predicate (token count >= n) instead of
+    # size(sh) > 0: Catalyst pushes filters through Repartition, and a pushed
+    # filter over the full shingle expression would evaluate it on the
+    # pre-spread (often single) input partition.
+    sh = (
+        spread(df)
+        .where(F.size(tokenize(text_col)) >= n)
+        .select(F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh"))
+    )
     if length_band:
         band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(math.log(1.0 / threshold)))
         sh = sh.withColumn("band", band)
@@ -133,22 +140,40 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingles: F.Column, num_perm: int = 32, seed: int = 42) -> F.Column:
-    """MinHash signature array over a shingle array.
+def base_hashes(shingles: F.Column) -> F.Column:
+    """xxhash64 per shingle, masked to 31 bits (the minhash base hash).
 
-    Base hash: xxhash64(shingle) masked to 31 bits; permutation family:
-    h_j(x) = (a_j * x + b_j) mod (2^31 - 1) with (a_j, b_j) drawn from a
-    fixed seeded PRNG — fully deterministic, all JVM-side expression code,
-    and overflow-free under ANSI mode (a*x+b < 2^62 < int64 max).
+    Materialize this ONCE (withColumn) before building signatures: Spark
+    higher-order functions run interpreted per element, so inlining the hash
+    transform into every permutation would recompute it num_perm times.
     """
+    return F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MERSENNE_31)))
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
-    params = [(rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31)) for _ in range(num_perm)]
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(MERSENNE_31)))
+    return [(rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31)) for _ in range(num_perm)]
+
+
+def signature_from_hashes(bh: F.Column, num_perm: int = 32, seed: int = 42) -> F.Column:
+    """MinHash signature from a precomputed base-hash array.
+
+    Permutation family: h_j(x) = (a_j * x + b_j) mod (2^31 - 1) with
+    (a_j, b_j) from a fixed seeded PRNG — deterministic, all JVM-side, and
+    overflow-free under ANSI mode (a*x+b < 2^62 < int64 max).
+    """
     sig = [
-        F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))))
-        for a, b in params
+        F.array_min(F.transform(bh, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_31))))
+        for a, b in _perm_params(num_perm, seed)
     ]
     return F.array(*sig)
+
+
+def minhash_signature(shingles: F.Column, num_perm: int = 32, seed: int = 42) -> F.Column:
+    """MinHash signature array over a shingle array (one-shot convenience;
+    pipelines should materialize ``base_hashes`` first — see
+    ``signature_from_hashes``)."""
+    return signature_from_hashes(base_hashes(shingles), num_perm, seed)
 
 
 def minhash_lsh_pairs(
@@ -169,8 +194,22 @@ def minhash_lsh_pairs(
     one explode + one shuffle; verification touches only colliding pairs.
     """
     rows_per_band = num_perm // bands
-    docs = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).where(F.size("sh") > 0)
-    signed = docs.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # cheap pushdown-safe filter; the expensive shingle projection stays
+    # above the spread repartition (see ngram_jaccard_pairs note)
+    docs = (
+        spread(df)
+        .where(F.size(tokenize(text_col)) >= shingle_n)
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    )
+    # shingling is the expensive narrow stage and is consumed three times
+    # (signature branch + both verify-join sides): cache it. MEMORY_AND_DISK
+    # so a 100 TB corpus's shingle sets spill instead of recomputing.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    signed = docs.withColumn("bh", base_hashes(F.col("sh"))).withColumn(
+        "sig", signature_from_hashes(F.col("bh"), num_perm)
+    )
     band_rows = signed.select(
         F.col(id_col),
         F.explode(
@@ -233,7 +272,7 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.transform(tokenize(text_col), lambda t: F.xxhash64(t)).alias("th")
     )
     return toks.select(F.col(id_col), simhash(F.col("th")).alias("simhash"))
