@@ -259,18 +259,24 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @pandas_udf(LongType())
     def simhash(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for pos in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(pos)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+        # fully vectorized across the Arrow batch: flatten all token hashes,
+        # compute the 64-bit sign matrix once, segment-sum per document via
+        # cumulative sums (zero-length docs fall out naturally as sig=0)
+        arrs = [
+            np.asarray(h, dtype=np.int64).astype(np.uint64) if h is not None
+            else np.empty(0, dtype=np.uint64)
+            for h in hashes
+        ]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hashes), dtype=np.int64))
+        flat = np.concatenate(arrs)
+        signs = (2 * ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)) - 1
+        cum = np.vstack([np.zeros((1, 64), dtype=np.int64), np.cumsum(signs, axis=0)])
+        ends = np.cumsum(lens)
+        votes = cum[ends] - cum[ends - lens]
+        sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        return pd.Series(sig.astype(np.int64))
 
     toks = spread(df).select(
         F.col(id_col), F.transform(tokenize(text_col), lambda t: F.xxhash64(t)).alias("th")

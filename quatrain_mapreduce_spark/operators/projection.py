@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from quatrain_mapreduce_spark.operators.util import spread
+
 
 def inverse_map(df: DataFrame, key: str, value: str) -> DataFrame:
     """(k, v) -> (v, k). InverseMapper.java:29."""
@@ -36,7 +38,7 @@ def token_count(df: DataFrame, text_col: str, sep: str = " ") -> DataFrame:
     partial/final HashAggregate) replaces the reference's combiner protocol.
     """
     return (
-        df.select(F.explode(tokenize(text_col, sep)).alias("word"))
+        spread(df).select(F.explode(tokenize(text_col, sep)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

@@ -1,0 +1,165 @@
+"""Source/sink round-trip queries — SURVEY.md §2.1 components as checkable
+CORRECTNESS rows (previously implemented but never exercised by the gate).
+
+Round trips stage derivative files under /tmp (idempotent per sf_dir);
+oracles run against the original parquet tables, so a lossy or reordered
+round trip fails the value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.joins import tagged_join
+from quatrain_mapreduce_spark.registry import register
+from quatrain_mapreduce_spark.sources.readers import (
+    filtered_scan, multiple_inputs, read_kv_text, read_sequence_file,
+)
+from quatrain_mapreduce_spark.sources.sinks import write_kv_text
+
+
+def _stage_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:{tag}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"qms_{tag}_{key}")
+
+
+@register(
+    "kv_text_roundtrip",
+    oracle="SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value FROM nation",
+    doc="TextOutputFormat (K\\tV) write → KeyValueTextInputFormat read "
+        "(mapred/TextOutputFormat.java, KeyValueTextInputFormat.java): "
+        "round trip must reproduce the source relation exactly.",
+    tags=("sources",),
+)
+def kv_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "kvtext")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        n = load_table(spark, sf_dir, "nation")
+        write_kv_text(n, "n_nationkey", "n_name", d)
+    return read_kv_text(spark, d)
+
+
+@register(
+    "seqfile_roundtrip",
+    oracle="SELECT CAST(n_nationkey AS VARCHAR) AS key, n_name AS value FROM nation",
+    doc="SequenceFileOutputFormat write → SequenceFileInputFormat read via "
+        "the RDD bridge (IO/SequenceFile.java; ingest path for legacy data).",
+    tags=("sources",),
+)
+def seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "seqfile")
+    if not os.path.exists(d):
+        n = load_table(spark, sf_dir, "nation")
+        n.select("n_nationkey", "n_name").rdd.map(lambda r: (str(r[0]), r[1])) \
+            .saveAsSequenceFile(d)
+    return read_sequence_file(spark, d)
+
+
+@register(
+    "seqfilter_scan",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE regexp_matches(n_name, '_1?[0-9]$') AND n_nationkey % 2 = 0
+    """,
+    doc="SequenceFileInputFilter regex + percent filters "
+        "(mapred/SequenceFileInputFilter.java:103,146): scan-time record "
+        "filtering pushed into the read (MD5Filter variant is hash-family "
+        "specific — covered rows-only in tests).",
+    tags=("sources", "filter"),
+)
+def seqfilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = filtered_scan(n, "n_name", regex="_1?[0-9]$")
+    return filtered_scan(out, "n_nationkey", frequency=2)
+
+
+@register(
+    "multiple_inputs_union",
+    oracle="""
+        SELECT key, name, src FROM (
+            SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+            UNION ALL
+            SELECT s_suppkey AS key, NULL AS name, 'supplier' AS src FROM supplier)
+    """,
+    doc="MultipleInputs / DelegatingMapper (mapred/lib/MultipleInputs.java:34): "
+        "per-source projections normalized then unioned, missing columns "
+        "null-padded.",
+    tags=("sources", "setop"),
+)
+def multiple_inputs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    return multiple_inputs([c, s])
+
+
+@register(
+    "tagged_join_shape",
+    oracle="""
+        SELECT n.n_nationkey AS key,
+               c.cnt AS cust_cnt, s.cnt AS supp_cnt
+        FROM nation n
+        JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1) c
+          ON n.n_nationkey = c.c_nationkey
+        JOIN (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt FROM supplier GROUP BY 1) s
+          ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="contrib/data_join tagged n-way join (DataJoinReducerBase.java:47): "
+        "source-tagged columns, equi-join on the shared key.",
+    tags=("join", "sources"),
+)
+def tagged_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("key"))
+    cust = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("key")).agg(F.count("*").alias("cnt"))
+    supp = load_table(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("key")).agg(F.count("*").alias("cnt"))
+    out = tagged_join({"n": nation, "c": cust, "s": supp}, "key")
+    return out.select("key", F.col("c_cnt").alias("cust_cnt"), F.col("s_cnt").alias("supp_cnt"))
+
+
+@register(
+    "bucketed_join",
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="MapFileOutputFormat / Hive CLUSTERED BY ... INTO N BUCKETS "
+        "(IO/MapFile.java:49, Hive.g:221): both sides written bucketed on "
+        "the join key, joined shuffle-free (no Exchange on either side — "
+        "asserted in tests/test_sources.py).",
+    tags=("join", "sources", "bucketing"),
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    ot, ct = f"qms_orders_b_{key}", f"qms_customer_b_{key}"
+    if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(ct):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (ot, ct):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        load_table(spark, sf_dir, "orders").write.format("parquet") \
+            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        load_table(spark, sf_dir, "customer").write.format("parquet") \
+            .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    orders_b, customer_b = spark.table(ot), spark.table(ct)
+    return (
+        orders_b.join(customer_b, orders_b.o_custkey == customer_b.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
     """Import all plan modules (side-effect: registration) and return REGISTRY."""
     from quatrain_mapreduce_spark.plans import (  # noqa: F401
         relational, mrlib, data_pipeline, streaming_queries, hive_sql, udf_surface,
+        sources_queries,
     )
 
     return dict(REGISTRY)

@@ -69,3 +69,33 @@ def test_multi_sink_shared_scan(spark, tmp_path):
     ])
     assert spark.read.parquet(p1).count() == 5
     assert spark.read.parquet(p2).count() == 5
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketed tables joined on the bucket key must plan WITHOUT a shuffle
+    on either side (MapFileOutputFormat / CLUSTERED BY parity — the whole
+    point of bucketing at 100 TB)."""
+    from quatrain_mapreduce_spark.plans.sources_queries import bucketed_join
+
+    out = bucketed_join(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # no Exchange between the scans and the join (bucket-aligned reads)
+    scan_section = plan[plan.index("Join"):]
+    assert "Exchange hashpartitioning" not in scan_section
+
+
+def test_clock_stream_ticks(spark):
+    """ClockInputFormat / RealTimeRecordReader parity: the rate source emits
+    (sequence, now) ticks."""
+    from quatrain_mapreduce_spark.streaming.hop import clock_stream
+
+    ticks = clock_stream(spark, rows_per_second=100)
+    assert ticks.isStreaming and set(ticks.columns) == {"sequence", "now"}
+    q = (ticks.writeStream.format("memory").queryName("qms_test_clock")
+         .outputMode("append").start())
+    import time
+    time.sleep(3)
+    q.stop()
+    n = spark.table("qms_test_clock").count()
+    assert n > 0
