@@ -148,3 +148,30 @@ def online_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = spark.read.parquet(src).count()
     runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
     return runner.run()
+
+
+@register(
+    "online_agg_topk",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+        ORDER BY cnt DESC, user_id
+        LIMIT 10
+    """,
+    doc="TopK with snapshots (EX/TopK.java:259-262 — the reference's "
+        "snapshot acceptance workload): every micro-batch emits the "
+        "top-k-so-far as a snapshot file; the final snapshot equals the "
+        "exact batch top-k (same oracle as topk_users).",
+    tags=("streaming", "online-agg", "example"),
+)
+def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stage_multifile_events(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(src).schema
+
+    def agg_fn(df: DataFrame) -> DataFrame:
+        counts = df.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        return counts.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+
+    total = spark.read.parquet(src).count()
+    runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
+    return runner.run()
