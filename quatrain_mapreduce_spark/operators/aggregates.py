@@ -84,3 +84,21 @@ def top_k_per_group(df: DataFrame, partition_by: list[str], order_by: list[Colum
     """Per-group top-k via ranking window (rank column ``rk`` retained)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def salted_sum(df: DataFrame, key: str, value: str, salt_buckets: int = 16) -> DataFrame:
+    """Skew-safe two-stage aggregation (Hive genGroupByPlan2MR —
+    SemanticAnalyzer.java:1335: stage 1 partitions by rand(), stage 2 by key).
+
+    Stage 1 groups on (key, salt) so one hot key spreads over
+    ``salt_buckets`` reducers; stage 2 merges partials per key. Result is
+    identical to a plain groupBy — this exists for decomposable aggregates
+    on hot-key distributions where AQE's post-hoc skew split isn't enough.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(value).alias("_psum"), F.count("*").alias("_pcnt")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias("sum_value"), F.sum("_pcnt").alias("cnt")
+    )

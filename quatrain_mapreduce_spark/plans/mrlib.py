@@ -260,3 +260,22 @@ def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
         .groupBy("k").agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+        SELECT event_type, round(sum(value), 2) AS sum_value, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe 2-stage aggregation (genGroupByPlan2MR — "
+        "SemanticAnalyzer.java:1335): stage 1 groups on (key, salt) so a hot "
+        "key spreads across reducers, stage 2 merges partials. Result equals "
+        "the plain groupBy (the oracle).",
+    tags=("mrlib", "aggregate", "skew"),
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.aggregates import salted_sum
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum(ev, "event_type", "value", salt_buckets=16)
+    return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "cnt")

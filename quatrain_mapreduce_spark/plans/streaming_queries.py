@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.registry import register
 from quatrain_mapreduce_spark.streaming.hop import (
-    OnlineAggregator, read_events_stream, run_available_now, tumbling_window_agg,
+    OnlineAggregator, read_events_stream, run_available_now, sessionize,
+    tumbling_window_agg,
 )
 
 _stream_counter = itertools.count()
@@ -175,3 +176,35 @@ def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = spark.read.parquet(src).count()
     runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
     return runner.run()
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, epoch(ts) AS ep,
+                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ep,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM o
+        )
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(min(ep), 3) AS session_start_epoch,
+               round(max(ep) - min(ep), 3) AS session_secs
+        FROM s GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min gap): lag → boundary flag → "
+        "running-sum session ids, one shuffle on user. The modern shape of "
+        "HOP's ad-hoc reducer state (EX/CQ.java:365-398); the streaming twin "
+        "is session_window (hop.sessionize_stream, tests/test_streaming.py).",
+    tags=("streaming", "window", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30)

@@ -114,6 +114,49 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     return stream_df.sparkSession.table(query_name)
 
 
+def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch form): per user, a new session starts
+    when the gap since the previous event exceeds ``gap_minutes``.
+
+    Declarative two-window form (lag → boundary flag → running sum), fully
+    shuffle-partitioned by user — the batch twin of the stateful streaming
+    form (``sessionize_stream``). Superset of the reference: HOP's CQ keeps
+    ad-hoc reducer state (EX/CQ.java:365-398); session windows are the
+    modern shape of that pattern.
+
+    Emits one row per session: (user, session_id, n_events,
+    session_start_epoch, session_secs).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # full-precision epoch seconds (timestamp→double keeps fractional part —
+    # matches DuckDB's epoch()); unix_timestamp would truncate to seconds
+    ep = F.col(ts_col).cast("double")
+    gap = ep - F.lag(ep).over(w)
+    flagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+    )
+    sessions = flagged.withColumn("session_id", F.sum("_new").over(w))
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min(ep), 3).alias("session_start_epoch"),
+        F.round(F.max(ep) - F.min(ep), 3).alias("session_secs"),
+    )
+
+
+def sessionize_stream(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via session_window — Spark's native
+    gap-window (state-store backed; the applyInPandasWithState escape hatch
+    is only needed for logic session_window can't express).
+
+    Works on both batch and streaming frames (same expression — the point).
+    """
+    return events.groupBy(
+        F.col(user_col), F.session_window(ts_col, f"{gap_minutes} minutes").alias("sw")
+    ).agg(F.count("*").alias("n_events"))
+
+
 class OnlineAggregator:
     """Online aggregation with snapshots over a bounded input.
 

@@ -77,3 +77,35 @@ def test_online_aggregator_rerun_not_poisoned_by_checkpoint(spark, sf_dir):
         runner = OnlineAggregator(spark, src, spark.read.parquet(src).schema, agg_fn, total_rows=100)
         final = runner.run()
         assert final is not None and runner.snapshots, "run produced no snapshots"
+
+
+def test_sessionize_stream_batch_parity(spark, sf_dir):
+    """session_window over the same events as a stream and as a batch frame
+    agree (native gap-window sessionization — the stateful streaming twin of
+    the batch lag/cumsum form)."""
+    from quatrain_mapreduce_spark.streaming.hop import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"]): r["n_events"]
+        for r in sessionize_stream(ev, "user_id", "ts", gap_minutes=30).collect()
+    }
+    stream = read_events_stream(spark, sf_dir)
+    agg = sessionize_stream(stream.withWatermark("ts", "10 minutes"), "user_id", "ts", gap_minutes=30)
+    streamed = {
+        (r["user_id"], r["sw"]["start"], r["sw"]["end"]): r["n_events"]
+        for r in run_available_now(agg, "qms_test_sessions").collect()
+    }
+    assert streamed == batch
+
+
+def test_sessionize_batch_matches_window_form(spark, sf_dir):
+    """The lag/cumsum sessionization and session_window produce the same
+    session count per user (independent formulations of the same gap rule)."""
+    from quatrain_mapreduce_spark.streaming.hop import sessionize, sessionize_stream
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sessionize(ev, "user_id", "ts", 30).groupBy("user_id").agg(F.count("*").alias("n"))
+    b = sessionize_stream(ev, "user_id", "ts", 30).groupBy("user_id").agg(F.count("*").alias("n"))
+    assert {(r["user_id"], r["n"]) for r in a.collect()} == {(r["user_id"], r["n"]) for r in b.collect()}
