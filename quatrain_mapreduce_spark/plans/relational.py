@@ -442,3 +442,67 @@ def multi_insert_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
     ).select(F.lit("low").alias("dest"), "cnt", "sum_price")
     return high.unionByName(low)
+
+
+@register(
+    "complex_types",
+    oracle="""
+        SELECT p_partkey,
+               CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+               string_split(p_name, ' ')[1] AS first_word,
+               CAST(cardinality(map_from_entries([{k: p_brand, v: p_retailprice}])) AS INTEGER) AS m_size,
+               struct_pack(brand := p_brand, price := p_retailprice).brand AS s_brand
+        FROM part
+    """,
+    doc="Complex type surface: ARRAY (ArrayWritable / Hive ARRAY<prim>), MAP "
+        "(MapWritable / MAP<prim,prim>), STRUCT field access (thrift Complex "
+        "fixture, ExprNodeFieldEvaluator.java) — size(), index, field ops "
+        "all JVM-side (SURVEY §1.2 type-system parity).",
+    tags=("functions", "types"),
+)
+def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    arr = F.split("p_name", " ")
+    m = F.create_map(F.col("p_brand"), F.col("p_retailprice"))
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_retailprice").alias("price"))
+    return p.select(
+        "p_partkey",
+        F.size(arr).alias("n_words"),
+        arr.getItem(0).alias("first_word"),
+        F.size(m).alias("m_size"),
+        s.getField("brand").alias("s_brand"),
+    )
+
+
+@register(
+    "sort_validate",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS violations
+        FROM lineitem
+    """,
+    doc="TeraValidate / SortValidator parity (EX/terasort/TeraValidate.java, "
+        "src/test/.../SortValidator.java): globally sort, then verify both "
+        "completeness (row count) and order (adjacent-row violations == 0 "
+        "via a lag window over the sorted output).",
+    tags=("sort", "validate"),
+)
+def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    ordered = li.orderBy("l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    prev_key = F.lag(F.col("l_orderkey")).over(w)
+    prev_line = F.lag(F.col("l_linenumber")).over(w)
+    flagged = ordered.withColumn(
+        "_bad",
+        F.when(
+            prev_key.isNotNull()
+            & ((F.col("l_orderkey") < prev_key)
+               | ((F.col("l_orderkey") == prev_key) & (F.col("l_linenumber") < prev_line))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_rows"), F.sum("_bad").cast("bigint").alias("violations")
+    )

@@ -163,3 +163,33 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
+
+
+@register(
+    "dbcount_jdbc_roundtrip",
+    oracle="""
+        SELECT event_type AS url, CAST(count(*) AS BIGINT) AS pageview
+        FROM events GROUP BY 1
+    """,
+    doc="DBCountPageView end-to-end (EX/DBCountPageView.java:72 + "
+        "DBOutputFormat/DBInputFormat — mapred/lib/db/): pageview counts "
+        "written to an embedded Derby database over JDBC, read back over "
+        "JDBC, matching the pure-relational oracle. Real driver, real SQL "
+        "round trip (Derby ships with Spark).",
+    tags=("sources", "jdbc", "example"),
+)
+def dbcount_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.sources.readers import read_jdbc
+    from quatrain_mapreduce_spark.sources.sinks import write_jdbc
+
+    db = _stage_dir(sf_dir, "derby")
+    url = f"jdbc:derby:{db};create=true"
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("url"))
+        .agg(F.count("*").alias("pageview"))
+    )
+    write_jdbc(counts, url, "pageview_counts", mode="overwrite",
+               driver="org.apache.derby.jdbc.EmbeddedDriver")
+    return read_jdbc(spark, url, "pageview_counts",
+                     driver="org.apache.derby.jdbc.EmbeddedDriver")

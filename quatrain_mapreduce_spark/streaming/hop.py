@@ -114,6 +114,24 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     return stream_df.sparkSession.table(query_name)
 
 
+def monitor_job(spark: SparkSession, rows_per_second: int = 10, window: str = "2 seconds"):
+    """Monitor framework demo (MR/monitor/MonitorClient.java:33,
+    SystemMeasurement + ClockInputFormat): a continuous job over the clock
+    source computing per-window measurement aggregates — returns the
+    (unstarted) windowed DataFrame; callers attach their sink and trigger.
+
+    The reference polls /proc per tick; here the 'measurement' is the tick
+    itself (sequence number), keeping the demo hermetic. Swap the select for
+    a real probe UDF on a live cluster.
+    """
+    ticks = clock_stream(spark, rows_per_second)
+    return ticks.groupBy(F.window("now", window).alias("win")).agg(
+        F.count("*").alias("n_ticks"),
+        F.min("sequence").alias("first_seq"),
+        F.max("sequence").alias("last_seq"),
+    )
+
+
 def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): per user, a new session starts
     when the gap since the previous event exceeds ``gap_minutes``.

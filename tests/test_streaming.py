@@ -109,3 +109,19 @@ def test_sessionize_batch_matches_window_form(spark, sf_dir):
     a = sessionize(ev, "user_id", "ts", 30).groupBy("user_id").agg(F.count("*").alias("n"))
     b = sessionize_stream(ev, "user_id", "ts", 30).groupBy("user_id").agg(F.count("*").alias("n"))
     assert {(r["user_id"], r["n"]) for r in a.collect()} == {(r["user_id"], r["n"]) for r in b.collect()}
+
+
+def test_monitor_job_windows_ticks(spark):
+    """Monitor framework (ClockInputFormat + MonitorClient parity): the
+    continuous clock job emits windowed tick counts."""
+    from quatrain_mapreduce_spark.streaming.hop import monitor_job
+
+    agg = monitor_job(spark, rows_per_second=50, window="1 second")
+    q = (agg.writeStream.format("memory").queryName("qms_test_monitor")
+         .outputMode("complete").start())
+    import time
+    time.sleep(4)
+    q.stop()
+    rows = spark.table("qms_test_monitor").collect()
+    assert rows, "no monitor windows produced"
+    assert all(r["last_seq"] >= r["first_seq"] for r in rows)
