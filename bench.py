@@ -33,8 +33,12 @@ BENCH_QUERIES = [
     "groupby2_shape",      # SQL mix: groupby2.q shape
     "union_all",           # SQL mix: union.q shape
     "cq_tumbling_window",  # CQ window on events
+    "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_bruteforce",
+    "similarity_lsh",
     "text_quality",
 ]
 

@@ -279,3 +279,46 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = salted_sum(ev, "event_type", "value", salt_buckets=16)
     return out.select("event_type", F.round("sum_value", 2).alias("sum_value"), "cnt")
+
+
+@register(
+    "pi_estimator",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS inside,
+               round(4.0 * sum(CASE WHEN x * x + y * y <= 1.0 THEN 1 ELSE 0 END) / count(*), 6) AS pi_est
+        FROM (
+            SELECT ((xor(s1, s1 // 8192) * 32769 + 1) % 2147483648) / 2147483648.0 AS x,
+                   ((xor(s2, s2 // 8192) * 32769 + 1) % 2147483648) / 2147483648.0 AS y
+            FROM (SELECT (i * 1103515245 + 12345) % 2147483648 AS s1,
+                         (i * 69069 + 362437) % 2147483648 AS s2
+                  FROM generate_series(0, 99999) t(i))
+        )
+    """,
+    doc="PiEstimator (EX/PiEstimator.java:52): Monte-Carlo quarter-circle "
+        "hit counting. Deterministic LCG streams replace rand() so the "
+        "sample sequence is engine-portable (integer arithmetic only) and "
+        "the oracle replicates it exactly; map-side combine sums partials.",
+    tags=("mrlib", "example"),
+)
+def pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 100_000
+    # two 31-bit LCG streams + xorshift mixing (a bare linear sequence puts
+    # points on a coarse lattice and biases the estimate by ~0.06); every
+    # intermediate stays under 2^62, ANSI-safe. Mirrors the oracle exactly.
+    seeds = spark.range(0, n).select(
+        F.pmod(F.col("id") * 1103515245 + 12345, F.lit(2147483648)).alias("s1"),
+        F.pmod(F.col("id") * 69069 + 362437, F.lit(2147483648)).alias("s2"),
+    )
+    def mix(s):
+        return F.pmod(s.bitwiseXOR(F.floor(s / 8192).cast("long")) * 32769 + 1, F.lit(2147483648))
+    pts = seeds.select(
+        (mix(F.col("s1")) / 2147483648.0).alias("x"),
+        (mix(F.col("s2")) / 2147483648.0).alias("y"),
+    )
+    hit = F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") <= 1.0, 1).otherwise(0)
+    return pts.agg(
+        F.count("*").alias("n"),
+        F.sum(hit).alias("inside"),
+        F.round(4.0 * F.sum(hit) / F.count("*"), 6).alias("pi_est"),
+    )
