@@ -55,8 +55,12 @@ def main() -> None:
     spark = get_spark(app_name="qms-bench")
     qs = all_queries()
 
-    # warm-up: JIT/codegen + catalog caches on a trivial action
-    spark.range(1000).count()
+    # warm-up: JIT/codegen, parquet reader, shuffle and agg paths — so the
+    # first measured query doesn't absorb one-time initialization
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.select(_F.explode(_F.split("n_name", "_")).alias("t")).groupBy("t").count().count()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

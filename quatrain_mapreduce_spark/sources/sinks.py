@@ -71,6 +71,20 @@ def multi_sink(df: DataFrame, sinks: list[Callable[[DataFrame], None]]) -> None:
         df.unpersist()
 
 
+def load_data(spark, path: str, table: str) -> None:
+    """LOAD DATA INPATH parity (ql/parse/LoadSemanticAnalyzer.java): adopt
+    existing data files into a catalog table.
+
+    The reference moves files into the table directory and updates the
+    metastore; here files are appended through the table's format writer and
+    the catalog entry refreshed — same observable contract (rows become part
+    of the table), transactional rather than a raw rename.
+    """
+    df = spark.read.parquet(path)
+    df.write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     """Batched INSERT sink (DBOutputFormat)."""
     df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table) \

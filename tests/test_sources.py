@@ -99,3 +99,24 @@ def test_clock_stream_ticks(spark):
     q.stop()
     n = spark.table("qms_test_clock").count()
     assert n > 0
+
+
+def test_load_data_adopts_files(spark, tmp_path):
+    """LOAD DATA INPATH parity: external files become part of a catalog
+    table; the table sees the union after adoption."""
+    from quatrain_mapreduce_spark.sources.sinks import load_data
+
+    spark.sql("DROP TABLE IF EXISTS qms_test_load")
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/qms_test_load", ignore_errors=True)
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    base.write.saveAsTable("qms_test_load")
+    extra_path = str(tmp_path / "incoming")
+    spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string").write.parquet(extra_path)
+
+    load_data(spark, extra_path, "qms_test_load")
+    got = {r["k"]: r["v"] for r in spark.table("qms_test_load").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
