@@ -71,12 +71,19 @@ def extract_features(media: DataFrame) -> DataFrame:
     media libs installed.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained: no references to module-level names, so cloudpickle
+        # ships the function BY VALUE and workers need not import this
+        # package (driver may run from any cwd / without the repo on the
+        # executors' PYTHONPATH)
+        def fake_feature(payload: bytes) -> float:
+            return float(sum(payload)) / len(payload) if payload else 0.0
+
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["n_bytes"],
-                "feature_mean": [_fake_feature(p) for p in pdf["payload"]],
+                "feature_mean": [fake_feature(p) for p in pdf["payload"]],
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
