@@ -21,6 +21,9 @@ from quatrain_mapreduce_spark.streaming.hop import (
     OnlineAggregator, read_events_stream, run_available_now, sessionize,
     tumbling_window_agg,
 )
+from quatrain_mapreduce_spark.streaming.stateful import (
+    moving_avg_batch, moving_avg_stream,
+)
 
 _stream_counter = itertools.count()
 
@@ -176,6 +179,84 @@ def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = spark.read.parquet(src).count()
     runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
     return runner.run()
+
+
+def stage_ordered_event_slices(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Stage events as n single-file range slices of event_id with strictly
+    increasing mtimes, so a maxFilesPerTrigger=1 file stream replays them in
+    event_id order (FileStreamSource processes files oldest-first; the
+    lexicographic part-file names agree with the ranges as a tie-break).
+    Deterministic arrival order is what makes the stateful moving average
+    oracle-checkable. Idempotent per (sf_dir, n_files)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:ma:{n_files}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"qms_ordered_src_{key}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        ev.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(d)
+        base = time.time() - 3600
+        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*.parquet")))):
+            os.utime(f, (base + i * 10, base + i * 10))
+        open(marker, "w").close()
+    return d
+
+
+_MOVING_AVG_ORACLE = """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 4) AS avg_last_k
+    FROM events
+"""
+
+
+@register(
+    "cq_moving_avg",
+    oracle=_MOVING_AVG_ORACLE,
+    doc="CQ count-based reducer state, batch form (EX/CQ.java:365-398 keeps "
+        "a per-host reading list and averages the last readings each firing): "
+        "moving average over the last 5 readings per user in arrival "
+        "(event_id) order — window ROWS BETWEEN 4 PRECEDING AND CURRENT ROW.",
+    tags=("streaming", "window", "stateful"),
+)
+def cq_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return moving_avg_batch(ev, "user_id", "event_id", "value", k=5)
+
+
+@register(
+    "cq_moving_avg_stream",
+    oracle=_MOVING_AVG_ORACLE,
+    doc="The same last-5-readings moving average as a REAL arbitrary-stateful "
+        "streaming query (applyInPandasWithState): per-key bounded buffer in "
+        "the state store, carried across micro-batches (events replayed as 3 "
+        "ordered file slices). Count-based windows are inexpressible with "
+        "window()/session_window() — this is the applyInPandasWithState "
+        "escape hatch the reference's CQ reducer state maps to, and it is "
+        "held to the same SQL oracle as the batch twin.",
+    tags=("streaming", "stateful", "no-sql-plan"),
+)
+def cq_moving_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stage_ordered_event_slices(spark, sf_dir, n_files=3)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ma = moving_avg_stream(stream, "user_id", "event_id", "value", k=5)
+    name = f"qms_moving_avg_{next(_stream_counter)}"
+    q = (
+        ma.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(

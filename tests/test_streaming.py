@@ -125,3 +125,50 @@ def test_monitor_job_windows_ticks(spark):
     rows = spark.table("qms_test_monitor").collect()
     assert rows, "no monitor windows produced"
     assert all(r["last_seq"] >= r["first_seq"] for r in rows)
+
+
+def test_moving_avg_state_carries_across_batches(spark, sf_dir):
+    """applyInPandasWithState: the per-key last-k buffer must survive batch
+    boundaries. Replay events as 3 ordered slices (one per micro-batch); the
+    streamed result must equal the batch window twin row-for-row — any state
+    loss at a boundary would reset the average for every key mid-stream."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from quatrain_mapreduce_spark.streaming.stateful import (
+        moving_avg_batch, moving_avg_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = tempfile.mkdtemp(prefix="qms_test_ma_src_")
+    ev.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(src)
+    base = time.time() - 3600
+    files = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    assert len(files) == 3
+    for i, f in enumerate(files):
+        os.utime(f, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ma = moving_avg_stream(stream, "user_id", "event_id", "value", k=5)
+    q = (
+        ma.writeStream.format("memory").queryName("qms_test_ma")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "slices must arrive in separate micro-batches"
+
+    streamed = {
+        (r["user_id"], r["event_id"]): r["avg_last_k"]
+        for r in spark.table("qms_test_ma").collect()
+    }
+    batch = {
+        (r["user_id"], r["event_id"]): r["avg_last_k"]
+        for r in moving_avg_batch(ev, "user_id", "event_id", "value", k=5).collect()
+    }
+    assert streamed == batch
