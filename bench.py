@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_bruteforce",
     "similarity_lsh",
+    "similarity_ivf",
     "text_quality",
 ]
 

@@ -167,6 +167,118 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_lists: int = 16,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a deterministic IVF (inverted-file) coarse quantizer.
+
+    Seeds = the ``n_lists`` corpus vectors with the smallest
+    ``xxhash64(seed, id)`` (a deterministic uniform sample — no data order
+    dependence), refined by ``lloyd_iters`` spherical-kmeans iterations:
+    assign every vector to its max-cosine centroid (broadcast-join + map-side
+    argmax — the N×C expansion collapses to one row per vector *before* the
+    shuffle), then recompute each list's elementwise mean with ``dim`` avg
+    aggregates (no explode — one shuffle of C×dim partial aggs).
+
+    Returns (centroids, assigned): centroids(list_id, c_vec) — index
+    metadata, C×dim doubles, materialized driver-side like any ANN coarse
+    quantizer (FAISS ships these in the index header); assigned(id, vec,
+    list_id) — the corpus with its inverted-list assignment, ready to be
+    written ``partitionBy("list_id")`` so probes prune to nprobe/C of the
+    data at scan time.
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+
+    seeds = (
+        c.withColumn("h", F.xxhash64(F.lit(f"ivf:{seed}"), F.col(id_col)))
+        .orderBy("h", id_col).limit(n_lists).select("vec").collect()
+    )
+    centroids = [r["vec"] for r in seeds]
+
+    def centroid_df(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)], "list_id int, c_vec array<double>"
+        )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        sim = cosine(F.col("vec"), F.col("c_vec"))
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .groupBy(id_col)
+            .agg(
+                F.first("vec").alias("vec"),
+                F.max_by("list_id", F.struct(sim.alias("s"), (-F.col("list_id")).alias("t"))).alias("list_id"),
+            )
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = assign(centroid_df(centroids))
+        means = (
+            assigned.groupBy("list_id")
+            .agg(F.array(*[F.avg(F.col("vec")[i]) for i in range(dim)]).alias("m"))
+            .collect()
+        )
+        new_c = list(centroids)  # empty lists keep their previous centroid
+        for r in means:
+            new_c[r["list_id"]] = r["m"]
+        centroids = new_c
+
+    cent_df = centroid_df(centroids)
+    return cent_df, assign(cent_df).select(id_col, "vec", "list_id")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: rank the C centroids per query,
+    search only the ``nprobe`` nearest inverted lists.
+
+    The scale path alongside LSH (`lsh_topk`): candidate cost is
+    nprobe/n_lists of the corpus per query instead of bucket-collision
+    driven, and the corpus join key (list_id) is a pre-computable partition
+    column — at 100 TB the index is written once ``partitionBy("list_id")``
+    and every probe is a partition-pruned scan. ``nprobe == n_lists``
+    degrades to exact brute force (asserted in tests).
+    """
+    cent_df, assigned = ivf_build(
+        corpus, id_col, vec_col, dim, n_lists=n_lists, lloyd_iters=lloyd_iters, seed=seed
+    )
+    cidx = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("c_vec"), "list_id"
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select("q_id", "q_vec", "list_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("csim"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = probes.withColumn("crk", F.row_number().over(wp)).where(F.col("crk") <= nprobe) \
+                   .select("q_id", "q_vec", "list_id")
+    scored = (
+        cidx.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

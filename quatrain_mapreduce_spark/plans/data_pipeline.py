@@ -18,7 +18,7 @@ from quatrain_mapreduce_spark.operators.dedup import (
 )
 from quatrain_mapreduce_spark.operators.multimodal import attach_media, extract_features
 from quatrain_mapreduce_spark.operators.similarity import (
-    brute_force_topk, embedding_dim, embedding_neardup_pairs, lsh_topk,
+    brute_force_topk, embedding_dim, embedding_neardup_pairs, ivf_topk, lsh_topk,
 )
 from quatrain_mapreduce_spark.operators.text import (
     BPE_TOKEN_RE, STOPWORDS, fingerprint, lang_id, quality_score, text_stats,
@@ -156,6 +156,27 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding",
         dim=embedding_dim(f"{sf_dir}/embeddings.parquet"),
         k=10, n_planes=10, n_tables=4, multiprobe=True,
+    )
+    return out.select("q_id", "neighbor_id", "cos", "rk")
+
+
+@register(
+    "similarity_ivf",
+    oracle=None,  # approximate by construction — nprobe=n_lists exactness + recall vs brute force asserted in tests/test_similarity.py
+    doc="ANN via IVF (deterministic spherical-kmeans coarse quantizer): "
+        "probe the nprobe nearest of n_lists inverted lists per query. The "
+        "second 100 TB scale path next to LSH — list_id is a partition "
+        "column, so probes become partition-pruned scans of nprobe/n_lists "
+        "of the corpus.",
+    tags=("similarity", "no-oracle"),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = ivf_topk(
+        queries, emb, "vec_id", "embedding",
+        dim=embedding_dim(f"{sf_dir}/embeddings.parquet"),
+        k=10, n_lists=16, nprobe=6, lloyd_iters=1,
     )
     return out.select("q_id", "neighbor_id", "cos", "rk")
 

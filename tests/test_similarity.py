@@ -106,3 +106,56 @@ def test_neardup_skew_cap_drops_degenerate_buckets(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     got = embedding_neardup_pairs(df, "vec_id", "embedding", dim=DIM, max_bucket=1).collect()
     assert got == []
+
+
+def test_ivf_exact_when_probing_all_lists(spark, clustered):
+    """nprobe == n_lists searches every inverted list — the result must be
+    IDENTICAL to brute force (IVF only prunes, never rescores)."""
+    from quatrain_mapreduce_spark.operators.similarity import ivf_topk
+
+    qs = clustered.where(F.col("vec_id") < 12)
+    exact = {
+        (r["q_id"], r["rk"]): (r["neighbor_id"], r["cos"])
+        for r in brute_force_topk(qs, clustered, "vec_id", "embedding", k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["rk"]): (r["neighbor_id"], r["cos"])
+        for r in ivf_topk(qs, clustered, "vec_id", "embedding", dim=DIM,
+                          k=5, n_lists=8, nprobe=8, lloyd_iters=1).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_recall_vs_brute_force(spark, clustered):
+    """Probing 4 of 16 lists must still recover >=0.9 of the true near
+    neighbors on clustered data (near-duplicates land in the same list)."""
+    from quatrain_mapreduce_spark.operators.similarity import ivf_topk
+
+    qs = clustered.where(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, clustered, "vec_id", "embedding", k=5).collect()
+        if r["cos"] >= 0.9
+    }
+    assert len(truth) >= 50
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_topk(qs, clustered, "vec_id", "embedding", dim=DIM,
+                          k=5, n_lists=16, nprobe=4, lloyd_iters=1).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_ivf_build_deterministic_and_covering(spark, clustered):
+    """Same seed => identical assignment; every vector lands in exactly one
+    list; list ids are within range."""
+    from quatrain_mapreduce_spark.operators.similarity import ivf_build
+
+    _, a1 = ivf_build(clustered, "vec_id", "embedding", dim=DIM, n_lists=8)
+    _, a2 = ivf_build(clustered, "vec_id", "embedding", dim=DIM, n_lists=8)
+    m1 = {r["vec_id"]: r["list_id"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["list_id"] for r in a2.collect()}
+    assert m1 == m2
+    assert len(m1) == clustered.count()
+    assert set(m1.values()) <= set(range(8))
