@@ -160,3 +160,82 @@ def sql_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
+
+
+@register(
+    "sql_subq",
+    oracle="""
+        SELECT unioninput.l_returnflag AS flag,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(unioninput.l_extendedprice), 2) AS sum_price
+        FROM (SELECT l_returnflag, l_extendedprice
+              FROM lineitem WHERE l_quantity < 10) unioninput
+        GROUP BY unioninput.l_returnflag
+    """,
+    doc="subq.q parity (ql/src/test/queries/clientpositive/subq.q): a "
+        "filtered FROM-subquery with an alias referenced by the outer "
+        "query — the only subquery form the reference grammar admits "
+        "(no WHERE-subqueries, ql/parse/Hive.g).",
+    tags=("sql", "hive"),
+)
+def sql_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT unioninput.l_returnflag AS flag,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(unioninput.l_extendedprice), 2) AS sum_price
+        FROM (SELECT l_returnflag, l_extendedprice
+              FROM lineitem WHERE l_quantity < 10) unioninput
+        GROUP BY unioninput.l_returnflag
+    """)
+
+
+@register(
+    "sql_case_sensitivity",
+    oracle="""
+        SELECT n_name AS nm, n_regionkey AS rk
+        FROM nation WHERE n_nationkey < 10
+        ORDER BY nm
+    """,
+    doc="case_sensitivity.q parity (ql/src/test/queries/clientpositive/"
+        "case_sensitivity.q): table/column identifiers resolved "
+        "case-insensitively — the SQL text uses MiXeD case throughout.",
+    tags=("sql", "hive"),
+)
+def sql_case_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql("""
+        SELECT X.N_NAME AS nm, x.n_RegionKey AS rk
+        FROM NATION x WHERE X.n_nationkey < 10
+        ORDER BY NM
+    """)
+
+
+@register(
+    "sql_cast1",
+    oracle="""
+        SELECT CAST(3 + 2 AS DOUBLE) AS c1,
+               3 + CAST(2 AS DOUBLE) AS c2,
+               CAST(o_orderkey AS DOUBLE) AS c3,
+               CAST(floor(o_totalprice) AS BIGINT) AS c4,
+               CAST(CAST(1 AS BOOLEAN) AS INT) AS c5,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c6
+        FROM orders WHERE o_orderkey < 20
+    """,
+    doc="cast1.q parity (ql/src/test/queries/clientpositive/cast1.q, "
+        "UDFTo* — FunctionRegistry.java:111-126): int/double promotion, "
+        "double->int via floor (trunc-vs-round differs per engine — pinned), boolean<->int, date->string, all through "
+        "SQL text.",
+    tags=("sql", "hive", "cast"),
+)
+def sql_cast1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT CAST(3 + 2 AS DOUBLE) AS c1,
+               3 + CAST(2 AS DOUBLE) AS c2,
+               CAST(o_orderkey AS DOUBLE) AS c3,
+               CAST(floor(o_totalprice) AS BIGINT) AS c4,
+               CAST(CAST(1 AS BOOLEAN) AS INT) AS c5,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS c6
+        FROM orders WHERE o_orderkey < 20
+    """)
