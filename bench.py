@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from quatrain_mapreduce_spark.registry import all_queries  # noqa: E402
@@ -62,6 +64,16 @@ def main() -> None:
 
     warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
     warm.select(_F.explode(_F.split("n_name", "_")).alias("t")).groupBy("t").count().count()
+
+    # python-worker-pool warmup: fork the Arrow/pandas workers once here so
+    # the first pandas-UDF query doesn't absorb the pool startup
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_py(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).repartition(32).select(_warm_py("id")).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -239,3 +239,26 @@ def sql_cast1(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(o_orderdate AS DATE) AS STRING) AS c6
         FROM orders WHERE o_orderkey < 20
     """)
+
+
+@register(
+    "sql_transform",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS nm
+        FROM nation
+    """,
+    doc="TRANSFORM (cols) USING 'cmd' AS (cols) through native SQL text "
+        "(ScriptOperator — ql/exec/ScriptOperator.java:39, "
+        "ql/parse/SemanticAnalyzer.java:707-796 genScriptPlan): Spark's "
+        "no-serde script transform pipes tab-delimited rows through an "
+        "external command per partition. 'cat' = the identity script; the "
+        "rdd.pipe variant with a real script is transform_pipe_wordcount.",
+    tags=("sql", "udf", "script"),
+)
+def sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql("""
+        SELECT TRANSFORM (n_nationkey, n_name)
+        USING 'cat' AS (k STRING, nm STRING)
+        FROM nation
+    """)

@@ -16,7 +16,7 @@ from quatrain_mapreduce_spark.operators.aggregates import (
     top_k, uniq_value_count, value_aggregator, value_histogram,
 )
 from quatrain_mapreduce_spark.operators.projection import (
-    field_selection, inverse_map, regex_extract_count, token_count,
+    field_selection, inverse_map, regex_extract_count, token_count, tokenize,
 )
 from quatrain_mapreduce_spark.operators.sort import key_field_sort, secondary_sort_agg
 from quatrain_mapreduce_spark.registry import register
@@ -321,4 +321,41 @@ def pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(hit).alias("inside"),
         F.round(4.0 * F.sum(hit) / F.count("*"), 6).alias("pi_est"),
+    )
+
+
+@register(
+    "index_build",
+    oracle="""
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df,
+               list_sort(list(doc_id)) AS postings
+        FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
+              FROM documents)
+        GROUP BY term
+        HAVING count(*) >= 5
+    """,
+    doc="Inverted-index build (contrib/index IndexUpdateMapper/Reducer — the "
+        "reference's doc->posting-shard pipeline, minus the Lucene binary "
+        "format): explode distinct terms per doc, group by term into sorted "
+        "postings lists + document frequency. One explode + one shuffle, "
+        "map-side combinable; at scale the output is written "
+        "partitionBy(shard) where shard = hash(term) % n "
+        "(DistributionPolicy parity).",
+    tags=("mrlib", "example", "index"),
+)
+def index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokenize("text"))).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= 5)
+        .select("term", "df", "postings")
     )
