@@ -75,6 +75,24 @@ def main() -> None:
 
     spark.range(64).repartition(32).select(_warm_py("id")).write.mode("overwrite").format("noop").save()
 
+    # steady-state warmup (JMH-style): one pass of the whole workload at the
+    # smallest SF so C2-compiled codegen, regex/md5, window and join paths are
+    # hot before anything is timed at the target SF. Without this the first
+    # queries absorb JIT compilation that has nothing to do with their plans
+    # (measured: dedup_exact 6.9s cold vs 0.85s warm for the same plan).
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(sf_dir):
+        for name in BENCH_QUERIES:
+            if name in qs:
+                try:
+                    run_query(qs[name].fn(spark, warm_sf))
+                except Exception:
+                    pass
+    # persisted intermediates are per-DataFrame-instance and never reused
+    # across calls — drop them so measured queries aren't paying eviction/GC
+    # for stale warmup caches
+    spark.catalog.clearCache()
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
@@ -86,6 +104,7 @@ def main() -> None:
         except Exception as exc:  # never let one query kill the artifact
             times[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(json.dumps({
