@@ -193,3 +193,40 @@ def dbcount_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                driver="org.apache.derby.jdbc.EmbeddedDriver")
     return read_jdbc(spark, url, "pageview_counts",
                      driver="org.apache.derby.jdbc.EmbeddedDriver")
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS nationkey, n_name AS name,
+               CAST(n_regionkey AS VARCHAR) AS regionkey
+        FROM nation
+    """,
+    doc="StreamXmlRecordReader parity (contrib/streaming "
+        "StreamXmlRecordReader, StreamInputFormat.java:35): nation written "
+        "as multi-line <row>...</row> XML text, read back via "
+        "lineSep-delimited records + per-field extraction; the round trip "
+        "reproduces the relation.",
+    tags=("sources", "xml"),
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.sources.readers import read_xml_records, xml_field
+
+    d = _stage_dir(sf_dir, "xmlrec")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        n = load_table(spark, sf_dir, "nation")
+        xml = n.select(
+            F.concat(
+                F.lit("<row>\n  <nationkey>"), F.col("n_nationkey").cast("string"),
+                F.lit("</nationkey>\n  <name>"), F.col("n_name"),
+                F.lit("</name>\n  <regionkey>"), F.col("n_regionkey").cast("string"),
+                F.lit("</regionkey>\n</row>"),
+            ).alias("value")
+        )
+        xml.coalesce(1).write.mode("overwrite").text(d)
+    recs = read_xml_records(spark, d, "row")
+    return recs.select(
+        xml_field("record", "nationkey").alias("nationkey"),
+        xml_field("record", "name").alias("name"),
+        xml_field("record", "regionkey").alias("regionkey"),
+    )

@@ -82,3 +82,26 @@ def read_jdbc(spark: SparkSession, url: str, table: str, num_partitions: int = 8
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_xml_records(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
+    """XML-tag-delimited records (StreamInputFormat + StreamXmlRecordReader —
+    contrib/streaming StreamXmlRecordReader: records bounded by begin/end
+    patterns, independent of line breaks).
+
+    Spark-first: read with ``lineSep=</row_tag>`` so the file splits into one
+    row per record at scan time (splittable, streams through the normal text
+    reader — no whole-file parse), then slice the record body after the open
+    tag. Trailing content after the last record (or an empty tail) yields an
+    empty body and is dropped. Field extraction composes via ``xml_field``.
+    """
+    recs = spark.read.option("lineSep", f"</{row_tag}>").text(path)
+    body = F.regexp_extract(F.col("value"), f"(?s)<{row_tag}(?:\\s[^>]*)?>(.*)", 1)
+    return recs.select(body.alias("record")).where(F.length("record") > 0)
+
+
+def xml_field(record: F.Column | str, field_tag: str) -> F.Column:
+    """Extract a single child element's text from an XML record body
+    (non-greedy, dotall — fields may span lines)."""
+    c = F.col(record) if isinstance(record, str) else record
+    return F.regexp_extract(c, f"(?s)<{field_tag}>(.*?)</{field_tag}>", 1)

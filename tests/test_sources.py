@@ -120,3 +120,24 @@ def test_load_data_adopts_files(spark, tmp_path):
     load_data(spark, extra_path, "qms_test_load")
     got = {r["k"]: r["v"] for r in spark.table("qms_test_load").collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_read_xml_records_multiline_and_attrs(spark, tmp_path):
+    """Records spanning lines, attributes on the row tag, junk outside
+    records (StreamXmlRecordReader semantics: only tag-bounded content)."""
+    from quatrain_mapreduce_spark.sources.readers import read_xml_records, xml_field
+
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        "<doc>\n"
+        "<row id=\"1\">\n  <k>alpha</k>\n  <v>line1\nline2</v>\n</row>\n"
+        "junk between records\n"
+        "<row>\n  <k>beta</k>\n  <v>x</v>\n</row>\n"
+        "</doc>\n"
+    )
+    recs = read_xml_records(spark, str(p), "row")
+    rows = recs.select(
+        xml_field("record", "k").alias("k"), xml_field("record", "v").alias("v")
+    ).collect()
+    got = {(r["k"], r["v"]) for r in rows}
+    assert got == {("alpha", "line1\nline2"), ("beta", "x")}
