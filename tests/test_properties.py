@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — randomized differential checks the
+reference never had (SURVEY.md §5 "Not present"), pinned deterministic
+(derandomize) so CI runs are reproducible.
+
+Each example generates a whole dataset, runs the Spark operator once, and
+compares against an independent pure-Python model of the semantics.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.dedup import exact_dedup
+from quatrain_mapreduce_spark.streaming.stateful import moving_avg_batch
+
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+token = st.text(alphabet="abc xyz", min_size=0, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6), st.floats(-1e6, 1e6)),
+        min_size=1, max_size=40, unique_by=lambda r: r[1],
+    ),
+    k=st.integers(1, 6),
+)
+def test_moving_avg_matches_python_model(spark, rows, k):
+    """moving_avg_batch == a hand-rolled last-k mean over (key, order) rows."""
+    df = spark.createDataFrame(rows, "key int, seq long, val double")
+    got = {
+        (r["key"], r["seq"]): r["avg_last_k"]
+        for r in moving_avg_batch(df, "key", "seq", "val", k=k).collect()
+    }
+    expect = {}
+    by_key: dict[int, list[tuple[int, float]]] = {}
+    for key, seq, val in rows:
+        by_key.setdefault(key, []).append((seq, val))
+    for key, items in by_key.items():
+        items.sort()
+        for i, (seq, _) in enumerate(items):
+            window = [v for _, v in items[max(0, i - k + 1): i + 1]]
+            expect[(key, seq)] = round(sum(window) / len(window), 4)
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(token, min_size=1, max_size=30),
+)
+def test_exact_dedup_partitions_rows(spark, texts):
+    """dup counts sum to the row count; keep_id is the min id of its group;
+    groups match a python model keyed on normalized text."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = exact_dedup(df, "doc_id", "text").collect()
+    assert sum(r["dup_cnt"] for r in got) == len(rows)
+
+    def norm(t: str) -> str:
+        return " ".join(t.split()).lower().strip()
+
+    groups: dict[str, list[int]] = {}
+    for i, t in rows:
+        groups.setdefault(norm(t), []).append(i)
+    expect = {(min(ids), len(ids)) for ids in groups.values()}
+    assert {(r["keep_id"], r["dup_cnt"]) for r in got} == expect
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(token.filter(bool), min_size=1, max_size=15),
+    b=st.lists(token.filter(bool), min_size=1, max_size=15),
+)
+def test_jaccard_bounds_and_symmetry(spark, a, b):
+    """0 <= J <= 1, J(A,A) = 1, J symmetric — computed via the engine's
+    array-intersect expression on one-row frames."""
+    from quatrain_mapreduce_spark.operators.dedup import _jaccard
+
+    df = spark.createDataFrame(
+        [(list(dict.fromkeys(a)), list(dict.fromkeys(b)))], "a array<string>, b array<string>"
+    )
+    r = df.select(
+        _jaccard(F.col("a"), F.col("b")).alias("jab"),
+        _jaccard(F.col("b"), F.col("a")).alias("jba"),
+        _jaccard(F.col("a"), F.col("a")).alias("jaa"),
+    ).collect()[0]
+    assert 0.0 <= r["jab"] <= 1.0
+    assert abs(r["jab"] - r["jba"]) < 1e-12
+    assert abs(r["jaa"] - 1.0) < 1e-12
