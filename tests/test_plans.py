@@ -1,0 +1,79 @@
+"""Physical-plan shape guards — the 100 TB properties PLANS.md documents,
+asserted so a refactor can't silently regress them.
+
+Each test compiles a registered query against sf0.001 and greps the
+executed-plan string: cheap (no job runs — planning only, except where AQE
+needs a materialized stage) and exact enough to catch a lost broadcast, a
+filter that stopped reaching the scan, or a top-k that turned into a global
+sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quatrain_mapreduce_spark.registry import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    qs = all_queries()
+    return qs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    """tpch_q1_shape's shipdate predicate must appear as PushedFilters on the
+    lineitem scan (predicate pushdown — free from Catalyst, fatal to lose)."""
+    p = plan_of(spark, sf_dir, "tpch_q1_shape")
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters:", 1)[1][:200]
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """field_selection projects 2 columns — ReadSchema must not include the
+    other part columns (column pruning)."""
+    p = plan_of(spark, sf_dir, "field_selection")
+    read = p.split("ReadSchema:", 1)[1][:200]
+    assert "p_partkey" in read and "p_name" in read
+    assert "p_retailprice" not in read
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """join_inner joins a dimension — must be a BroadcastHashJoin, never a
+    shuffled SMJ of the fact side against a tiny table."""
+    p = plan_of(spark, sf_dir, "join_inner")
+    assert "BroadcastHashJoin" in p
+
+def test_topk_uses_group_limit_not_global_sort(spark, sf_dir):
+    """topk_per_group must plan WindowGroupLimit (per-partition heap) — a
+    bare Window over a globally sorted exchange would materialize the full
+    sort at 100 TB."""
+    p = plan_of(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in p
+
+def test_order_by_limit_is_take_ordered(spark, sf_dir):
+    """orderBy+limit must plan TakeOrderedAndProject, not Sort+GlobalLimit."""
+    p = plan_of(spark, sf_dir, "order_by_limit")
+    assert "TakeOrderedAndProject" in p
+
+def test_aggregations_have_map_side_partials(spark, sf_dir):
+    """wordcount must show a partial/final HashAggregate pair (combiner
+    protocol — the shuffle moves combined counts, not raw tokens)."""
+    p = plan_of(spark, sf_dir, "wordcount")
+    assert "partial_count" in p
+
+def test_index_build_combines_postings_map_side(spark, sf_dir):
+    """index_build's collect_list must run as ObjectHashAggregate with a
+    partial below the exchange (postings combine before the shuffle)."""
+    p = plan_of(spark, sf_dir, "index_build")
+    assert "ObjectHashAggregate" in p
+    assert "partial_collect_list" in p
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    """similarity_ivf's probe→corpus join must broadcast the probe side —
+    the corpus (100 TB side) must never shuffle for the search."""
+    p = plan_of(spark, sf_dir, "similarity_ivf")
+    assert "BroadcastHashJoin [list_id" in p
+
+def test_moving_avg_single_exchange(spark, sf_dir):
+    """cq_moving_avg: exactly one exchange (the key partitioning) — the
+    window must reuse it, not add a second shuffle."""
+    p = plan_of(spark, sf_dir, "cq_moving_avg")
+    assert p.count("Exchange hashpartitioning") == 1
