@@ -249,16 +249,37 @@ def ivf_topk(
     """Approximate cosine top-k via IVF: rank the C centroids per query,
     search only the ``nprobe`` nearest inverted lists.
 
-    The scale path alongside LSH (`lsh_topk`): candidate cost is
-    nprobe/n_lists of the corpus per query instead of bucket-collision
-    driven, and the corpus join key (list_id) is a pre-computable partition
-    column — at 100 TB the index is written once ``partitionBy("list_id")``
-    and every probe is a partition-pruned scan. ``nprobe == n_lists``
-    degrades to exact brute force (asserted in tests).
+    One-shot convenience: builds the index inline, then searches it.
+    Production pipelines build once (``ivf_build`` → write the assignment
+    ``partitionBy("list_id")``) and call ``ivf_search`` against the staged
+    index — see the registered ``similarity_ivf`` query.
+    ``nprobe == n_lists`` degrades to exact brute force (asserted in tests).
     """
     cent_df, assigned = ivf_build(
         corpus, id_col, vec_col, dim, n_lists=n_lists, lloyd_iters=lloyd_iters, seed=seed
     )
+    return ivf_search(cent_df, assigned, queries, id_col, vec_col, k=k, nprobe=nprobe)
+
+
+def ivf_search(
+    cent_df: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: rank centroids per query, probe the nprobe
+    nearest inverted lists, exact-cosine top-k within them.
+
+    The scale path alongside LSH (`lsh_topk`): candidate cost is
+    nprobe/n_lists of the corpus per query instead of bucket-collision
+    driven. ``assigned`` carries (id, vec, list_id); when it is read from a
+    parquet index written ``partitionBy("list_id")``, the broadcast probe
+    join triggers dynamic partition pruning — the corpus scan touches only
+    the probed lists' directories (asserted in tests/test_plans.py).
+    """
     cidx = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("c_vec"), "list_id"
     )

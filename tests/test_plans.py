@@ -66,11 +66,14 @@ def test_index_build_combines_postings_map_side(spark, sf_dir):
     assert "ObjectHashAggregate" in p
     assert "partial_collect_list" in p
 
-def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+def test_ivf_probe_join_is_broadcast_and_partition_pruned(spark, sf_dir):
     """similarity_ivf's probe→corpus join must broadcast the probe side —
-    the corpus (100 TB side) must never shuffle for the search."""
+    the corpus (100 TB side) must never shuffle for the search — and the
+    staged list_id-partitioned index must be scanned under dynamic
+    partition pruning (only the probed lists' directories)."""
     p = plan_of(spark, sf_dir, "similarity_ivf")
     assert "BroadcastHashJoin [list_id" in p
+    assert "dynamicpruning" in p
 
 def test_moving_avg_single_exchange(spark, sf_dir):
     """cq_moving_avg: exactly one exchange (the key partitioning) — the
