@@ -230,3 +230,58 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         xml_field("record", "name").alias("name"),
         xml_field("record", "regionkey").alias("regionkey"),
     )
+
+
+@register(
+    "bucket_point_lookup",
+    oracle="""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_custkey = 370
+        ORDER BY o_orderkey
+    """,
+    doc="MapFileOutputFormat.getEntry parity (MapFile.java:49 — sorted K/V "
+        "with an index for point reads): an equality predicate on the "
+        "bucketed+sorted key scans exactly one bucket file "
+        "(SelectedBucketsCount: 1 out of 8 — asserted in tests) instead of "
+        "the whole table; within the bucket, the sorted layout gives the "
+        "reader min/max row-group skipping.",
+    tags=("sources", "bucketing", "lookup"),
+)
+def bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    ot = f"qms_orders_b_{key}"
+    if not spark.catalog.tableExists(ot):
+        bucketed_join(spark, sf_dir)  # stages both bucketed tables
+    # the planner skips the bucketed layout when no join/agg needs the
+    # distribution — force it: reading via the bucket index is the point
+    # of a MapFile point lookup (prunes 7 of 8 files at the scan)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return (
+        spark.table(ot).where(F.col("o_custkey") == 370)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "csv_typed_roundtrip",
+    oracle="""
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+    """,
+    doc="Record I/O parity (core record/Record.java — compiled typed "
+        "records with CSV/binary archive codecs): supplier written as "
+        "headered CSV, read back with an explicit typed schema (no "
+        "inference — the reference's records are schema-declared), values "
+        "surviving the text codec round trip.",
+    tags=("sources", "records"),
+)
+def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "csvrec")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        s = load_table(spark, sf_dir, "supplier")
+        s.select("s_suppkey", "s_name", "s_acctbal").write.mode("overwrite") \
+            .option("header", True).csv(d)
+    typed = spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double") \
+        .option("header", True).csv(d)
+    return typed.select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))

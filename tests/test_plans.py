@@ -80,3 +80,8 @@ def test_moving_avg_single_exchange(spark, sf_dir):
     window must reuse it, not add a second shuffle."""
     p = plan_of(spark, sf_dir, "cq_moving_avg")
     assert p.count("Exchange hashpartitioning") == 1
+
+def test_bucket_point_lookup_scans_one_bucket(spark, sf_dir):
+    """Equality on the bucket key must prune to a single bucket file."""
+    p = plan_of(spark, sf_dir, "bucket_point_lookup")
+    assert "SelectedBucketsCount: 1 out of 8" in p
