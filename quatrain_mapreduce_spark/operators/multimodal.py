@@ -87,3 +87,80 @@ def extract_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_no", LongType()),
+    StructField("frame", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (1 row -> 1 row).
+
+    The real decoder+resampler hook is ``decode_image`` (stubbed here);
+    the stand-in emits a deterministic width*height-byte payload derived by
+    cycling the source bytes, so batch shape, output schema, and
+    partition-local execution are exercised for real.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: shipped by value, workers never import
+        # this package
+        n_out = width * height
+        def fake_resize(payload: bytes) -> bytes:
+            if not payload:
+                return bytes(n_out)
+            reps = (n_out + len(payload) - 1) // len(payload)
+            return (payload * reps)[:n_out]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": [fake_resize(p) for p in pdf["payload"]],
+                "width": width,
+                "height": height,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over video-like payloads (1 row -> n rows): the
+    row-expanding mapInPandas shape — each input payload yields
+    ``n_frames`` evenly-spaced 'frames' (here: contiguous byte slices; a
+    real decoder would seek keyframes). Output stays partition-local; no
+    shuffle until the caller aggregates frames.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def slices(payload: bytes):
+            if not payload:
+                return [b""] * n_frames
+            step = max(len(payload) // n_frames, 1)
+            return [payload[i * step:(i + 1) * step] for i in range(n_frames)]
+
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for j, fr in enumerate(slices(payload)):
+                    ids.append(doc_id)
+                    frame_nos.append(j)
+                    frames.append(fr)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_no": frame_nos,
+                "frame": frames,
+                "n_bytes": [len(f) for f in frames],
+            })
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -314,3 +314,23 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return extract_features(media)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(4 AS BIGINT) AS n_bytes
+        FROM documents, unnest([0, 1, 2, 3]) t(f)
+    """,
+    doc="Frame sampling (video-style row expansion, 1 payload -> n frames) "
+        "via mapInPandas: the 16-byte md5 stand-in payload yields 4 frames "
+        "of 4 bytes per document — cardinality and frame metadata are "
+        "oracle-checked; frame byte content is pytest-checked (decode "
+        "honestly stubbed).",
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.multimodal import sample_frames
+
+    media = attach_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sample_frames(media, n_frames=4).select("doc_id", "frame_no", "n_bytes")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.operators.multimodal import attach_media, decode_image, extract_features
 from quatrain_mapreduce_spark.operators.text import (
     fingerprint, lang_id, quality_score, text_stats,
@@ -58,3 +59,34 @@ def test_multimodal_pipeline_shape_and_determinism(spark):
 def test_decode_image_is_honest_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_resize_images_shapes_and_determinism(spark, sf_dir):
+    from quatrain_mapreduce_spark.operators.multimodal import attach_media, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_media(docs, "doc_id", "text")
+    out = resize_images(media, width=8, height=4).collect()
+    assert len(out) == 20
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in out)
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 4).collect()}
+    assert {r["doc_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_sample_frames_reassembles_payload(spark, sf_dir):
+    """4 frames of a 16-byte payload are contiguous 4-byte slices — their
+    concatenation in frame order equals the original payload."""
+    from quatrain_mapreduce_spark.operators.multimodal import attach_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_media(docs, "doc_id", "text")
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    frames = sample_frames(media, n_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_no"], bytes(r["frame"])))
+    assert set(by_doc) == set(orig)
+    for doc_id, fs in by_doc.items():
+        fs.sort()
+        assert b"".join(f for _, f in fs) == orig[doc_id]
