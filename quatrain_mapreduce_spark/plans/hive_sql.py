@@ -100,8 +100,9 @@ def sql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
     """,
     doc="DDL surface (ql/exec/DDLTask.java, DDLSemanticAnalyzer): CREATE "
-        "TABLE AS / SHOW TABLES / DESCRIBE / DROP through spark.sql against "
-        "the session catalog; the query reads back the created table.",
+        "TABLE AS / SHOW TABLES / DESCRIBE / ALTER (ADD COLUMNS, "
+        "TBLPROPERTIES) / DROP through spark.sql against the session "
+        "catalog; the query reads back the created table.",
     tags=("sql", "ddl"),
 )
 def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,10 +116,12 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(os.path.join(warehouse, "qms_nation_ddl"), ignore_errors=True)
     spark.sql("CREATE TABLE qms_nation_ddl USING parquet AS SELECT * FROM nation")
-    # exercise the inspection DDL (results intentionally unused — parity with
-    # SHOW TABLES / DESCRIBE in DDLTask)
+    # exercise the inspection + mutation DDL (results intentionally unused —
+    # parity with SHOW TABLES / DESCRIBE / ALTER in DDLTask)
     spark.sql("SHOW TABLES").collect()
     spark.sql("DESCRIBE TABLE qms_nation_ddl").collect()
+    spark.sql("ALTER TABLE qms_nation_ddl ADD COLUMNS (extra_note STRING)")
+    spark.sql("ALTER TABLE qms_nation_ddl SET TBLPROPERTIES ('engine'='qms')")
     return spark.sql("""
         SELECT n_regionkey, CAST(count(*) AS BIGINT) AS cnt
         FROM qms_nation_ddl GROUP BY n_regionkey

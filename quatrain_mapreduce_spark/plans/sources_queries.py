@@ -285,3 +285,37 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double") \
         .option("header", True).csv(d)
     return typed.select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+
+
+@register(
+    "skip_bad_records",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS good_rows,
+               CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+        FROM supplier WHERE s_suppkey % 7 <> 0
+    """,
+    doc="SkipBadRecords parity (mapred/SkipBadRecords.java, "
+        "mapred.skip.map.max.skip.records): supplier staged as CSV with "
+        "every-7th row's key deliberately corrupted to a non-numeric token; "
+        "the typed PERMISSIVE read nulls the malformed field and the query "
+        "drops those records and aggregates the survivors — the declarative "
+        "form of skip-and-continue.",
+    tags=("sources", "robustness"),
+)
+def skip_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "badrec")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        s = load_table(spark, sf_dir, "supplier")
+        corrupted = s.select(
+            F.when(F.col("s_suppkey") % 7 == 0, F.lit("CORRUPT"))
+             .otherwise(F.col("s_suppkey").cast("string")).alias("k"),
+            F.col("s_name").alias("v"),
+        )
+        corrupted.write.mode("overwrite").option("header", True).csv(d)
+    typed = spark.read.schema("k bigint, v string") \
+        .option("header", True).option("mode", "PERMISSIVE").csv(d)
+    good = typed.where(F.col("k").isNotNull())
+    return good.agg(
+        F.count("*").alias("good_rows"),
+        F.sum("k").alias("sum_key"),
+    )
