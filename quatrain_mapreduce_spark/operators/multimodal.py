@@ -138,16 +138,19 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling over video-like payloads (1 row -> n rows): the
     row-expanding mapInPandas shape — each input payload yields
-    ``n_frames`` evenly-spaced 'frames' (here: contiguous byte slices; a
-    real decoder would seek keyframes). Output stays partition-local; no
-    shuffle until the caller aggregates frames.
+    ``n_frames`` contiguous slices that PARTITION the payload (the last
+    frame takes the remainder, so no tail byte is dropped; a real decoder
+    would seek keyframes). Output stays partition-local; no shuffle until
+    the caller aggregates frames.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def slices(payload: bytes):
             if not payload:
                 return [b""] * n_frames
             step = max(len(payload) // n_frames, 1)
-            return [payload[i * step:(i + 1) * step] for i in range(n_frames)]
+            out = [payload[i * step:(i + 1) * step] for i in range(n_frames - 1)]
+            out.append(payload[(n_frames - 1) * step:])
+            return out
 
         for pdf in batches:
             ids, frame_nos, frames = [], [], []

@@ -193,8 +193,14 @@ def ivf_build(
     written ``partitionBy("list_id")`` so probes prune to nprobe/C of the
     data at scan time.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = corpus.sparkSession
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    # the projection feeds seeds + every Lloyd assign/means pass — cache it
+    # for the duration of the build (released below; the returned lazy
+    # assignment re-derives it once, a plain column-pruned scan)
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
 
     seeds = (
         c.withColumn("h", F.xxhash64(F.lit(f"ivf:{seed}"), F.col(id_col)))
@@ -230,6 +236,7 @@ def ivf_build(
             new_c[r["list_id"]] = r["m"]
         centroids = new_c
 
+    c.unpersist()
     cent_df = centroid_df(centroids)
     return cent_df, assign(cent_df).select(id_col, "vec", "list_id")
 

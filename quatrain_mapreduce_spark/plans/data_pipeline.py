@@ -171,11 +171,10 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "no-oracle"),
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import tempfile
 
     from quatrain_mapreduce_spark.operators.similarity import ivf_build, ivf_search
+    from quatrain_mapreduce_spark.staging import stage_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
@@ -183,13 +182,14 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production shape: the index is built ONCE and staged partitionBy
     # list_id (idempotent per sf_dir); searches run against the staged
     # index, and the broadcast probe join dynamically prunes to the probed
-    # lists' partitions at scan time.
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:ivf16".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"qms_ivf_idx_{key}")
+    # lists' partitions at scan time. The corpus is written LAST so its
+    # _SUCCESS marker implies the whole index (an interrupted build
+    # re-stages instead of wedging on a missing centroids dir).
+    d = stage_dir(sf_dir, "ivf_idx16")
     if not os.path.exists(os.path.join(d, "corpus", "_SUCCESS")):
         cent_df, assigned = ivf_build(emb, "vec_id", "embedding", dim, n_lists=16, lloyd_iters=1)
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(os.path.join(d, "corpus"))
         cent_df.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(os.path.join(d, "corpus"))
     cent_df = spark.read.parquet(os.path.join(d, "centroids"))
     assigned = spark.read.parquet(os.path.join(d, "corpus"))
     queries = emb.where(F.col("vec_id") < 8)

@@ -11,9 +11,7 @@ the driver's tables.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,8 +129,9 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write orders partitioned by o_orderstatus once per sf_dir (idempotent):
     the srcpart ds/hr fixture pattern (QTestUtil.java:211-313)."""
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"qms_part_orders_{key}")
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    d = stage_dir(sf_dir, "part_orders")
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
         load_table(spark, sf_dir, "orders").write.mode("overwrite") \

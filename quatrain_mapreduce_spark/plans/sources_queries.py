@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,15 +17,14 @@ from pyspark.sql import functions as F
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.operators.joins import tagged_join
 from quatrain_mapreduce_spark.registry import register
+from quatrain_mapreduce_spark.staging import stage_dir
 from quatrain_mapreduce_spark.sources.readers import (
     filtered_scan, multiple_inputs, read_kv_text, read_sequence_file,
 )
 from quatrain_mapreduce_spark.sources.sinks import write_kv_text
 
 
-def _stage_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:{tag}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"qms_{tag}_{key}")
+_stage_dir = stage_dir  # one shared staging-path implementation
 
 
 @register(
@@ -254,7 +252,11 @@ def bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_join(spark, sf_dir)  # stages both bucketed tables
     # the planner skips the bucketed layout when no join/agg needs the
     # distribution — force it: reading via the bucket index is the point
-    # of a MapFile point lookup (prunes 7 of 8 files at the scan)
+    # of a MapFile point lookup (prunes 7 of 8 files at the scan).
+    # Deliberately NOT restored before returning: the conf must still be
+    # false when the returned (lazy) plan executes. Sticky blast radius is
+    # only reads of bucketed tables, which want the bucketed layout anyway
+    # (bucketed_join asserts the shuffle-free plan it produces).
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return (
         spark.table(ot).where(F.col("o_custkey") == 370)

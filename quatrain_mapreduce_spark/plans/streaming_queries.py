@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.registry import register
+from quatrain_mapreduce_spark.staging import stage_event_slices
 from quatrain_mapreduce_spark.streaming.hop import (
     OnlineAggregator, read_events_stream, run_available_now, sessionize,
     tumbling_window_agg,
@@ -29,21 +30,10 @@ _stream_counter = itertools.count()
 
 
 def stage_multifile_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Write the events table once per sf_dir as an n-file parquet dir so a
-    maxFilesPerTrigger=1 stream replays it in n micro-batches (the bounded
-    stand-in for HOP's progress quanta). Idempotent per (sf_dir, n)."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:{n_files}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"qms_online_src_{key}")
-    marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events")
-        ev.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(d)
-        open(marker, "w").close()
-    return d
+    """Events as an n-file parquet dir so a maxFilesPerTrigger=1 stream
+    replays it in n micro-batches (the bounded stand-in for HOP's progress
+    quanta). One shared staging implementation: staging.stage_event_slices."""
+    return stage_event_slices(spark, sf_dir, n_files)
 
 
 @register(
@@ -182,29 +172,12 @@ def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stage_ordered_event_slices(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
-    """Stage events as n single-file range slices of event_id with strictly
-    increasing mtimes, so a maxFilesPerTrigger=1 file stream replays them in
-    event_id order (FileStreamSource processes files oldest-first; the
-    lexicographic part-file names agree with the ranges as a tie-break).
-    Deterministic arrival order is what makes the stateful moving average
-    oracle-checkable. Idempotent per (sf_dir, n_files)."""
-    import glob
-    import hashlib
-    import os
-    import tempfile
-    import time
-
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:ma:{n_files}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"qms_ordered_src_{key}")
-    marker = os.path.join(d, "_STAGED")
-    if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-        ev.repartitionByRange(n_files, "event_id").write.mode("overwrite").parquet(d)
-        base = time.time() - 3600
-        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*.parquet")))):
-            os.utime(f, (base + i * 10, base + i * 10))
-        open(marker, "w").close()
-    return d
+    """Events as mtime-ordered single-file slices — deterministic arrival
+    order for the stateful moving-average oracle (see
+    staging.stage_event_slices for the mechanism)."""
+    return stage_event_slices(
+        spark, sf_dir, n_files, columns=["event_id", "user_id", "value"], ordered_mtime=True
+    )
 
 
 _MOVING_AVG_ORACLE = """

@@ -56,7 +56,18 @@ def moving_avg_stream(
     out_schema = _out_schema(events, key_col, order_col, out_col)
 
     def fn(key, pdf_iter, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
+
+        # match F.round exactly (BigDecimal on the shortest decimal repr,
+        # HALF_UP) — Python's round() is half-even on the binary value and
+        # diverges on values like 1.00105, which would break the documented
+        # bit-identical parity with the batch twin / SQL oracle
+        quantum = Decimal(1).scaleb(-round_to)
+
+        def spark_round(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP))
 
         buf = list(state.get[0]) if state.exists else []
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
@@ -68,7 +79,7 @@ def moving_avg_stream(
             buf.append(float(v))
             if len(buf) > k:
                 buf.pop(0)
-            out.append(round(sum(buf) / len(buf), round_to))
+            out.append(spark_round(sum(buf) / len(buf)))
         state.update(([float(x) for x in buf],))
         yield pd.DataFrame({
             key_col: pdf[key_col],

@@ -35,6 +35,13 @@ def test_moving_avg_matches_python_model(spark, rows, k):
         (r["key"], r["seq"]): r["avg_last_k"]
         for r in moving_avg_batch(df, "key", "seq", "val", k=k).collect()
     }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round(x: float) -> float:
+        # F.round semantics: HALF_UP on the shortest decimal repr (Python's
+        # round() is half-even on the binary value and diverges on e.g. 1.00105)
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
     expect = {}
     by_key: dict[int, list[tuple[int, float]]] = {}
     for key, seq, val in rows:
@@ -43,7 +50,7 @@ def test_moving_avg_matches_python_model(spark, rows, k):
         items.sort()
         for i, (seq, _) in enumerate(items):
             window = [v for _, v in items[max(0, i - k + 1): i + 1]]
-            expect[(key, seq)] = round(sum(window) / len(window), 4)
+            expect[(key, seq)] = spark_round(sum(window) / len(window))
     assert got == expect
 
 
