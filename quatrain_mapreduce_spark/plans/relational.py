@@ -506,3 +506,57 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.agg(
         F.count("*").alias("n_rows"), F.sum("_bad").cast("bigint").alias("violations")
     )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+        SELECT 'with_orders' AS side, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'without_orders' AS side, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT SEMI / LEFT ANTI joins — a documented SUPERSET: the reference "
+        "has no semi/anti join anywhere (SURVEY §2.3: 'No hash-join / ... / "
+        "semi/anti join'); Spark provides both natively and a reference "
+        "user migrating EXISTS-style reducer logic gets them for free.",
+    tags=("join", "superset"),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi") \
+        .agg(F.count("*").alias("cnt")).select(F.lit("with_orders").alias("side"), "cnt")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti") \
+        .agg(F.count("*").alias("cnt")).select(F.lit("without_orders").alias("side"), "cnt")
+    return semi.unionByName(anti)
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP aggregation — a documented SUPERSET: the reference has no "
+        "grouping sets / cube / rollup (SemanticAnalyzer restrictions, "
+        "SURVEY §2.4); one Spark rollup() replaces the reference user's "
+        "N separate aggregation jobs over the same scan.",
+    tags=("agg", "superset"),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "cnt", "sum_price",
+        )
+    )

@@ -172,3 +172,61 @@ def test_moving_avg_state_carries_across_batches(spark, sf_dir):
         for r in moving_avg_batch(ev, "user_id", "event_id", "value", k=5).collect()
     }
     assert streamed == batch
+
+
+def test_watermark_finalizes_windows_exactly_once(spark):
+    """Event-time watermark semantics (the engine's documented SUPERSET —
+    the reference has no event time, SURVEY §2.8). The append-mode
+    contract: a window is emitted EXACTLY ONCE, after the watermark passes
+    its end, containing its on-time rows; rows arriving after the window
+    was finalized and evicted never cause a duplicate emission. (Dropping
+    late rows before finalization is best-effort in Spark, so that is
+    deliberately not asserted.)"""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="qms_test_wm_src_")
+    base = 1_700_000_000  # fixed epoch origin
+    now = time.time()
+
+    def put(rows, name, mt):
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(rows, "event_id long, ep long") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        dst = os.path.join(src, name)
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (mt, mt))
+
+    put([(1, base + 10), (2, base + 20)], "a.parquet", now - 400)  # old window
+    put([(3, base + 7200)], "b.parquet", now - 300)  # advances watermark
+    put([(4, base + 7260)], "c.parquet", now - 200)  # old window finalizes here
+    put([(5, base + 30)], "d.parquet", now - 100)    # after finalization: must not re-emit
+
+    stream = (
+        spark.readStream.schema("event_id long, ep long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.timestamp_seconds("ep"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("qms_test_wm")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("qms_test_wm").collect()
+    old_win = float(base - base % 60)
+    emissions = [r["cnt"] for r in rows if r["win"]["start"].timestamp() == old_win]
+    # exactly one finalized emission of the old window, with its 2 on-time
+    # rows — the post-finalization row 5 produced no duplicate emission
+    assert emissions == [2], f"expected one emission of 2 on-time rows, got {emissions}"
+    # the far-future windows never finalized (watermark never passed them)
+    assert all(r["win"]["start"].timestamp() == old_win for r in rows)
