@@ -8,6 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.sources.readers import (
     filtered_scan, multiple_inputs, read_kv_text, read_text,
 )
@@ -141,3 +142,25 @@ def test_read_xml_records_multiline_and_attrs(spark, tmp_path):
     ).collect()
     got = {(r["k"], r["v"]) for r in rows}
     assert got == {("alpha", "line1\nline2"), ("beta", "x")}
+
+
+def test_compression_codec_roundtrips(spark, sf_dir, tmp_path):
+    """Storage-format codec surface (IO/compress — Default/Gzip/BZip2/LZO):
+    gzip text and zstd/snappy parquet round trips preserve the relation."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    want = {(r["n_nationkey"], r["n_name"]) for r in n.collect()}
+
+    gz = str(tmp_path / "gz_text")
+    n.select(F.concat_ws("\t", "n_nationkey", "n_name").alias("value")) \
+        .write.option("compression", "gzip").text(gz)
+    import glob as g
+    assert g.glob(gz + "/*.gz"), "gzip codec not applied"
+    back = spark.read.text(gz).select(
+        F.split("value", "\t")[0].cast("long").alias("k"), F.split("value", "\t")[1].alias("v"))
+    assert {(r["k"], r["v"]) for r in back.collect()} == want
+
+    for codec in ("zstd", "snappy"):
+        p = str(tmp_path / f"pq_{codec}")
+        n.write.option("compression", codec).parquet(p)
+        assert g.glob(f"{p}/*.{codec}.parquet"), f"{codec} codec not applied"
+        assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(p).collect()} == want
