@@ -124,10 +124,14 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="HOP online aggregation (mapred.snapshot.frequency — "
         "ReduceTask.java:631-669, EX/TopK.java:259-262): events replayed as "
-        "a 4-file bounded stream; each micro-batch re-aggregates data-so-far "
-        "and writes a snapshot-<progress> parquet. The returned (final) "
-        "snapshot is exact — checked against the batch oracle; snapshot "
-        "convergence asserted in tests/test_streaming.py.",
+        "a 4-file bounded stream through ONE stateful complete-mode query; "
+        "the state store carries the aggregate across micro-batches "
+        "(per-batch work O(batch+groups), the streaming analogue of HOP's "
+        "reducer-held snapshot state) and every batch writes a "
+        "snapshot-<progress> parquet. The returned (final) snapshot is "
+        "exact — checked against the batch oracle; convergence and "
+        "incremental-vs-reaggregation parity asserted in "
+        "tests/test_streaming.py.",
     tags=("streaming", "online-agg"),
 )
 def online_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +145,7 @@ def online_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = spark.read.parquet(src).count()
     runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
-    return runner.run()
+    return runner.run_incremental()
 
 
 @register(
@@ -154,8 +158,9 @@ def online_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TopK with snapshots (EX/TopK.java:259-262 — the reference's "
         "snapshot acceptance workload): every micro-batch emits the "
-        "top-k-so-far as a snapshot file; the final snapshot equals the "
-        "exact batch top-k (same oracle as topk_users).",
+        "top-k-so-far as a snapshot file from stateful incremental counts "
+        "(complete mode allows the post-agg sort+limit); the final "
+        "snapshot equals the exact batch top-k (same oracle as topk_users).",
     tags=("streaming", "online-agg", "example"),
 )
 def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +173,7 @@ def online_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = spark.read.parquet(src).count()
     runner = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
-    return runner.run()
+    return runner.run_incremental()
 
 
 def stage_ordered_event_slices(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:

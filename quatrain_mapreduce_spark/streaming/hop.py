@@ -178,18 +178,33 @@ def sessionize_stream(events: DataFrame, user_col: str, ts_col: str, gap_minutes
 class OnlineAggregator:
     """Online aggregation with snapshots over a bounded input.
 
-    Consumes a bounded file stream micro-batch by micro-batch; after each
-    batch the aggregate over data-so-far is recomputed and written to a
-    parquet snapshot directory (``snapshot-<progress>`` naming — HOP's
-    snapshot-<progress>-<partition> analogue, ReduceTask.java:631-669).
-    Early results approximate, converging to exact at progress 1.0.
+    Consumes a bounded file stream micro-batch by micro-batch, emitting a
+    parquet snapshot of the aggregate-so-far after each batch
+    (``snapshot-<progress>`` naming — HOP's snapshot-<progress>-<partition>
+    analogue, ReduceTask.java:631-669). Early results approximate,
+    converging to exact at progress 1.0.
 
-    Scale design: nothing accumulates on the driver. Each batch is appended
-    to a parquet staging dir (distributed write); snapshots re-aggregate the
-    staging files (distributed read); ``self.snapshots`` holds only
-    (progress, path) metadata. Checkpoint location is a fresh mkdtemp per
-    run — a reused checkpoint would mark all files processed and silently
-    produce zero batches.
+    Two execution modes:
+
+    - ``run_incremental()`` (the scale path): the aggregate runs as ONE
+      stateful Structured Streaming query in ``complete`` output mode —
+      Spark's state store carries the partial aggregate across batches, so
+      per-batch work is O(batch + groups), and ``foreachBatch`` receives the
+      full updated result to write as the snapshot. This is the true
+      streaming analogue of HOP's reducer-held snapshot state. Requires
+      ``agg_fn`` to be expressible on a streaming frame (groupBy/agg,
+      optional global sort+limit — complete mode allows both).
+
+    - ``run()`` (the general path): each batch is appended to a parquet
+      staging dir and ``agg_fn`` re-aggregates data-so-far from files.
+      O(data-so-far) per batch — quadratic total work over the run — but
+      imposes zero constraints on ``agg_fn``. Use for transformations the
+      streaming engine rejects.
+
+    Scale design (both modes): nothing accumulates on the driver;
+    ``self.snapshots`` holds only (progress, path) metadata. Checkpoint
+    location is a fresh mkdtemp per run — a reused checkpoint would mark
+    all files processed and silently produce zero batches.
     """
 
     def __init__(
@@ -254,3 +269,64 @@ class OnlineAggregator:
         if not self.snapshots:
             return None
         return agg_fn(self.spark.read.parquet(staging))
+
+    def run_incremental(self, on_snapshot: Callable[[float, DataFrame], None] | None = None) -> DataFrame:
+        """Stateful single-query mode: state store carries the aggregate
+        across batches (per-batch cost O(batch + groups), not O(data-so-far)).
+        Returns the final snapshot as a DataFrame (== the exact batch answer
+        once progress reaches 1.0)."""
+        import os
+        import shutil
+        import tempfile
+
+        work = self.work_dir or tempfile.mkdtemp(prefix="qms_online_inc_")
+        checkpoint = os.path.join(work, "checkpoint")
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.source_path)
+        )
+        agg = self.agg_fn(stream)
+        seen = {"rows": 0}
+        total, spark = self.total_rows, self.spark
+        snapshots = self.snapshots
+
+        def per_batch(result_df: DataFrame, batch_id: int) -> None:
+            # complete mode: result_df IS the full aggregate-so-far; input
+            # size this batch comes from the query progress bookkeeping —
+            # approximate it by the monotone snapshot sequence instead of a
+            # second count job (no extra pass over the data)
+            # (no persist: persisting a complete-mode batch frame with a
+            # post-agg sort+limit trips an internal attribute-rebind bug in
+            # Spark 4.1; the frame is groups-sized, the plain write is cheap)
+            snap_path = os.path.join(work, f"snapshot-b{batch_id:05d}")
+            result_df.write.mode("overwrite").parquet(snap_path)
+            snapshots.append((-1.0, snap_path))  # progress filled in below
+
+        q = (
+            agg.writeStream.foreachBatch(per_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # stamp real progress fractions from the query's input bookkeeping
+        rows_per_batch = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        cum = 0
+        fixed: list[tuple[float, str]] = []
+        for (_, path), n in zip(snapshots, rows_per_batch):
+            cum += n
+            progress = min(cum / total, 1.0) if total else 1.0
+            fixed.append((progress, path))
+        if fixed:
+            self.snapshots[:] = fixed
+        if on_snapshot is not None:
+            for progress, path in self.snapshots:
+                on_snapshot(progress, spark.read.parquet(path))
+        if not self.snapshots:
+            return None
+        return self.spark.read.parquet(self.snapshots[-1][1])

@@ -230,3 +230,36 @@ def test_watermark_finalizes_windows_exactly_once(spark):
     assert emissions == [2], f"expected one emission of 2 on-time rows, got {emissions}"
     # the far-future windows never finalized (watermark never passed them)
     assert all(r["win"]["start"].timestamp() == old_win for r in rows)
+
+
+def test_online_aggregator_incremental_matches_reaggregation(spark, sf_dir):
+    """The stateful incremental mode must produce the same final answer and
+    a converging snapshot sequence, like the re-aggregation mode — but with
+    per-batch work O(batch+groups) instead of O(data-so-far)."""
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="qms_test_online_inc_src_")
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+
+    def agg_fn(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    total = ev.count()
+    schema = spark.read.parquet(src).schema
+    inc = OnlineAggregator(spark, src, schema, agg_fn, total_rows=total)
+    final = inc.run_incremental()
+
+    progresses = [p for p, _ in inc.snapshots]
+    assert len(progresses) >= 2, "multi-file source must produce multiple snapshots"
+    assert progresses == sorted(progresses)
+    assert abs(progresses[-1] - 1.0) < 1e-9
+
+    exact = {r["event_type"]: r["cnt"] for r in agg_fn(ev).collect()}
+    assert {r["event_type"]: r["cnt"] for r in final.collect()} == exact
+
+    # snapshot counts are monotonically non-decreasing per key (counts only grow)
+    prev: dict = {}
+    for _, path in inc.snapshots:
+        snap = {r["event_type"]: r["cnt"] for r in spark.read.parquet(path).collect()}
+        for k, v in prev.items():
+            assert snap.get(k, 0) >= v
+        prev = snap
