@@ -289,21 +289,19 @@ class OnlineAggregator:
             .parquet(self.source_path)
         )
         agg = self.agg_fn(stream)
-        seen = {"rows": 0}
         total, spark = self.total_rows, self.spark
-        snapshots = self.snapshots
+        raw: list[tuple[int, str]] = []  # (batch_id, snapshot path)
 
         def per_batch(result_df: DataFrame, batch_id: int) -> None:
             # complete mode: result_df IS the full aggregate-so-far; input
-            # size this batch comes from the query progress bookkeeping —
-            # approximate it by the monotone snapshot sequence instead of a
-            # second count job (no extra pass over the data)
+            # size this batch comes from the query progress bookkeeping
+            # (no extra pass over the data)
             # (no persist: persisting a complete-mode batch frame with a
             # post-agg sort+limit trips an internal attribute-rebind bug in
             # Spark 4.1; the frame is groups-sized, the plain write is cheap)
             snap_path = os.path.join(work, f"snapshot-b{batch_id:05d}")
             result_df.write.mode("overwrite").parquet(snap_path)
-            snapshots.append((-1.0, snap_path))  # progress filled in below
+            raw.append((batch_id, snap_path))
 
         q = (
             agg.writeStream.foreachBatch(per_batch)
@@ -312,18 +310,19 @@ class OnlineAggregator:
             .trigger(availableNow=True).start()
         )
         q.awaitTermination()
-        # stamp real progress fractions from the query's input bookkeeping
-        rows_per_batch = [
-            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
-        ]
+        # stamp real progress fractions from the query's input bookkeeping,
+        # keyed by batchId so a zero-input batch can't shift the pairing or
+        # drop the final snapshot (recentProgress keeps ~100 entries; absent
+        # ids contribute 0, so very long runs undercount early progress but
+        # never misattribute a snapshot)
+        rows_by_batch = {p["batchId"]: p["numInputRows"] for p in q.recentProgress}
         cum = 0
         fixed: list[tuple[float, str]] = []
-        for (_, path), n in zip(snapshots, rows_per_batch):
-            cum += n
+        for batch_id, path in raw:
+            cum += rows_by_batch.get(batch_id, 0)
             progress = min(cum / total, 1.0) if total else 1.0
             fixed.append((progress, path))
-        if fixed:
-            self.snapshots[:] = fixed
+        self.snapshots[:] = fixed
         if on_snapshot is not None:
             for progress, path in self.snapshots:
                 on_snapshot(progress, spark.read.parquet(path))
