@@ -329,7 +329,7 @@ def pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT term,
                CAST(count(*) AS BIGINT) AS df,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
               FROM documents)
         GROUP BY term
@@ -341,7 +341,9 @@ def pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "postings lists + document frequency. One explode + one shuffle, "
         "map-side combinable; at scale the output is written "
         "partitionBy(shard) where shard = hash(term) % n "
-        "(DistributionPolicy parity).",
+        "(DistributionPolicy parity). Postings are emitted as a "
+        "comma-joined string (numerically sorted first) so the harness can "
+        "canonicalize the column — array cells are unhashable in pandas.",
     tags=("mrlib", "example", "index"),
 )
 def index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +356,12 @@ def index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")
+                ),
+            ).alias("postings"),
         )
         .where(F.col("df") >= 5)
         .select("term", "df", "postings")
