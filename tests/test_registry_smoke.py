@@ -34,3 +34,23 @@ def test_every_oracle_query_aliases_all_columns():
 
 def test_no_duplicate_registrations():
     assert len(QUERIES) == len(set(QUERIES))
+
+
+def test_driver_window_covers_every_plan_module():
+    """The driver's correctness gate checks only the first 50 queries in
+    ``queries()`` order; assert that window samples all seven plan modules
+    (r03 finding: SQL/streaming/UDF/source queries fell outside it)."""
+    window = list(QUERIES.values())[:50]
+    modules = {q.fn.__module__.rsplit(".", 1)[-1] for q in window}
+    assert modules >= {
+        "relational", "mrlib", "data_pipeline", "streaming_queries",
+        "hive_sql", "udf_surface", "sources_queries",
+    }, modules
+
+
+def test_driver_window_mostly_oracled():
+    """Gate-window slots are precious — rows-only queries (no oracle) belong
+    in the tail unless the window has spare room."""
+    window = list(QUERIES.values())[:50]
+    rows_only = [q.name for q in window if q.oracle is None]
+    assert len(rows_only) <= 3, rows_only
