@@ -3,7 +3,10 @@
 Runs each headline query end-to-end (full plan execution into a noop sink —
 no driver-side collection cost, no result serialization) and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}. The driver records this as BENCH_r{N}.json.
+"queries_cold": {...}, "cold_total": ..., "sf": ...}. "queries" is
+steady-state (post-warmup); "queries_cold" is the first run at the target SF
+including one-time staged-artifact builds. The driver records this as
+BENCH_r{N}.json.
 
 Workloads (BASELINE.md "Workload set for BENCH"): WordCount, Grep, global
 Sort, Join, TopK, aggregate-package, Hive-style SQL mix shapes, CQ window,
@@ -88,14 +91,24 @@ def main() -> None:
     # (the IVF index, bucketed tables, replay slices) outside the timed
     # region — measured runs then reflect steady-state query cost, which is
     # what a production engine pays (indexes are built offline, once)
+    # the target-SF warm pass doubles as the COLD-START measurement: first
+    # run per query at the target SF, including one-time staged-artifact
+    # builds (IVF index, bucketed tables) and any residual JIT — reported as
+    # "queries_cold" so the steady-state numbers can't hide staging cost.
     warm_dirs.append(sf_dir)
+    cold: dict[str, float] = {}
     for wd in warm_dirs:
         for name in BENCH_QUERIES:
             if name in qs:
+                t0 = time.monotonic()
                 try:
                     run_query(qs[name].fn(spark, wd))
-                except Exception:
-                    pass
+                    if wd == sf_dir:
+                        cold[name] = round(time.monotonic() - t0, 3)
+                except Exception as exc:  # a failed staging must be visible
+                    if wd == sf_dir:
+                        cold[name] = -1.0
+                    print(f"bench: warm-up {name} at {wd} failed: {exc}", file=sys.stderr)
     # persisted intermediates are per-DataFrame-instance and never reused
     # across calls — drop them so measured queries aren't paying eviction/GC
     # for stale warmup caches
@@ -120,6 +133,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
+        "cold_total": round(sum(t for t in cold.values() if t >= 0), 3),
         "sf": sf,
     }))
 

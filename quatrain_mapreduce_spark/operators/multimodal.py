@@ -52,8 +52,12 @@ def attach_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Stands in for reading real image/audio bytes; the column types and
     downstream plumbing are exactly what real payloads would use.
+
+    NULL text coalesces to '' (md5('') is still 16 bytes) so every document
+    carries a non-null 16-byte payload — the multimodal_frames oracle
+    asserts n_bytes=4 per frame and depends on this invariant.
     """
-    payload = F.unhex(F.md5(F.col(text_col)))
+    payload = F.unhex(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.lit("image/fake").alias("media_type"),

@@ -536,8 +536,8 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_agg",
     oracle="""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
                CAST(count(*) AS BIGINT) AS cnt,
                round(sum(o_totalprice), 2) AS sum_price
         FROM orders
@@ -546,17 +546,27 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP aggregation — a documented SUPERSET: the reference has no "
         "grouping sets / cube / rollup (SemanticAnalyzer restrictions, "
         "SURVEY §2.4); one Spark rollup() replaces the reference user's "
-        "N separate aggregation jobs over the same scan.",
+        "N separate aggregation jobs over the same scan. Subtotal rows are "
+        "flagged via grouping() — not coalesce(col,'ALL'), which would "
+        "conflate a genuine NULL group with the subtotal row on nullable "
+        "grouping columns.",
     tags=("agg", "superset"),
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+        )
         .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.when(F.col("g_status") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g_priority") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority")).alias("priority"),
             "cnt", "sum_price",
         )
     )

@@ -252,17 +252,24 @@ def bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_join(spark, sf_dir)  # stages both bucketed tables
     # the planner skips the bucketed layout when no join/agg needs the
     # distribution — force it: reading via the bucket index is the point
-    # of a MapFile point lookup (prunes 7 of 8 files at the scan).
-    # Deliberately NOT restored before returning: the conf must still be
-    # false when the returned (lazy) plan executes. Sticky blast radius is
-    # only reads of bucketed tables, which want the bucketed layout anyway
-    # (bucketed_join asserts the shuffle-free plan it produces).
+    # of a MapFile point lookup (prunes 7 of 8 files at the scan). The conf
+    # must be false when the physical plan is COMPILED, so compile it here
+    # (executedPlan is cached on the QueryExecution, so later .collect()
+    # reuses it) and restore the session default before returning — the
+    # harness runs many queries on one session and must not inherit a
+    # non-default planner config.
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    return (
-        spark.table(ot).where(F.col("o_custkey") == 370)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
-        .orderBy("o_orderkey")
-    )
+    try:
+        df = (
+            spark.table(ot).where(F.col("o_custkey") == 370)
+            .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+            .orderBy("o_orderkey")
+        )
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+    return df
 
 
 @register(

@@ -303,19 +303,52 @@ class OnlineAggregator:
             result_df.write.mode("overwrite").parquet(snap_path)
             raw.append((batch_id, snap_path))
 
-        q = (
-            agg.writeStream.foreachBatch(per_batch)
-            .outputMode("complete")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-        # stamp real progress fractions from the query's input bookkeeping,
-        # keyed by batchId so a zero-input batch can't shift the pairing or
-        # drop the final snapshot (recentProgress keeps ~100 entries; absent
-        # ids contribute 0, so very long runs undercount early progress but
-        # never misattribute a snapshot)
-        rows_by_batch = {p["batchId"]: p["numInputRows"] for p in q.recentProgress}
+        # recentProgress retains only ~spark.sql.streaming.numRecentProgressUpdates
+        # (default 100) entries, so a >100-micro-batch run would undercount
+        # early batches and stamp the final snapshot with progress < 1.0.
+        # A listener sees EVERY progress event regardless of run length; the
+        # recentProgress tail is merged in afterwards because listener
+        # delivery is async and may lag the last batch at termination.
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _RowsPerBatch(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.rows: dict[tuple[str, int], int] = {}
+
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                self.rows[(str(p.id), p.batchId)] = p.numInputRows
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        listener = _RowsPerBatch()
+        self.spark.streams.addListener(listener)
+        try:
+            q = (
+                agg.writeStream.foreachBatch(per_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            # stamp real progress fractions from the query's input
+            # bookkeeping, keyed by batchId so a zero-input batch can't shift
+            # the pairing or drop the final snapshot
+            rows_by_batch = {
+                b: n for (qid, b), n in listener.rows.items() if qid == str(q.id)
+            }
+            rows_by_batch.update(
+                {p["batchId"]: p["numInputRows"] for p in q.recentProgress}
+            )
+        finally:
+            self.spark.streams.removeListener(listener)
         cum = 0
         fixed: list[tuple[float, str]] = []
         for batch_id, path in raw:

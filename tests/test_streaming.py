@@ -263,3 +263,34 @@ def test_online_aggregator_incremental_matches_reaggregation(spark, sf_dir):
         for k, v in prev.items():
             assert snap.get(k, 0) >= v
         prev = snap
+
+
+def test_online_aggregator_incremental_survives_progress_retention(spark, sf_dir):
+    """recentProgress retains only numRecentProgressUpdates entries; the
+    listener-based bookkeeping must still reach progress 1.0 when the run has
+    more micro-batches than the retention window (simulated by shrinking the
+    retention to 2 — a 100-batch run is the same failure mode, slower)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    src = tempfile.mkdtemp(prefix="qms_test_online_ret_src_")
+    # 8 files, 1 file per trigger => 8 micro-batches >> retention of 2
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    def agg_fn(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    total = ev.count()
+    prev_conf = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try:
+        inc = OnlineAggregator(
+            spark, src, spark.read.parquet(src).schema, agg_fn, total_rows=total
+        )
+        final = inc.run_incremental()
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_conf)
+
+    progresses = [p for p, _ in inc.snapshots]
+    assert len(progresses) >= 4, progresses
+    assert abs(progresses[-1] - 1.0) < 1e-9, progresses
+    exact = {r["event_type"]: r["cnt"] for r in agg_fn(ev).collect()}
+    assert {r["event_type"]: r["cnt"] for r in final.collect()} == exact
