@@ -165,6 +165,76 @@ def sql_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_insert_overwrite_partition",
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="INSERT OVERWRITE TABLE ... PARTITION parity (ql/parse/"
+        "SemanticAnalyzer.java:1991-2088 dest-to-partition resolution; "
+        "qt srcpart loads): a partitioned catalog table receives (1) a "
+        "static-partition OVERWRITE into PARTITION (status='F') — first "
+        "seeded with wrong rows, so a pass proves OVERWRITE replaced rather "
+        "than appended — and (2) a dynamic-partition OVERWRITE "
+        "(PARTITION (status) under partitionOverwriteMode=dynamic) that "
+        "writes partition 'O' without touching 'F' (Hive dynamic-partition "
+        "insert semantics). Read back with a partition predicate; the scan "
+        "prunes to the two directories (PartitionFilters asserted in "
+        "tests/test_plans.py).",
+    tags=("sql", "ddl", "partition"),
+)
+def sql_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    register_views(spark, sf_dir, ("orders",))
+    t = "qms_orders_iop"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    spark.sql(f"""
+        CREATE TABLE {t} (
+            o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE
+        ) USING parquet PARTITIONED BY (status STRING)
+    """)
+    # seed partition F with WRONG data (one row): the static overwrite below
+    # must fully replace it for the oracle to agree
+    spark.sql(f"""
+        INSERT OVERWRITE TABLE {t} PARTITION (status='F')
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F' LIMIT 1
+    """)
+    spark.sql(f"""
+        INSERT OVERWRITE TABLE {t} PARTITION (status='F')
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+    """)
+    # dynamic-partition overwrite: only the partitions the SELECT produces
+    # ('O') are replaced; 'F' must survive (Hive dynamic-partition semantics,
+    # not Spark's default clear-all static mode)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(f"""
+            INSERT OVERWRITE TABLE {t} PARTITION (status)
+            SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus AS status
+            FROM orders WHERE o_orderstatus = 'O'
+        """)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.sql(f"""
+        SELECT status, o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {t} WHERE status IN ('F', 'O')
+        GROUP BY status, o_orderpriority
+    """)
+
+
+@register(
     "sql_subq",
     oracle="""
         SELECT unioninput.l_returnflag AS flag,

@@ -63,7 +63,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
     "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
     "sql_partition_pruning", "sql_subq", "sql_case_sensitivity", "sql_cast1",
-    "sql_transform",
+    "sql_transform", "sql_insert_overwrite_partition",
     # sources/sinks — every round-trip (invisible to the r03 gate)
     "kv_text_roundtrip", "seqfile_roundtrip", "seqfilter_scan",
     "multiple_inputs_union", "tagged_join_shape", "bucketed_join",

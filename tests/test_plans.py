@@ -85,3 +85,12 @@ def test_bucket_point_lookup_scans_one_bucket(spark, sf_dir):
     """Equality on the bucket key must prune to a single bucket file."""
     p = plan_of(spark, sf_dir, "bucket_point_lookup")
     assert "SelectedBucketsCount: 1 out of 8" in p
+
+def test_insert_overwrite_partition_read_is_pruned(spark, sf_dir):
+    """The read-back over the partitioned catalog table must carry the
+    partition predicate as PartitionFilters (directory pruning), not a
+    post-scan filter."""
+    p = plan_of(spark, sf_dir, "sql_insert_overwrite_partition")
+    pf = p.split("PartitionFilters:", 1)
+    assert len(pf) == 2, p
+    assert "status" in pf[1][:200]
