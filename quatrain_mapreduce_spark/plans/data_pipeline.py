@@ -111,6 +111,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), banded AS (
+            SELECT doc_id, lang, sh, floor(ln(len(sh)) / ln(1.25)) AS band
+            FROM sh WHERE len(sh) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND b.band BETWEEN a.band - 1 AND a.band + 1
+             AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, jac FROM pairs WHERE jac >= 0.8
+    """,
+    doc="Driver-visible LSH recall gate: exact word-bigram Jaccard>=0.8 "
+        "ground-truth pairs SEMI-JOINED with the MinHash-LSH candidate "
+        "pair set. The oracle is the plain ground truth (DuckDB-"
+        "expressible; identical to dedup_ngram_jaccard's), so the row "
+        "sets match iff the LSH candidates cover every ground-truth pair "
+        "— recall 1.0 asserted by the driver's own compare instead of "
+        "pytest-only. (Collision prob per J>=0.8 pair at 8 bands x 4 rows "
+        "is 1-(1-0.8^4)^8 ≈ 0.9998; deterministic given the seeded "
+        "permutation family.)",
+    tags=("dedup", "recall"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gt = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=2, threshold=0.8, length_band=True
+    )
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("a_id", "b_id")
+    return gt.join(cand, ["a_id", "b_id"], "left_semi").select("a_id", "b_id", "jac")
+
+
+@register(
     "similarity_bruteforce",
     oracle="""
         WITH v AS (

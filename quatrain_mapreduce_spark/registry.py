@@ -79,8 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # mrlib — representatives + the formerly-red index_build
     "wordcount", "grep", "salted_agg", "pi_estimator", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
-    "dedup_exact", "dedup_ngram_jaccard", "similarity_bruteforce",
-    "text_quality", "multimodal_frames",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
+    "similarity_bruteforce", "text_quality", "multimodal_frames",
 )
 
 
