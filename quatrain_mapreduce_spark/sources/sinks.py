@@ -71,6 +71,29 @@ def multi_sink(df: DataFrame, sinks: list[Callable[[DataFrame], None]]) -> None:
         df.unpersist()
 
 
+def multi_format_sink(
+    df: DataFrame,
+    routes: list[tuple[F.Column | None, str, str, dict | None]],
+) -> None:
+    """Heterogeneous-format demux (MultipleOutputFormat.java:51 —
+    generateFileNameForKeyValue routes one reduce output to a DIFFERENT
+    OutputFormat per key): one shared scan, each route filters its key
+    subset and writes through its own format.
+
+    ``routes``: (predicate | None, format, path, writer options | None).
+    The shared subplan persists once (MEMORY_AND_DISK — a 100 TB scan's
+    working set spills instead of recomputing per route); every route's
+    branch reads the cache, so the source is scanned exactly once.
+    """
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for pred, fmt, path, opts in routes:
+            d = df.where(pred) if pred is not None else df
+            d.write.mode("overwrite").format(fmt).options(**(opts or {})).save(path)
+    finally:
+        df.unpersist()
+
+
 def load_data(spark, path: str, table: str) -> None:
     """LOAD DATA INPATH parity (ql/parse/LoadSemanticAnalyzer.java): adopt
     existing data files into a catalog table.

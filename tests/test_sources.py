@@ -72,6 +72,38 @@ def test_multi_sink_shared_scan(spark, tmp_path):
     assert spark.read.parquet(p2).count() == 5
 
 
+def test_multi_format_sink_demuxes_one_scan_two_formats(spark, tmp_path):
+    """MultipleOutputFormat heterogeneous demux: one shared scan routed to a
+    parquet sink AND a csv sink by key predicate; the branch plans read the
+    persisted shared subplan (InMemoryTableScan), not the source — one scan."""
+    from quatrain_mapreduce_spark.sources.sinks import multi_format_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "hot" if i % 3 == 0 else "cold") for i in range(90)], "v int, k string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    pq, csv = str(tmp_path / "route_pq"), str(tmp_path / "route_csv")
+    multi_format_sink(df, [
+        (F.col("k") == "hot", "parquet", pq, None),
+        (F.col("k") == "cold", "csv", csv, {"header": "true"}),
+    ])
+    # each route materialized in its own format with its key subset
+    assert spark.read.parquet(pq).count() == 30
+    back = spark.read.option("header", True).csv(csv)
+    assert back.count() == 60
+    assert set(back.columns) == {"v", "k"}
+    # one-scan property: while the shared frame is persisted, a route branch
+    # compiles to an InMemoryTableScan (cache read), not a second FileScan
+    df.persist()
+    try:
+        df.count()
+        plan = df.where(F.col("k") == "hot")._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Bucketed tables joined on the bucket key must plan WITHOUT a shuffle
     on either side (MapFileOutputFormat / CLUSTERED BY parity — the whole
