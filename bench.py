@@ -96,6 +96,14 @@ def main() -> None:
     # builds (IVF index, bucketed tables) and any residual JIT — reported as
     # "queries_cold" so the steady-state numbers can't hide staging cost.
     warm_dirs.append(sf_dir)
+    # staged artifacts (IVF index, bucketed tables, replay slices) live in
+    # idempotent /tmp dirs that survive across bench invocations — record
+    # how many already existed so a "cold" number that benefited from a
+    # previous run's staging is identifiable in the artifact
+    import glob as _glob
+    import tempfile as _tempfile
+
+    prestaged = len(_glob.glob(os.path.join(_tempfile.gettempdir(), "qms_*")))
     cold: dict[str, float] = {}
     for wd in warm_dirs:
         for name in BENCH_QUERIES:
@@ -135,6 +143,7 @@ def main() -> None:
         "queries": times,
         "queries_cold": cold,
         "cold_total": round(sum(t for t in cold.values() if t >= 0), 3),
+        "prestaged_dirs": prestaged,
         "sf": sf,
     }))
 
