@@ -160,6 +160,62 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), banded AS (
+            SELECT doc_id, lang, sh, floor(ln(len(sh)) / ln(1.25)) AS band
+            FROM sh WHERE len(sh) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND b.band BETWEEN a.band - 1 AND a.band + 1
+             AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        ), edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id, a_id FROM pairs
+        ), reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        )
+        SELECT node AS doc_id, min(r) AS root_id FROM reach GROUP BY node
+    """,
+    doc="Near-dup connected components — the canonical fuzzy-dedup closure "
+        "(pairwise near-dup relations are not transitive; production "
+        "pipelines keep min-id per component): exact-Jaccard pairs -> "
+        "alternating large-star/small-star contraction "
+        "(operators/components.py — O(log^2) rounds, lineage-truncated, no "
+        "driver graph state). Oracle: DuckDB recursive-CTE transitive "
+        "closure with min-label fold — the iterative algorithm IS "
+        "SQL-expressible via WITH RECURSIVE at oracle scale.",
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        block_col="lang", n=2, threshold=0.8, length_band=True,
+    )
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    return comp.select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
+
+
+@register(
     "similarity_bruteforce",
     oracle="""
         WITH v AS (

@@ -76,11 +76,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cq_tumbling_window", "cq_sliding_window", "stream_tumbling_count",
     "online_agg_events", "online_agg_topk", "cq_moving_avg",
     "cq_moving_avg_stream", "sessionize_events",
-    # mrlib — representatives + the formerly-red index_build
-    "wordcount", "grep", "salted_agg", "pi_estimator", "index_build",
+    # mrlib — representatives + the formerly-red index_build ("grep" moved to
+    # the tail: green in r03, unchanged since)
+    "wordcount", "salted_agg", "pi_estimator", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
     "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
-    "similarity_bruteforce", "text_quality", "multimodal_frames",
+    "dedup_components", "similarity_bruteforce", "text_quality",
+    "multimodal_frames",
 )
 
 

@@ -1,0 +1,75 @@
+"""Connected-components operator: differential against a driver-side
+union-find (the trusted tiny-scale implementation) plus structured planted
+graphs that force multiple contraction rounds."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.components import connected_components
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _labels(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r["node"]: r["root"] for r in connected_components(df).collect()}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _labels(spark, edges) == _union_find(edges)
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    """A 64-node path has diameter 63 — label propagation would need 63
+    rounds; star contraction must still converge (in O(log²) alternations)
+    to a single component rooted at 0."""
+    edges = [(i, i + 1) for i in range(63)]
+    labels = _labels(spark, edges)
+    assert set(labels) == set(range(64))
+    assert set(labels.values()) == {0}
+
+
+def test_disjoint_components_and_duplicate_edges(spark):
+    edges = [(10, 11), (11, 10), (11, 12), (20, 21), (30, 30), (30, 31)]
+    labels = _labels(spark, edges)
+    assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "u long, v long")
+    assert connected_components(df).count() == 0
+
+
+def test_components_query_partitions_near_dups(spark, sf_dir):
+    """dedup_components over the documents table: every near-dup pair lands
+    in one component, and every root is its component's minimum."""
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    qs = all_queries()
+    comp = {r["doc_id"]: r["root_id"] for r in qs["dedup_components"].fn(spark, sf_dir).collect()}
+    pairs = [(r["a_id"], r["b_id"]) for r in qs["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()]
+    assert pairs, "fixture must contain near-dup pairs"
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    assert comp == _union_find(pairs)
