@@ -37,6 +37,28 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def stop_ratio_col(text_col: str) -> Column:
+    """Stopword density of a text column (0.0 for empty docs)."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    return F.when(n > 0, _stop_count(toks) / n).otherwise(F.lit(0.0))
+
+
+def quality_col(text_col: str) -> Column:
+    """Heuristic quality score: 0.3 * stopword_ratio + 0.7 * min(n/100, 1).
+
+    Column-level so pipelines can compose it with other per-doc columns in a
+    single scan (see corpus_curation)."""
+    n = F.size(tokenize(text_col))
+    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.lit(0.3) * stop_ratio_col(text_col) + F.lit(0.7) * length_sat
+
+
+def pred_lang_col(text_col: str) -> Column:
+    """Stopword-density language-ID label (column-level)."""
+    return F.when(stop_ratio_col(text_col) >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality: stopword ratio + length saturation.
 
@@ -44,15 +66,11 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rational arithmetic; the shape (ratios → weighted sum → threshold)
     mirrors production quality filters (C4/Gopher rules).
     """
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    stop_ratio = F.when(n > 0, _stop_count(toks) / n).otherwise(F.lit(0.0))
-    length_sat = F.least(n / F.lit(100.0), F.lit(1.0))
     return df.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
-        (F.lit(0.3) * stop_ratio + F.lit(0.7) * length_sat).alias("quality"),
+        F.size(tokenize(text_col)).alias("n_tokens"),
+        stop_ratio_col(text_col).alias("stop_ratio"),
+        quality_col(text_col).alias("quality"),
     )
 
 
@@ -63,13 +81,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     columns → greatest() argmax). On this corpus (shared synthetic vocab)
     the heuristic resolves en-like vs other.
     """
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    stop_ratio = F.when(n > 0, _stop_count(toks) / n).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
-        F.when(stop_ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
-    )
+    return df.select(F.col(id_col), pred_lang_col(text_col).alias("pred_lang"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

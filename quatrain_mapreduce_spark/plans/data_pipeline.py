@@ -389,6 +389,68 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation",
+    oracle=f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ), scored AS (
+            SELECT d.doc_id,
+                   len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n,
+                   CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x <> '')) > 0
+                        THEN len(list_filter(string_split(d.text, ' '), x -> x IN ('{_STOP_SQL}')))
+                             / len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                        ELSE 0.0 END AS stop_ratio
+            FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        ), quality AS (
+            SELECT doc_id, n,
+                   CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+                   0.3 * stop_ratio + 0.7 * least(n / 100.0, 1.0) AS q
+            FROM scored
+        )
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q), 4) AS avg_quality,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM quality WHERE q >= 0.5
+        GROUP BY pred_lang
+    """,
+    doc="End-to-end corpus curation — the composed training-data pipeline "
+        "(exact dedup -> quality filter -> language ID -> per-lang corpus "
+        "stats) in ONE pass over the scan: the dedup keep-set is a "
+        "row_number window over the content fingerprint (one shuffle, no "
+        "self-join), and quality/lang are column expressions fused into the "
+        "same stage (operators/text.py column-level builders) — the plan a "
+        "100 TB curation run wants: scan once, shuffle once, aggregate.",
+    tags=("dedup", "text", "pipeline"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from quatrain_mapreduce_spark.operators.dedup import normalized_text
+    from quatrain_mapreduce_spark.operators.projection import tokenize
+    from quatrain_mapreduce_spark.operators.text import pred_lang_col, quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.size(tokenize("text")).alias("n"),
+            pred_lang_col("text").alias("pred_lang"),
+            quality_col("text").alias("q"),
+        )
+        .where(F.col("q") >= 0.5)
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.sum("n").alias("total_tokens"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
         SELECT source,

@@ -58,7 +58,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational — flagship + the shapes that exercise distinct plan features
-    "groupby2_shape", "tpch_q1_shape", "join_multiway", "join_semi_anti",
+    # (tpch_q1_shape moved to the tail: green in r03, unchanged, plan-tested)
+    "groupby2_shape", "join_multiway", "join_semi_anti",
     "rollup_agg", "order_by_limit",
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
     "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
@@ -81,8 +82,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wordcount", "salted_agg", "pi_estimator", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
     "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
-    "dedup_components", "similarity_bruteforce", "text_quality",
-    "multimodal_frames",
+    "dedup_components", "corpus_curation", "similarity_bruteforce",
+    "text_quality", "multimodal_frames",
 )
 
 

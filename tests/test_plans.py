@@ -86,6 +86,16 @@ def test_bucket_point_lookup_scans_one_bucket(spark, sf_dir):
     p = plan_of(spark, sf_dir, "bucket_point_lookup")
     assert "SelectedBucketsCount: 1 out of 8" in p
 
+def test_corpus_curation_single_scan_two_shuffles(spark, sf_dir):
+    """The composed curation pipeline (dedup window + quality/lang columns +
+    per-lang agg) must read the corpus ONCE and shuffle exactly twice
+    (fingerprint window, then the groups-sized lang agg) with map-side
+    partials — the 100 TB curation plan."""
+    p = plan_of(spark, sf_dir, "corpus_curation")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in p
+
 def test_insert_overwrite_partition_read_is_pruned(spark, sf_dir):
     """The read-back over the partitioned catalog table must carry the
     partition predicate as PartitionFilters (directory pruning), not a
