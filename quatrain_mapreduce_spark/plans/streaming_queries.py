@@ -238,6 +238,53 @@ def cq_moving_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup",
+    oracle="""
+        SELECT source,
+               CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT) AS uniq_docs
+        FROM documents GROUP BY source
+    """,
+    doc="Streaming incremental dedup — the ingestion-time form of "
+        "exact_dedup a continuously-fed training corpus needs: documents "
+        "replayed as a 4-file stream, content fingerprint computed per "
+        "micro-batch, dropDuplicates carries the seen-fingerprint set in "
+        "the state store ACROSS batches (a duplicate arriving in batch 3 of "
+        "a doc from batch 1 is dropped), drained availableNow. Dedup key is "
+        "(source, fp) so the kept set is arrival-order-independent and "
+        "oracle-checkable. On an unbounded production stream, swap in "
+        "dropDuplicatesWithinWatermark to bound state by event-time.",
+    tags=("streaming", "dedup", "no-sql-plan"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.dedup import normalized_text
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    d = stage_dir(sf_dir, "docslices4")
+    if not os.path.exists(os.path.join(d, "_STAGED")):
+        load_table(spark, sf_dir, "documents").repartition(4) \
+            .write.mode("overwrite").parquet(d)
+        open(os.path.join(d, "_STAGED"), "w").close()
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select("source", F.md5(normalized_text("text")).alias("fp"))
+        .dropDuplicates(["source", "fp"])
+    )
+    name = f"qms_stream_dedup_{next(_stream_counter)}"
+    # append mode: dropDuplicates emits each first-seen row exactly once
+    # (complete mode is for aggregates — run_available_now doesn't apply)
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("source").agg(F.count("*").alias("uniq_docs"))
+
+
+@register(
     "sessionize_events",
     oracle="""
         WITH o AS (

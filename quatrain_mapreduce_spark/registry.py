@@ -73,10 +73,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udf surface (invisible to the r03 gate)
     "transform_pipe_wordcount", "udf_registered_sql", "chain_map_wordcount",
     "counters_observe",
-    # streaming / online aggregation (invisible to the r03 gate)
-    "cq_tumbling_window", "cq_sliding_window", "stream_tumbling_count",
+    # streaming / online aggregation (invisible to the r03 gate;
+    # cq_sliding_window in the tail — same window family as cq_tumbling)
+    "cq_tumbling_window", "stream_tumbling_count",
     "online_agg_events", "online_agg_topk", "cq_moving_avg",
-    "cq_moving_avg_stream", "sessionize_events",
+    "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
     # mrlib — representatives + the formerly-red index_build ("grep" moved to
     # the tail: green in r03, unchanged since)
     "wordcount", "salted_agg", "pi_estimator", "index_build",

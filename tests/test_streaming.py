@@ -265,6 +265,36 @@ def test_online_aggregator_incremental_matches_reaggregation(spark, sf_dir):
         prev = snap
 
 
+def test_stream_dedup_drops_duplicate_across_batches(spark):
+    """Streaming dropDuplicates state must span micro-batches: a row
+    re-arriving in a LATER file slice (batch) is dropped, not re-emitted."""
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="qms_test_sdedup_")
+    base = time.time() - 600
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int") \
+        .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    spark.createDataFrame([("a", 1), ("c", 3)], "k string, v int") \
+        .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    for i, sub in enumerate(["f1", "f2"]):
+        for f in os.listdir(os.path.join(src, sub)):
+            os.utime(os.path.join(src, sub, f), (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .dropDuplicates(["k"])
+    )
+    q = (stream.writeStream.format("memory").queryName("qms_test_sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["k"]: r["v"] for r in spark.table("qms_test_sdedup").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+    # more than one batch actually ran (the cross-batch claim is meaningful)
+    assert len(q.recentProgress) >= 2
+
+
 def test_online_aggregator_incremental_survives_progress_retention(spark, sf_dir):
     """recentProgress retains only numRecentProgressUpdates entries; the
     listener-based bookkeeping must still reach progress 1.0 when the run has
