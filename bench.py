@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "cq_tumbling_window",  # CQ window on events
     "sessionize_events",
     "dedup_exact",
+    "dedup_components",    # iterative star contraction over near-dup pairs
+    "corpus_curation",     # composed curation pipeline (1 scan, 2 shuffles)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_bruteforce",
