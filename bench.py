@@ -124,18 +124,23 @@ def main() -> None:
     # for stale warmup caches
     spark.catalog.clearCache()
 
+    # median of N_REPS steady-state runs per query — a single local[32] pass
+    # has ±10-20% scheduler/GC jitter; the median is stable round-to-round
+    N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        try:
-            run_query(qs[name].fn(spark, sf_dir))
-            times[name] = round(time.monotonic() - t0, 3)
-        except Exception as exc:  # never let one query kill the artifact
-            times[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-        spark.catalog.clearCache()
+        reps: list[float] = []
+        for _ in range(N_REPS):
+            t0 = time.monotonic()
+            try:
+                run_query(qs[name].fn(spark, sf_dir))
+                reps.append(time.monotonic() - t0)
+            except Exception as exc:  # never let one query kill the artifact
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+        times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(json.dumps({

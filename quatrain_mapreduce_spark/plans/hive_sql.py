@@ -234,6 +234,31 @@ def sql_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFram
     """)
 
 
+_GROUPING_SETS_SQL = """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS pri,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+@register(
+    "sql_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="GROUPING SETS — a documented SUPERSET alongside rollup_agg (the "
+        "reference's SemanticAnalyzer admits one GROUP BY list per insert; "
+        "grouping sets/cube/rollup don't exist): three grouping sets over "
+        "one scan replace three reference jobs; subtotal rows flagged via "
+        "GROUPING(), identical SQL text on both engines.",
+    tags=("sql", "agg", "superset"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @register(
     "sql_subq",
     oracle="""

@@ -285,6 +285,65 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+        SELECT c.user_id AS user_id, c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               round(epoch(p.ts) - epoch(c.ts), 3) AS secs_between
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream inner join — a documented SUPERSET (the reference's "
+        "CQ layer has no streaming join; its joins are batch-only): clicks "
+        "and purchases replayed as two file streams, joined per user within "
+        "a 5-minute event-time interval. INNER join without watermark keeps "
+        "full join state, so the bounded-replay result is arrival-order-"
+        "independent and equals the batch join (the oracle). An unbounded "
+        "production deployment adds withWatermark on both sides + the time "
+        "bound to evict state — same query shape.",
+    tags=("streaming", "join", "superset", "no-sql-plan"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = stage_multifile_events(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(src).schema
+
+    def read(kind: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(src)
+            .where(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    clicks, purchases = read("click", "c"), read("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 5 minutes")),
+    )
+    name = f"qms_ss_join_{next(_stream_counter)}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.round((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1000000.0), 3)
+        .alias("secs_between"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
         WITH o AS (
