@@ -97,3 +97,22 @@ def test_jaccard_bounds_and_symmetry(spark, a, b):
     assert 0.0 <= r["jab"] <= 1.0
     assert abs(r["jab"] - r["jba"]) < 1e-12
     assert abs(r["jaa"] - 1.0) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0, max_size=60,
+    ),
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Star-contraction labels == a pure-Python union-find on any random
+    edge list (self-loops, duplicates, reversed duplicates included)."""
+    from quatrain_mapreduce_spark.operators.components import connected_components
+    from tests.test_components import _union_find
+
+    df = spark.createDataFrame(edges, "u long, v long") if edges else \
+        spark.createDataFrame([], "u long, v long")
+    got = {r["node"]: r["root"] for r in connected_components(df).collect()}
+    assert got == _union_find([e for e in edges if e[0] != e[1]])
