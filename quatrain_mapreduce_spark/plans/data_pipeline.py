@@ -472,15 +472,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas decode path — rows-only (byte math over blobs is not portable SQL)
+    oracle="""
+        SELECT doc_id, 'image/fake' AS media_type, CAST(16 AS BIGINT) AS n_bytes,
+               round(list_aggregate(list_transform(generate_series(1, 16), i ->
+                         (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), (i-1)*2+1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), (i-1)*2+2, 1)) - 1)),
+                     'sum') / 16.0, 4) AS feature_mean
+        FROM documents
+    """,
     doc="Multimodal plumbing: binary payload column + metadata struct → "
         "Arrow-batched mapInPandas feature extraction (decode stubbed, "
-        "deterministic; schema/batch shape real).",
-    tags=("multimodal", "no-oracle"),
+        "deterministic; schema/batch shape real). Oracle decodes the md5 "
+        "payload's bytes from hex digit positions — the mean-byte feature "
+        "IS portable SQL, so the Python mapInPandas path is value-checked "
+        "end to end, not just rows-counted.",
+    tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    return extract_features(media)
+    return extract_features(media).withColumn(
+        "feature_mean", F.round(F.col("feature_mean"), 4)
+    )
 
 
 @register(
