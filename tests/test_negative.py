@@ -154,6 +154,44 @@ def test_failfast_malformed_csv_fails(spark, tmp_path):
     assert "Malformed" in str(e.value) or "FAILFAST" in str(e.value)
 
 
+def test_streaming_agg_append_without_watermark_fails(spark):
+    """Streaming semantic negatives (the CQ layer's analysis errors):
+    an aggregate in append mode needs a watermark to ever finalize."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .groupBy("value").count()
+    )
+    with pytest.raises(Exception) as e:
+        q = stream.writeStream.format("memory").queryName("qms_neg_s1") \
+            .outputMode("append").start()
+        q.stop()
+    msg = str(e.value)
+    assert "watermark" in msg.lower() or "append" in msg.lower()
+
+
+def test_streaming_complete_mode_without_aggregation_fails(spark):
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(Exception) as e:
+        q = stream.writeStream.format("memory").queryName("qms_neg_s2") \
+            .outputMode("complete").start()
+        q.stop()
+    assert "complete" in str(e.value).lower()
+
+
+def test_stream_stream_outer_join_without_watermark_fails(spark):
+    """Outer stream-stream joins REQUIRE watermarks + a time bound (state
+    must be evictable to emit null-padded rows); inner joins don't."""
+    left = spark.readStream.format("rate").option("rowsPerSecond", 1).load() \
+        .select(F.col("value").alias("lk"), F.col("timestamp").alias("lts"))
+    right = spark.readStream.format("rate").option("rowsPerSecond", 1).load() \
+        .select(F.col("value").alias("rk"), F.col("timestamp").alias("rts"))
+    joined = left.join(right, F.col("lk") == F.col("rk"), "left_outer")
+    with pytest.raises(Exception):
+        q = joined.writeStream.format("memory").queryName("qms_neg_s3") \
+            .outputMode("append").start()
+        q.stop()
+
+
 def test_duplicate_create_table_fails(spark, tmp_path):
     """create_table_failure family: CREATE without IF NOT EXISTS on an
     existing table is an error."""
