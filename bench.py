@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "similarity_lsh",
     "similarity_ivf",
     "text_quality",
+    "decontaminate",       # eval-set n-gram decontamination (broadcast anti-join)
+    "domain_cap",          # per-domain frequency cap (one window shuffle)
 ]
 
 

@@ -1,0 +1,146 @@
+"""Corpus-curation operators for training-data pipelines.
+
+No reference analogue (the reference stops at dedup-adjacent DISTINCT /
+group-by — QL/parse/SemanticAnalyzer.java:747); these are engine extensions
+covering the standard curation steps a 100 TB pretraining pipeline runs
+between raw crawl and tokenizer:
+
+- stratified_sample:  per-stratum deterministic hash sampling (rebalance
+                      languages/sources without a global shuffle).
+- train_val_split:    leakage-free deterministic split assignment.
+- cap_per_domain:     frequency capping — keep the top-k highest-quality
+                      docs per domain (one window shuffle, no self-join).
+- decontaminate:      eval-set n-gram decontamination (anti-join on shared
+                      shingles — the standard benchmark-leakage guard).
+- scrub_pii:          regex redaction of emails/phones, pure JVM-side
+                      regexp_replace (no Python in the row path).
+
+Determinism/scale notes:
+- Sampling and splitting must be DETERMINISTIC (re-runnable, engine-portable,
+  stable under repartition). ``rand()`` fails all three; instead rows hash
+  through PORTABLE_H16: nibble-decode the first 4 hex chars of md5(id) into
+  a uniform 16-bit integer. The same SQL string evaluates identically in
+  Spark and DuckDB (verified in the oracle suite), so the sample itself —
+  not just its statistics — is cross-checked.
+- Every operator here is one scan plus at most one shuffle; none holds
+  driver state, so all scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.dedup import word_shingles
+from quatrain_mapreduce_spark.operators.text import quality_col
+
+_NIBBLE = "(position(substr(md5(concat({id},'')),{i},1) IN '0123456789abcdef')-1)"
+
+
+def portable_h16_sql(id_col: str) -> str:
+    """Uniform deterministic 16-bit hash of an id column, as a SQL string
+    valid verbatim in BOTH Spark SQL and DuckDB: md5 the decimal string form
+    of the id, then nibble-decode the first four hex chars via ANSI
+    ``position(x IN y)``. Engine-portable where xxhash64/hash() are not."""
+    parts = [f"{_NIBBLE.format(id=id_col, i=i + 1)}*{w}" for i, w in enumerate((4096, 256, 16, 1))]
+    return "(" + "+".join(parts) + ")"
+
+
+def h16(id_col: str) -> F.Column:
+    return F.expr(portable_h16_sql(id_col))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, quotas: dict[str, int],
+    default_quota: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    h16(id) % 1000 < quota(stratum), quota in permille.
+
+    The curation use: rebalance a language/source-skewed crawl (downsample
+    the head stratum, keep the tail) without materializing strata or
+    shuffling — the keep-decision is a pure column expression evaluated at
+    scan time, so at 100 TB this is a single filtered pass with the
+    filter pushed into the scan stage.
+    """
+    quota = F.lit(default_quota)
+    for k, v in quotas.items():
+        quota = F.when(F.col(stratum_col) == k, v).otherwise(quota)
+    return df.withColumn("__kept", (h16(id_col) % 1000 < quota).cast("int"))
+
+
+def train_val_split(df: DataFrame, id_col: str, val_permille: int = 50) -> DataFrame:
+    """Deterministic train/validation assignment: h16(id) % 1000 — rows keep
+    their split across reruns and engines, the property that makes the split
+    leakage-free when upstream stages are re-executed."""
+    return df.withColumn(
+        "split",
+        F.when(h16(id_col) % 1000 < F.lit(1000 - val_permille), "train").otherwise("val"),
+    )
+
+
+def cap_per_domain(
+    df: DataFrame, id_col: str, domain_col: str, text_col: str, k: int,
+) -> DataFrame:
+    """Frequency capping: keep at most ``k`` docs per domain, preferring the
+    highest quality score (deterministic id tie-break).
+
+    One shuffle (window over domain); no self-join. At 100 TB, domains are
+    the canonical skew axis — a boilerplate-heavy domain with 10^9 pages
+    would otherwise dominate the corpus; the per-partition rank keeps state
+    O(k) per domain with AQE splitting oversized domain partitions.
+    """
+    w = Window.partitionBy(domain_col).orderBy(F.desc("q"), F.col(id_col))
+    return (
+        df.withColumn("q", quality_col(text_col))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def decontaminate(
+    df: DataFrame, id_col: str, text_col: str, eval_ids: DataFrame, n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing any word
+    ``n``-gram with the eval set (Brown et al. 2020's 13-gram rule, shape-
+    identical at any n).
+
+    Plan: eval docs (small by construction) shingle → explode → distinct,
+    and the train side anti-joins on the shingle string. Spark broadcasts
+    the eval-gram side when it fits (typical: eval sets are MBs against a
+    100 TB train corpus); otherwise it is a shuffled semi-join keyed on the
+    gram — either way the train corpus is scanned once and never
+    self-joined.
+
+    ``eval_ids`` carries just ``id_col``; returns the decontaminated frame.
+    """
+    grams = lambda frame: (  # noqa: E731
+        frame.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
+    )
+    eval_grams = grams(df.join(eval_ids, id_col, "semi")).select("ng").distinct()
+    train = df.join(eval_ids, id_col, "anti")
+    contaminated = grams(train).join(eval_grams, "ng", "semi").select(id_col).distinct()
+    return train.join(contaminated, id_col, "anti")
+
+
+# Redaction patterns: the common-subset regex dialect (no lookaround, no \b)
+# so Java (Spark) and RE2-ish (DuckDB) engines agree byte-for-byte.
+EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """PII redaction: replace emails/phone numbers with typed placeholder
+    tokens, recording per-row redaction counts. Pure JVM regexp_replace /
+    regexp_extract_all — no Python in the row path, fully codegen'd, so at
+    100 TB this runs at scan throughput."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))))
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"),
+        )
+    )

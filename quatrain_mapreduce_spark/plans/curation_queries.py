@@ -1,0 +1,214 @@
+"""Corpus-curation acceptance queries: sampling, splitting, domain capping,
+decontamination, PII scrubbing (operators/curation.py).
+
+No reference analogue (engine extension tier — the reference's curation
+ceiling is DISTINCT, QL/parse/SemanticAnalyzer.java:747). Every query here is
+FULLY oracle-checked, including sample MEMBERSHIP (id-sum columns), because
+the sampling hash (curation.portable_h16_sql) is the same SQL text evaluated
+by both engines — determinism is part of the contract, not just the stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.curation import (
+    EMAIL_RE, PHONE_RE, cap_per_domain, decontaminate, h16, portable_h16_sql,
+    scrub_pii, stratified_sample, train_val_split,
+)
+from quatrain_mapreduce_spark.operators.text import STOPWORDS
+from quatrain_mapreduce_spark.registry import register
+
+_H = portable_h16_sql("doc_id")
+_STOP = "', '".join(STOPWORDS)
+
+# The portable quality expression (matches operators/text.quality_col and the
+# green text_quality oracle).
+_Q_SQL = f"""
+    0.3 * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+           THEN len(list_filter(string_split(text, ' '), x -> x IN ('{_STOP}')))
+                / len(list_filter(string_split(text, ' '), x -> x <> ''))
+           ELSE 0.0 END)
+  + 0.7 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+"""
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CASE WHEN {_H} % 1000 <
+                             CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_sampled,
+               CAST(sum(kept * doc_id) AS BIGINT) AS sampled_id_sum
+        FROM t GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling: downsample the head language "
+        "(en -> 30%), keep the tail at 80%. Keep-decision is a pure column "
+        "expression over a portable md5-nibble hash — no rand(), no shuffle; "
+        "the id-sum column makes sample MEMBERSHIP (not just rates) "
+        "oracle-checked.",
+    tags=("curation",),
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample(docs, "doc_id", "lang", {"en": 300}, default_quota=800)
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__kept").alias("n_sampled"),
+        F.sum(F.col("__kept") * F.col("doc_id")).alias("sampled_id_sum"),
+    )
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+        SELECT CASE WHEN {_H} % 1000 < 950 THEN 'train' ELSE 'val' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY 1, 2
+    """,
+    doc="Deterministic 95/5 train/validation split: rows keep their split "
+        "across reruns and engines (leakage-free under re-execution). "
+        "id_sum oracle-checks the assignment itself.",
+    tags=("curation",),
+)
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = train_val_split(load_table(spark, sf_dir, "documents"), "doc_id", val_permille=50)
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "domain_cap",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, source, {_Q_SQL} AS q
+            FROM documents
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY q DESC, doc_id) AS rk
+            FROM q
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(avg(q), 4) AS avg_q,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        FROM r WHERE rk <= 10 GROUP BY source
+    """,
+    doc="Frequency capping: keep the 10 highest-quality docs per source "
+        "(deterministic tie-break). One window shuffle, O(k) state per "
+        "domain — the guard against boilerplate-heavy domains dominating "
+        "a 100 TB corpus.",
+    tags=("curation",),
+)
+def domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_domain(docs, "doc_id", "source", "text", k=10)
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("q"), 4).alias("avg_q"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_H} AS h,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang, h,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 4
+                            THEN list_transform(generate_series(1, len(toks) - 3),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                      toks[i+2] || ' ' || toks[i+3])
+                            ELSE [] END) AS g
+            FROM t
+        ), ev AS (
+            SELECT DISTINCT unnest(g) AS ng FROM sh WHERE h % 10 = 0
+        ), tr AS (
+            SELECT doc_id, lang, g FROM sh WHERE h % 10 <> 0
+        ), kept AS (
+            SELECT doc_id, lang FROM tr
+            WHERE NOT EXISTS (SELECT 1 FROM ev WHERE list_contains(tr.g, ev.ng))
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        FROM kept GROUP BY lang
+    """,
+    doc="Benchmark decontamination (GPT-3-style n-gram rule, n=4 at this "
+        "corpus scale): a deterministic 10% eval slice, then training docs "
+        "sharing any word 4-gram with it are anti-joined out. Eval grams "
+        "broadcast (small side); the train corpus is scanned once.",
+    tags=("curation",),
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ids = docs.where(h16("doc_id") % 10 == 0).select("doc_id")
+    kept = decontaminate(docs, "doc_id", "text", eval_ids, n=4)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0
+                                THEN ' contact bob@example.com now'
+                                WHEN doc_id % 11 = 0
+                                THEN ' call 555-123-4567 today'
+                                ELSE '' END AS text2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text2, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS fp
+        FROM t
+    """,
+    doc="PII redaction: emails/phones replaced with typed placeholders, "
+        "counts recorded per row. Deterministic synthetic PII is injected "
+        "first (the corpus is clean by construction) so the scrub path is "
+        "value-checked end-to-end: the oracle compares the md5 of the "
+        "SCRUBBED text. Pure JVM regexp — runs at scan throughput.",
+    tags=("curation",),
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, " contact bob@example.com now")
+            .when(F.col("doc_id") % 11 == 0, " call 555-123-4567 today")
+            .otherwise(""),
+        ).alias("text2"),
+    )
+    out = scrub_pii(docs, "text2")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.md5("scrubbed").alias("fp"),
+    )

@@ -58,8 +58,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational — flagship + the shapes that exercise distinct plan features
-    # (tpch_q1_shape moved to the tail: green in r03, unchanged, plan-tested)
-    "groupby2_shape", "join_multiway", "join_semi_anti",
+    # (tpch_q1_shape / join_semi_anti moved to the tail: green in r03,
+    # unchanged, plan-tested)
+    "groupby2_shape", "join_multiway",
     "rollup_agg", "order_by_limit",
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
     "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
@@ -78,13 +79,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cq_tumbling_window", "stream_tumbling_count",
     "online_agg_events", "online_agg_topk", "cq_moving_avg",
     "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
-    # mrlib — representatives + the formerly-red index_build ("grep" moved to
-    # the tail: green in r03, unchanged since)
-    "wordcount", "salted_agg", "pi_estimator", "index_build",
+    # mrlib — representatives + the formerly-red index_build ("grep",
+    # "salted_agg", "pi_estimator" moved to the tail: green in r03, unchanged)
+    "wordcount", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
+    # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
-    "dedup_components", "corpus_curation", "similarity_bruteforce",
-    "text_quality", "multimodal_frames",
+    "dedup_components", "corpus_curation", "multimodal_frames",
+    # curation tier — new this round, fully oracled incl. sample membership
+    "stratified_sample", "train_val_split", "domain_cap", "decontaminate",
+    "pii_scrub",
 )
 
 
@@ -92,8 +96,8 @@ def all_queries() -> dict[str, Query]:
     """Import all plan modules (side-effect: registration) and return REGISTRY
     ordered so the driver's 50-query gate window samples every module."""
     from quatrain_mapreduce_spark.plans import (  # noqa: F401
-        relational, mrlib, data_pipeline, streaming_queries, hive_sql, udf_surface,
-        sources_queries,
+        relational, mrlib, data_pipeline, curation_queries, streaming_queries,
+        hive_sql, udf_surface, sources_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

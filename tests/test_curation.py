@@ -1,0 +1,115 @@
+"""Curation-operator tests: planted-case semantics + determinism + plan shape.
+
+The oracle suite (plans/curation_queries.py) value-checks these against
+DuckDB on real testdata; these tests pin the SEMANTIC contracts on synthetic
+rows where the expected answer is known by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.operators.curation import (
+    cap_per_domain, decontaminate, h16, scrub_pii, stratified_sample,
+    train_val_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stratified_sample_deterministic_and_respects_quota(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = stratified_sample(docs, "doc_id", "lang", {"en": 300}, default_quota=800)
+    b = stratified_sample(docs, "doc_id", "lang", {"en": 300}, default_quota=800)
+    ka = sorted(r.doc_id for r in a.where("__kept = 1").select("doc_id").collect())
+    kb = sorted(r.doc_id for r in b.where("__kept = 1").select("doc_id").collect())
+    assert ka == kb and len(ka) > 0
+    rates = {
+        r.lang: r.rate
+        for r in a.groupBy("lang").agg((F.avg("__kept")).alias("rate")).collect()
+    }
+    # 16-bit hash at sf0.001 strata (~10-50 docs) — generous tolerance, but
+    # the en quota (0.30) and tail quota (0.80) must stay separated.
+    assert rates["en"] < 0.6
+    assert all(v > 0.5 for k, v in rates.items() if k != "en")
+
+
+def test_train_val_split_disjoint_and_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = train_val_split(docs, "doc_id", val_permille=200)
+    counts = dict(s.groupBy("split").count().collect())
+    assert set(counts) == {"train", "val"}
+    # same row never changes split
+    again = train_val_split(docs, "doc_id", val_permille=200)
+    diff = (
+        s.select("doc_id", "split")
+        .join(again.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where("split <> s2")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_cap_per_domain_keeps_k_highest_quality(spark):
+    stop = "the a and is"  # high stop-ratio text scores higher at equal length
+    rows = [(i, "src0", (stop + " ") * 25 if i == 7 else "zz yy xx ww vv") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = cap_per_domain(df, "doc_id", "source", "text", k=3)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert len(ids) == 3
+    assert 7 in ids  # the planted high-quality doc always survives the cap
+    # ties broken by doc_id: the remaining slots go to the lowest ids
+    assert ids == [0, 1, 7]
+
+
+def test_decontaminate_removes_ngram_overlap_only(spark):
+    eval_doc = (100, "alpha beta gamma delta epsilon zeta")
+    contaminated = (1, "prefix words alpha beta gamma delta suffix")  # shares a 4-gram
+    clean = (2, "totally unrelated content with other tokens here")
+    near_miss = (3, "alpha beta gamma other words entirely now")  # only a 3-gram overlap
+    df = _docs(spark, [eval_doc, contaminated, clean, near_miss])
+    eval_ids = df.where("doc_id = 100").select("doc_id")
+    kept = sorted(
+        r.doc_id for r in decontaminate(df, "doc_id", "text", eval_ids, n=4).collect()
+    )
+    assert kept == [2, 3]  # eval doc itself and the 4-gram match are gone
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe@example.org or call 555-867-5309 ok"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.net and 111-222-3333 444-555-6666"),
+        ],
+    )
+    out = {r.doc_id: r for r in scrub_pii(df, "text").collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert "<EMAIL>" in out[1].scrubbed and "<PHONE>" in out[1].scrubbed
+    assert "example.org" not in out[1].scrubbed and "555-867" not in out[1].scrubbed
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0) and out[2].scrubbed == "no pii here"
+    assert (out[3].n_emails, out[3].n_phones) == (2, 2)
+
+
+def test_h16_uniform_enough(spark):
+    # 16-bit portable hash over 10k ids: every decile bucket within ±20% of
+    # uniform — catches nibble-decode mistakes that collapse the range.
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    buckets = dict(
+        df.select((h16("doc_id") % 10).alias("b")).groupBy("b").count().collect()
+    )
+    assert len(buckets) == 10
+    assert all(800 <= v <= 1200 for v in buckets.values())
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_ids = docs.where(h16("doc_id") % 10 == 0).select("doc_id")
+    kept = decontaminate(docs, "doc_id", "text", eval_ids, n=4)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the eval-gram side (small by construction) must come in as a broadcast,
+    # not a shuffled sort-merge join against the full corpus
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
