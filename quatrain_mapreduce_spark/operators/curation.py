@@ -32,7 +32,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.operators.dedup import word_shingles
+from quatrain_mapreduce_spark.operators.projection import tokenize
 from quatrain_mapreduce_spark.operators.text import quality_col
+
+
+def word_all_ngrams(toks: F.Column, n: int) -> F.Column:
+    """ALL word n-grams of a token array, duplicates preserved (unlike
+    dedup.word_shingles, which is distinct-set semantics for Jaccard) —
+    repetition measures need the multiset."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 _NIBBLE = "(position(substr(md5(concat({id},'')),{i},1) IN '0123456789abcdef')-1)"
 
@@ -128,6 +140,34 @@ def decontaminate(
 # so Java (Spark) and RE2-ish (DuckDB) engines agree byte-for-byte.
 EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
 PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style repetition rules):
+    fraction of tokens taken by the most frequent token, and fraction of
+    word bigrams taken by the most frequent bigram.
+
+    Computed entirely with array higher-order functions — scan-local, ZERO
+    shuffle (the explode→groupBy(doc, gram) formulation would shuffle the
+    whole tokenized corpus). Per-doc cost is O(len · distinct); right for
+    natural documents where distinct ≪ len bounds the constant, and the
+    no-shuffle property is what matters at 100 TB.
+    """
+    toks = tokenize(text_col)
+
+    def top_frac(arr: F.Column) -> F.Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+
+    bigrams = word_all_ngrams(toks, 2)
+    return df.withColumn("top_tok_frac", top_frac(toks)).withColumn(
+        "top_bigram_frac", top_frac(bigrams)
+    )
 
 
 def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:

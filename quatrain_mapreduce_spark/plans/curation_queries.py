@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.operators.curation import (
     EMAIL_RE, PHONE_RE, cap_per_domain, decontaminate, h16, portable_h16_sql,
-    scrub_pii, stratified_sample, train_val_split,
+    repetition_stats, scrub_pii, stratified_sample, train_val_split,
 )
 from quatrain_mapreduce_spark.operators.text import STOPWORDS
 from quatrain_mapreduce_spark.registry import register
@@ -211,4 +211,74 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_emails").cast("int").alias("n_emails"),
         F.col("n_phones").cast("int").alias("n_phones"),
         F.md5("scrubbed").alias("fp"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(generate_series(1, len(toks) - 1),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END AS bi
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN list_max(list_transform(list_distinct(toks),
+                                  x -> len(list_filter(toks, y -> y = x))))
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS top_tok_frac,
+               CASE WHEN len(bi) > 0
+                    THEN list_max(list_transform(list_distinct(bi),
+                                  x -> len(list_filter(bi, y -> y = x))))
+                         / CAST(len(bi) AS DOUBLE)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM g
+    """,
+    doc="Intra-doc repetition signals (Gopher-style rules): most-frequent "
+        "token and bigram fractions, computed with array higher-order "
+        "functions — scan-local, zero shuffle (the explode->groupBy "
+        "formulation would shuffle the entire tokenized corpus).",
+    tags=("curation",),
+)
+def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, "text").select(
+        "doc_id", "top_tok_frac", "top_bigram_frac"
+    )
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+        SELECT doc_id,
+               {_H} % 8 AS shard,
+               CAST(row_number() OVER (PARTITION BY {_H} % 8
+                                       ORDER BY {_H}, doc_id) AS BIGINT) AS pos
+        FROM documents
+    """,
+    doc="Deterministic global shuffle for training export: shard = "
+        "portable-hash %% n_shards, position = rank within shard by (hash, "
+        "id). One hash shuffle, every shard sorts independently — no "
+        "single-reducer total order; reproducible example order across "
+        "reruns and engines (the property data-loader resume depends on).",
+    tags=("curation",),
+)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = h16("doc_id")
+    w = Window.partitionBy(h % 8).orderBy(h, "doc_id")
+    return docs.select(
+        "doc_id",
+        (h % 8).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )

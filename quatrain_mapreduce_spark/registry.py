@@ -71,13 +71,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multiple_inputs_union", "tagged_join_shape", "bucketed_join",
     "dbcount_jdbc_roundtrip", "xml_roundtrip", "bucket_point_lookup",
     "csv_typed_roundtrip", "skip_bad_records",
-    # udf surface (invisible to the r03 gate)
+    # udf surface (invisible to the r03 gate; counters_observe in the tail —
+    # its distinctive behavior, the observe() metrics, is pytest-asserted and
+    # invisible to the driver's DF compare anyway)
     "transform_pipe_wordcount", "udf_registered_sql", "chain_map_wordcount",
-    "counters_observe",
     # streaming / online aggregation (invisible to the r03 gate;
     # cq_sliding_window in the tail — same window family as cq_tumbling)
+    # (cq_moving_avg batch variant in the tail — cq_moving_avg_stream is the
+    # real-stream superset of the same window family)
     "cq_tumbling_window", "stream_tumbling_count",
-    "online_agg_events", "online_agg_topk", "cq_moving_avg",
+    "online_agg_events", "online_agg_topk",
     "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
     # mrlib — representatives + the formerly-red index_build ("grep",
     # "salted_agg", "pi_estimator" moved to the tail: green in r03, unchanged)
@@ -86,7 +89,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
     "dedup_components", "corpus_curation", "multimodal_frames",
-    # curation tier — new this round, fully oracled incl. sample membership
+    # curation tier — newest queries first (changed-recently rule), fully
+    # oracled incl. sample membership
+    "repetition_filter", "corpus_shuffle",
     "stratified_sample", "train_val_split", "domain_cap", "decontaminate",
     "pii_scrub",
 )
