@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.operators.dedup import word_shingles
 from quatrain_mapreduce_spark.operators.projection import tokenize
-from quatrain_mapreduce_spark.operators.text import quality_col
+from quatrain_mapreduce_spark.operators.text import STOPWORDS, quality_col
 
 
 def word_all_ngrams(toks: F.Column, n: int) -> F.Column:
@@ -184,3 +184,43 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
             F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"),
         )
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. '21 §A1.1, adapted to
+    single-line docs): token count bounds, mean token length band,
+    no-alphanumeric token fraction, distinct-stopword floor, plus the
+    [[repetition|repetition_stats]] top-token fraction. One scan, zero
+    shuffle — every signal is an array higher-order function over the
+    tokenized text, so the gate composes into any pipeline as a free
+    filter pushdown candidate.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    tok_len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_tok_len = F.when(n > 0, tok_len_sum / n).otherwise(F.lit(0.0))
+    symbol_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: ~t.rlike("[a-zA-Z0-9]"))) / n,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    out = df.select(
+        "*",
+        n.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(symbol_frac, 4).alias("symbol_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("mean_tok_len") >= 2)
+        & (F.col("mean_tok_len") <= 12)
+        & (F.col("symbol_frac") < 0.1)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("passes", passes.cast("int"))

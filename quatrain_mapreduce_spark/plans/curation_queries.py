@@ -282,3 +282,52 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % 8).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "gopher_rules",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, s -> CAST(length(s) AS BIGINT)))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS mean_tok_len,
+                   CASE WHEN len(toks) > 0
+                        THEN round(len(list_filter(toks, s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS symbol_frac,
+                   CAST(len(list_intersect(list_distinct(toks),
+                                           ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_tok_len, symbol_frac, stop_hits,
+               CAST(n_tokens BETWEEN 5 AND 100000
+                    AND mean_tok_len BETWEEN 2 AND 12
+                    AND symbol_frac < 0.1
+                    AND stop_hits >= 2 AS INT) AS passes
+        FROM m
+    """,
+    doc="Gopher-style quality gate (Rae et al. '21 A1.1): token-count "
+        "bounds, mean-token-length band, symbol-token fraction, distinct "
+        "stopword floor -> pass/fail flag. Scan-local array expressions, "
+        "zero shuffle; pairs with repetition_filter for the full rule set.",
+    tags=("curation", "quality"),
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_rules(docs, "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_tok_len",
+        "symbol_frac",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "passes",
+    )

@@ -513,3 +513,44 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return sample_frames(media, n_frames=4).select("doc_id", "frame_no", "n_bytes")
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+            FROM b
+        ), q AS (
+            SELECT vec_id, e, scale,
+                   CASE WHEN scale > 0
+                        THEN list_transform(e, v -> CAST(floor(v / scale + 0.5) AS BIGINT))
+                        ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               round(scale, 9) AS scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_max_abs,
+               round(CASE WHEN scale > 0
+                          THEN list_max(list_transform(generate_series(1, len(qv)),
+                                                       i -> abs(qv[i] * scale - e[i])))
+                          ELSE 0.0 END, 9) AS max_err
+        FROM q
+    """,
+    doc="Per-vector symmetric int8 scalar quantization of the embedding "
+        "column (scale = max|x|/127, q = floor(x/scale + 0.5)): 4x "
+        "scan/shuffle byte cut for the widest column in a training corpus. "
+        "Scan-local, zero shuffle; engine-portable floor(x+0.5) rounding. "
+        "Value-checked on scale, exact integer q_sum/q_max_abs, and max "
+        "reconstruction error.",
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")

@@ -1,0 +1,121 @@
+"""Temporal join acceptance queries — as-of join and binned range join
+(operators/temporal.py).
+
+Engine extension tier: the reference's closest surface is HOP's
+continuous-query time handling (EX/CQ.java:365-398), which can only window —
+it cannot align two event streams on "latest earlier row" or "point in
+interval". Both queries work in exact integer event time (epoch micros:
+Spark ``unix_micros`` / DuckDB ``epoch_us``) so the oracle compare has no
+float time arithmetic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.temporal import asof_join, range_join_binned
+from quatrain_mapreduce_spark.registry import register
+
+_WINDOW_US = 300_000_000  # 5 minutes in micros
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click'
+        ), r0 AS (
+            SELECT user_id, epoch_us(ts) AS rts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'error'
+        ), r AS (SELECT * FROM r0 WHERE rn = 1)
+        SELECT l.event_id, l.user_id, l.ts_us,
+               r.event_id AS err_event_id,
+               r.value AS err_value,
+               r.rts AS err_ts_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us >= r.rts
+    """,
+    doc="Backward as-of join: each click gets the user's most recent "
+        "error at-or-before it. Union-tag + ordered window + "
+        "last(ignorenulls) — ONE shuffle on user_id, no inequality join "
+        "(which Spark would plan as a broadcast-nested-loop). Equal "
+        "timestamps resolve right-row-visible, max event_id wins — the "
+        "same semantics as DuckDB ASOF JOIN over the deduped right side.",
+    tags=("temporal", "join"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["event_id", "value", "ts_us"],
+        right_tie="event_id",
+        prefix="err_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("err_event_id"),
+        F.col("err_value"),
+        F.col("err_ts_us"),
+    )
+
+
+@register(
+    "range_join_incidents",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+        ), r AS (
+            SELECT event_id AS err_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {_WINDOW_US} AS e
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT r.err_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM r JOIN e ON e.ts_us >= r.s AND e.ts_us < r.e
+        GROUP BY r.err_id
+    """,
+    doc="Point-in-interval range join with NO equi-key (every error opens "
+        "a global 5-min incident window; count/sum all traffic inside it). "
+        "Binned to 5-min buckets so the theta-join becomes a hash join on "
+        "the bin id — without binning Spark plans this as a "
+        "broadcast-nested-loop, O(points x intervals). Bin width == window "
+        "length, so each interval covers at most 2 bins.",
+    tags=("temporal", "join", "range"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_WINDOW_US)).alias("e"),
+    )
+    joined = range_join_binned(
+        points, intervals, point_col="ts_us", start_col="s", end_col="e",
+        bin_width=_WINDOW_US,
+    )
+    return joined.groupBy("err_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -62,14 +62,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # unchanged, plan-tested)
     "groupby2_shape", "join_multiway",
     "rollup_agg", "order_by_limit",
+    # temporal joins — new this round
+    "asof_join_events", "range_join_incidents",
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
     "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
     "sql_partition_pruning", "sql_subq", "sql_case_sensitivity", "sql_cast1",
     "sql_transform", "sql_insert_overwrite_partition",
-    # sources/sinks — every round-trip (invisible to the r03 gate)
-    "kv_text_roundtrip", "seqfile_roundtrip", "seqfilter_scan",
+    # sources/sinks — every distinct round-trip (seqfilter_scan and
+    # xml_roundtrip to the tail: stable variants of seqfile_roundtrip /
+    # the StreamInputFormat reader, green locally, unchanged)
+    "kv_text_roundtrip", "seqfile_roundtrip",
     "multiple_inputs_union", "tagged_join_shape", "bucketed_join",
-    "dbcount_jdbc_roundtrip", "xml_roundtrip", "bucket_point_lookup",
+    "dbcount_jdbc_roundtrip", "bucket_point_lookup",
     "csv_typed_roundtrip", "skip_bad_records",
     # udf surface (invisible to the r03 gate; counters_observe in the tail —
     # its distinctive behavior, the observe() metrics, is pytest-asserted and
@@ -77,21 +81,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "transform_pipe_wordcount", "udf_registered_sql", "chain_map_wordcount",
     # streaming / online aggregation (invisible to the r03 gate;
     # cq_sliding_window in the tail — same window family as cq_tumbling)
-    # (cq_moving_avg batch variant in the tail — cq_moving_avg_stream is the
-    # real-stream superset of the same window family)
-    "cq_tumbling_window", "stream_tumbling_count",
+    # (cq_moving_avg and cq_tumbling_window batch variants in the tail —
+    # the real-stream twins stream_tumbling_count / cq_moving_avg_stream
+    # cover the same window families)
+    "stream_tumbling_count",
     "online_agg_events", "online_agg_topk",
     "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
     # mrlib — representatives + the formerly-red index_build ("grep",
     # "salted_agg", "pi_estimator" moved to the tail: green in r03, unchanged)
     "wordcount", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
-    # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_recall",
+    # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged;
+    # dedup_ngram_jaccard too — dedup_lsh_recall joins LSH candidates against
+    # the same ngram ground truth, so it exercises that path transitively)
+    "dedup_exact", "dedup_lsh_recall",
     "dedup_components", "corpus_curation", "multimodal_frames",
+    "embedding_quantize",
     # curation tier — newest queries first (changed-recently rule), fully
     # oracled incl. sample membership
-    "repetition_filter", "corpus_shuffle",
+    "repetition_filter", "corpus_shuffle", "gopher_rules",
     "stratified_sample", "train_val_split", "domain_cap", "decontaminate",
     "pii_scrub",
 )
@@ -102,7 +110,7 @@ def all_queries() -> dict[str, Query]:
     ordered so the driver's 50-query gate window samples every module."""
     from quatrain_mapreduce_spark.plans import (  # noqa: F401
         relational, mrlib, data_pipeline, curation_queries, streaming_queries,
-        hive_sql, udf_surface, sources_queries,
+        hive_sql, udf_surface, sources_queries, temporal_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
