@@ -189,8 +189,8 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
 def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. '21 §A1.1, adapted to
     single-line docs): token count bounds, mean token length band,
-    no-alphanumeric token fraction, distinct-stopword floor, plus the
-    [[repetition|repetition_stats]] top-token fraction. One scan, zero
+    no-alphanumeric token fraction, distinct-stopword floor; pairs with
+    ``repetition_stats`` for the repetition rules. One scan, zero
     shuffle — every signal is an array higher-order function over the
     tokenized text, so the gate composes into any pipeline as a free
     filter pushdown candidate.

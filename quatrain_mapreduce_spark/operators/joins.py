@@ -74,3 +74,27 @@ def tagged_join(tagged: dict[str, DataFrame], key: str, how: str = "inner") -> D
         cols = [F.col(key)] + [F.col(c).alias(f"{tag}_{c}") for c in df.columns if c != key]
         prefixed.append(df.select(*cols))
     return reduce(lambda a, b: a.join(b, on=key, how=how), prefixed)
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-safe equi-join: append a deterministic salt to the big side
+    (hash of the key row spread over ``n_salts``), replicate the small side
+    once per salt value, join on (key, salt).
+
+    At 100 TB a single hot key (the boilerplate domain, the null-ish user)
+    overflows one reducer; salting splits each key's rows across
+    ``n_salts`` tasks at the cost of an ``n_salts``x small-side replication.
+    Result is identical to the plain join (salt is internal). AQE's skew
+    handling does this adaptively for sort-merge joins; the explicit
+    operator covers broadcast-disabled and pre-AQE plans, and composes with
+    aggregations (mrlib.salted_agg is the groupBy twin).
+    """
+    bg = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    sm = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return bg.join(sm, on=[key, "__salt"], how=how).drop("__salt")

@@ -110,3 +110,34 @@ def range_join_binned(
     if extra_key:
         cond = cond & (F.col(f"pt.{extra_key}") == F.col(f"iv.{extra_key}"))
     return pt.join(iv, cond, how).drop("__bin")
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+    out_attr: str = "state",
+) -> DataFrame:
+    """Collapse an event stream into SCD-2 validity intervals: one row per
+    (key, run of equal ``attr_col``), with ``valid_from``/``valid_to`` event
+    times (``valid_to`` NULL on the current interval).
+
+    lag → change-filter → lead, all over the SAME (key, ts, tie) window
+    partitioning, so Catalyst plans ONE exchange and sorts once; the
+    change-filter between the two window passes shrinks rows before the
+    lead. The natural consumer is ``asof_join`` (align a fact stream
+    against the interval table) or ``range_join_binned``.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    changed = df.withColumn("__prev", F.lag(attr_col).over(w)).where(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    return changed.select(
+        F.col(key),
+        F.col(attr_col).alias(out_attr),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )

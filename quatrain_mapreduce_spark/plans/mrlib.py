@@ -366,3 +366,44 @@ def index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 5)
         .select("term", "df", "postings")
     )
+
+
+@register(
+    "sketch_bounds",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               1 AS hll_ok,
+               1 AS pq_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Sketch error-bound acceptance: HyperLogLog++ distinct counts "
+        "(approx_count_distinct, rsd=2%) and KLL-style quantiles "
+        "(percentile_approx, accuracy=10000) checked against their exact "
+        "twins INSIDE the query — the oracle pins ok-flags to 1, so a "
+        "sketch drifting past its bound turns the driver row red. At "
+        "100 TB the sketches are the only affordable path (single-pass, "
+        "mergeable partials, map-side combine); exact twins here exist "
+        "only to bound them at test scale.",
+    tags=("mrlib", "sketch", "approx"),
+)
+def sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            (F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact")) <= 0.05
+        ).cast("int").alias("hll_ok"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.05 * F.abs(F.col("p50_exact")) + 1e-9
+        ).cast("int").alias("pq_ok"),
+    )

@@ -570,3 +570,96 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt", "sum_price",
         )
     )
+
+
+@register(
+    "salted_join_orders",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment,
+               round(o.o_totalprice, 2) AS price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Skew-safe salted equi-join (joins.salted_join): deterministic "
+        "8-way salt on the big side, small side replicated per salt, join "
+        "on (key, salt). Result is oracle-identical to the plain join — "
+        "the salt is internal. The reducer-overflow guard for hot keys at "
+        "100 TB when the small side is too big to broadcast and AQE skew "
+        "splitting isn't available (pre-AQE plans, broadcast-disabled "
+        "clusters); mrlib.salted_agg is the groupBy twin.",
+    tags=("join", "skew"),
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, cust, key="custkey", n_salts=8)
+    return out.select("o_orderkey", "custkey", "c_mktsegment", "price")
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS price, o_orderstatus AS status
+            FROM orders
+        ), s AS (
+            -- floor(x*100+0.5)/100, not round(): Spark's round() rounds the
+            -- shortest-decimal string of the double, DuckDB the binary value
+            -- — they disagree on ties like 9168.005
+            SELECT o_orderkey, o_custkey,
+                   floor(round(o_totalprice, 2) * 1.1 * 100 + 0.5) / 100 AS price,
+                   'U' AS status
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   1.0 AS price, 'N' AS status
+            FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                    ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+                    ELSE t.price END AS price,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.status
+                    ELSE t.status END AS status,
+               CAST(s.o_orderkey IS NOT NULL AS INT) AS merged
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+    doc="MERGE INTO / upsert semantics (operators/merge.merge_upsert): "
+        "updates (10% of keys, price bump) + inserts (new key range) "
+        "applied to the orders table in one full-outer join on the merge "
+        "key — the lakehouse MERGE plan, one shuffle (zero if both sides "
+        "bucketed on the key). No MERGE existed in the reference's Hive "
+        "(insert-only, QL/parse/SemanticAnalyzer.java:1991).",
+    tags=("merge", "upsert"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.merge import merge_upsert
+
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = target.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.floor(F.col("price") * 1.1 * 100 + 0.5) / 100).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    inserts = target.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_custkey",
+        F.lit(1.0).alias("price"), F.lit("N").alias("status"),
+    )
+    merged = merge_upsert(target, updates.unionByName(inserts), key="o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_custkey", "price", "status",
+        F.col("__merged").alias("merged"),
+    )

@@ -119,3 +119,45 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), c AS (
+            SELECT user_id, event_type AS state, ts_us, event_id
+            FROM o WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, state,
+               ts_us AS valid_from_us,
+               lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to_us
+        FROM c
+    """,
+    doc="SCD-2 dimension build from an event stream: collapse per-user "
+        "event_type runs into validity intervals (valid_to NULL = current). "
+        "lag -> change-filter -> lead over one (user, ts) partitioning: a "
+        "single exchange, sorts once, filter shrinks rows between the two "
+        "window passes. Consumers: asof_join / range_join_binned.",
+    tags=("temporal", "scd2", "window"),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.temporal import scd2_from_events
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    out = scd2_from_events(
+        ev, key="user_id", ts_col="ts_us", attr_col="event_type",
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id", "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )

@@ -14,7 +14,13 @@ Determinism rules every registered query follows:
   across engines for identical expression trees);
 - LIMIT is always preceded by a total order with a unique tie-break key;
 - double→int conversions go through floor(round(x, 2)) — never a bare cast,
-  whose trunc-vs-round semantics differ between engines.
+  whose trunc-vs-round semantics differ between engines;
+- rounding a COMPUTED double (x*1.1 etc.) uses floor(x*10^d + 0.5)/10^d, not
+  round(x, d): Spark's round() rounds the shortest-decimal string of the
+  double while DuckDB rounds the binary value — they disagree on ties like
+  9168.005 (raw column passthroughs and post-aggregate rounding are safe;
+  the tie case needs a value that is exactly representable mid-digit, which
+  aggregates of many doubles don't hit but scaled money columns do).
 """
 
 from __future__ import annotations
@@ -62,11 +68,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # unchanged, plan-tested)
     "groupby2_shape", "join_multiway",
     "rollup_agg", "order_by_limit",
-    # temporal joins — new this round
-    "asof_join_events", "range_join_incidents",
+    # temporal joins + merge — new this round (salted_join_orders and
+    # sketch_bounds in the tail: the former's oracle equals the plain join,
+    # the latter's flags are additionally pytest-bounded)
+    "asof_join_events", "range_join_incidents", "scd2_user_state",
+    "merge_upsert_orders",
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
+    # (sql_cast1 / sql_case_sensitivity to the tail: minor semantics checks,
+    # green locally, their cast/resolver paths also exercised by
+    # csv_typed_roundtrip and scalar_funcs)
     "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
-    "sql_partition_pruning", "sql_subq", "sql_case_sensitivity", "sql_cast1",
+    "sql_partition_pruning", "sql_subq",
     "sql_transform", "sql_insert_overwrite_partition",
     # sources/sinks — every distinct round-trip (seqfilter_scan and
     # xml_roundtrip to the tail: stable variants of seqfile_roundtrip /

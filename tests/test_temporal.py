@@ -92,3 +92,70 @@ def test_quantize_bounds_and_zero_vector(spark):
     # both sides 9dp-rounded, so allow the last-digit slack
     assert r1["max_err"] <= r1["scale"] / 2 + 1e-8
     assert rows[2]["scale"] == 0.0 and rows[2]["q_sum"] == 0 and rows[2]["max_err"] == 0.0
+
+
+def test_scd2_runs_and_single_exchange(spark):
+    from quatrain_mapreduce_spark.operators.temporal import scd2_from_events
+
+    ev = spark.createDataFrame(
+        [(1, "u", 10, "a"), (2, "u", 20, "a"), (3, "u", 30, "b"),
+         (4, "u", 40, "b"), (5, "u", 50, "a"), (6, "v", 5, "x")],
+        "eid long, user string, ts long, state string",
+    )
+    out = scd2_from_events(ev, "user", "ts", "state", tie_col="eid")
+    got = sorted(
+        (r["user"], r["state"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    # runs collapse: u has a[10,30) b[30,50) a[50,None); v has x[5,None)
+    assert got == [
+        ("u", "a", 10, 30), ("u", "a", 50, None), ("u", "b", 30, 50),
+        ("v", "x", 5, None),
+    ]
+    # lag + lead share the (user, ts, eid) partitioning: one exchange.
+    # Compile with AQE off — its coalesced shuffle read re-partitions at toy
+    # row counts, which says nothing about the operator's shape.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            scd2_from_events(ev, "user", "ts", "state", tie_col="eid")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from quatrain_mapreduce_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "id long, k long, v double"
+    )
+    small = spark.createDataFrame([(0, "x"), (1, "y")], "k long, name string")
+    got = sorted(
+        (r["id"], r["k"], r["name"])
+        for r in salted_join(big, small, "k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["id"], r["k"], r["name"]) for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == 67  # k in {0,1} only
+
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    from quatrain_mapreduce_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    rows = {r["id"]: r for r in merge_upsert(target, source, "id").collect()}
+    assert len(rows) == 4
+    assert rows[2]["name"] == "B" and rows[2]["__merged"] == 1  # updated
+    assert rows[4]["v"] == 40.0 and rows[4]["__merged"] == 1    # inserted
+    assert rows[1]["name"] == "a" and rows[1]["__merged"] == 0  # untouched
