@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "text_quality",
     "decontaminate",       # eval-set n-gram decontamination (broadcast anti-join)
     "domain_cap",          # per-domain frequency cap (one window shuffle)
+    "asof_join_events",    # as-of join: union-tag + window, single shuffle
+    "range_join_incidents",  # no-equi-key point-in-interval via binning
+    "gopher_rules",        # quality gate: scan-local array exprs, zero shuffle
+    "embedding_quantize",  # int8 quantization: scan-local, zero shuffle
+    "merge_upsert_orders", # MERGE plan: full-outer join on the key
 ]
 
 

@@ -1,0 +1,179 @@
+"""Analytic-SQL breadth queries — window functions, exact percentiles,
+pivot, and the driver-visible IVF exactness gate.
+
+The reference's analytic surface stops at GROUP BY + sort (Hive 2009 had no
+OVER clause; percentile/histogram UDAFs were on its roadmap —
+contrib/hive FunctionRegistry has neither). These queries are the engine
+extension tier: the window/percentile/pivot shapes every warehouse user of
+the reference eventually hand-rolled with self-joins, expressed as
+single-shuffle Catalyst window plans with full DuckDB oracles.
+
+Scale notes are per query; the common property: each is ONE exchange on its
+partition key (window functions and pivot both hash-partition once), no
+self-joins, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.registry import register
+
+
+@register(
+    "window_funcs",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               lag(round(o_totalprice, 2)) OVER w AS prev_price,
+               lead(round(o_totalprice, 2)) OVER w AS next_price,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window-function breadth: lag/lead/row_number/ntile/partition count "
+        "over one (custkey, orderdate) window. The reference era solved "
+        "'previous order per customer' with a self-join on a rank subquery "
+        "(two shuffles + a join); this is ONE hash exchange and one sort, "
+        "all five functions evaluated in a single Window operator. "
+        "Deterministic: the window order carries the unique o_orderkey "
+        "tie-break.",
+    tags=("analytics", "window"),
+)
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    price = F.round("o_totalprice", 2)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count("*").over(wp).alias("n_orders"),
+    )
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100 AS p25,
+               floor(quantile_cont(o_totalprice, 0.50) * 100 + 0.5) / 100 AS p50,
+               floor(quantile_cont(o_totalprice, 0.75) * 100 + 0.5) / 100 AS p75,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() == "
+        "DuckDB quantile_cont; Hive tracked this as the percentile UDAF "
+        "gap in its 2009 FunctionRegistry). Exact percentile is a "
+        "sort-based agg — fine per group; the streaming/sketch variant for "
+        "corpus-wide quantiles at 100 TB is approx_percentile, gated in "
+        "sketch_bounds. Interpolated values are computed doubles, so both "
+        "sides round via the portable floor(x*100+0.5)/100.",
+    tags=("analytics", "aggregate"),
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def p2(c):  # portable 2dp rounding of a computed double
+        return (F.floor(c * 100 + F.lit(0.5)) / 100)
+
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        p2(F.expr("percentile(o_totalprice, 0.25)")).alias("p25"),
+        p2(F.expr("percentile(o_totalprice, 0.50)")).alias("p50"),
+        p2(F.expr("percentile(o_totalprice, 0.75)")).alias("p75"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS sum_f,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS sum_o,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS sum_p,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (long -> wide): priority x status revenue matrix. With the "
+        "pivot values DECLARED, this is one hash aggregate whose state is "
+        "k conditional sums per group — same cost as the plain groupBy. "
+        "(Undeclared values would force a distinct-scan first; at 100 TB "
+        "always declare them.) Oracle is the conditional-aggregation "
+        "rewrite, the only way the reference era could express it.",
+    tags=("analytics", "aggregate", "pivot"),
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # total row count = sum of the per-status pivot counts (statuses are
+    # exhaustive; empty cells are null -> 0), keeping the whole query ONE
+    # scan + ONE hash aggregate — no second scan for a plain count
+    n_orders = sum(
+        F.coalesce(F.col(f"{s}_n"), F.lit(0)) for s in ("F", "O", "P")
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_sum").alias("sum_f"),
+        F.col("O_sum").alias("sum_o"),
+        F.col("P_sum").alias("sum_p"),
+        n_orders.alias("n_orders"),
+    )
+
+
+@register(
+    "similarity_ivf_exact",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))::DOUBLE) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))::DOUBLE
+                         / (q.nrm * c.nrm), 6) AS cos
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        )
+        SELECT q_id, neighbor_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+        FROM scored
+        QUALIFY rk <= 10
+    """,
+    doc="Driver-visible IVF correctness gate: nprobe == n_lists degrades "
+        "IVF to exact search (every inverted list probed, the candidate "
+        "set is the whole corpus), so the full index pipeline — centroid "
+        "build, list assignment, probe ranking, per-list scoring — must "
+        "reproduce brute-force cosine top-k bit-for-bit against the same "
+        "oracle. The approximate production path (nprobe < n_lists, "
+        "partition-pruned) is `similarity_ivf`; its recall is pytest-gated. "
+        "This query makes the index machinery itself hash-checkable.",
+    tags=("similarity", "gate"),
+)
+def similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import embedding_dim, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = ivf_topk(
+        queries, emb, "vec_id", "embedding", dim, k=10, n_lists=8, nprobe=8
+    )
+    return out.select("q_id", "neighbor_id", "cos", "rk")

@@ -328,3 +328,88 @@ def skip_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("good_rows"),
         F.sum("k").alias("sum_key"),
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="ORC columnar sink/source round trip — the second columnar format "
+        "next to parquet (Hive-lineage: ORC succeeded the "
+        "SequenceFile/RCFile storage the reference generation used; "
+        "IO/SequenceFile.java is the nearest reference surface). A lossy "
+        "type mapping or dropped rows fail the identity oracle.",
+    tags=("sources", "roundtrip"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "orc")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(d)
+    return spark.read.orc(d)
+
+
+@register(
+    "compact_small_files",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    doc="Small-file compaction round trip: the lineitem projection is "
+        "staged as 64 tiny files, compacted to "
+        "ceil(total_bytes/target) right-sized files "
+        "(sinks.compact_files — byte-driven sizing via the Hadoop "
+        "FileSystem API, so it holds on HDFS/S3 too), and read back. The "
+        "oracle proves compaction is content-preserving; the output file "
+        "count is asserted in tests/test_sources.py. At 100 TB this is "
+        "the maintenance op that keeps scan task counts sane after "
+        "fine-grained ingest (the reference's small-files problem, "
+        "mapred/MultiFileInputFormat.java).",
+    tags=("sources", "maintenance"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.sources.sinks import compact_files
+
+    src = _stage_dir(sf_dir, "smallfiles")
+    dst = _stage_dir(sf_dir, "compacted")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        li.repartition(64).write.mode("overwrite").parquet(src)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        # ~1 MiB target at sf0.01 compacts 64 inputs into a handful of files
+        compact_files(spark, src, dst, target_bytes=1 << 20)
+    return spark.read.parquet(dst)
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc="Schema-evolution read: two parquet batches written with different "
+        "column sets (an ingest pipeline that added a column mid-stream) "
+        "read as ONE relation via mergeSchema — missing columns "
+        "null-padded per batch, exactly the DelegatingMapper/"
+        "MultipleInputs normalization (mapred/lib/MultipleInputs.java:34) "
+        "without per-source mapper code. mergeSchema reads every footer "
+        "at planning time, so production pins it off after backfill; "
+        "the oracle is the hand-built null-padded union.",
+    tags=("sources", "schema"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "schemaevo")
+    if not os.path.exists(os.path.join(d, "_STAGED")):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(d, "batch=1"))
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(d, "batch=2"))
+        open(os.path.join(d, "_STAGED"), "w").close()
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(d, "batch=1"), os.path.join(d, "batch=2"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

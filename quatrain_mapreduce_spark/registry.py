@@ -123,6 +123,7 @@ def all_queries() -> dict[str, Query]:
     from quatrain_mapreduce_spark.plans import (  # noqa: F401
         relational, mrlib, data_pipeline, curation_queries, streaming_queries,
         hive_sql, udf_surface, sources_queries, temporal_queries,
+        analytics_queries,
     )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -112,3 +112,41 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     """Batched INSERT sink (DBOutputFormat)."""
     df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table) \
       .options(**options).save()
+
+
+def dir_bytes(spark, path: str) -> int:
+    """Total data bytes under ``path`` via the Hadoop FileSystem API — works
+    on any supported filesystem (local, HDFS, S3A), unlike an os.walk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of many small files into
+    ceil(total_bytes / target_bytes) right-sized files. Returns the output
+    file count.
+
+    The operational complement of MultipleOutputs-style demux sinks: a
+    100 TB ingest that lands millions of sub-HDFS-block files makes every
+    downstream scan pay per-file open/footer cost and floods the driver's
+    split enumeration (the reference's small-files problem — NameNode
+    pressure + one map task per file, MultiFileInputFormat's motivation in
+    mapred/MultiFileInputFormat.java). Sizing from the FILESYSTEM (not a
+    row count) keeps output files near the target regardless of row width;
+    ``repartition`` (round-robin) balances bytes evenly across outputs.
+    """
+    import math
+
+    total = dir_bytes(spark, src_path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst_path)
+    return n_out

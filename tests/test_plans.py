@@ -104,3 +104,19 @@ def test_insert_overwrite_partition_read_is_pruned(spark, sf_dir):
     pf = p.split("PartitionFilters:", 1)
     assert len(pf) == 2, p
     assert "status" in pf[1][:200]
+
+
+def test_window_funcs_single_exchange(spark, sf_dir):
+    """All five window functions (two frames, same partition key) must share
+    ONE hash exchange — a second Exchange means the unordered partition-count
+    frame stopped reusing the (o_custkey) partitioning."""
+    p = plan_of(spark, sf_dir, "window_funcs")
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 2  # ordered frame + whole-partition frame
+
+
+def test_pivot_wide_single_scan(spark, sf_dir):
+    """Declared-values pivot + derived total count must stay ONE scan of
+    orders (a naive count(*) join doubles the scan)."""
+    p = plan_of(spark, sf_dir, "pivot_wide")
+    assert p.count("Scan parquet") == 1

@@ -196,3 +196,33 @@ def test_compression_codec_roundtrips(spark, sf_dir, tmp_path):
         n.write.option("compression", codec).parquet(p)
         assert g.glob(f"{p}/*.{codec}.parquet"), f"{codec} codec not applied"
         assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(p).collect()} == want
+
+
+def test_compact_files_hits_target_count(spark, tmp_path):
+    """compact_files sizes output from filesystem bytes: 32 small files
+    collapse to the returned ceil(bytes/target) count, content preserved."""
+    from quatrain_mapreduce_spark.sources.sinks import compact_files, dir_bytes
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(50_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(32).write.parquet(src)
+    n_out = compact_files(spark, src, dst, target_bytes=dir_bytes(spark, src) // 4 + 1)
+    import glob
+    parts = glob.glob(f"{dst}/part-*.parquet")
+    assert len(parts) == n_out <= 4
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
+
+
+def test_schema_evolution_merge_null_pads(spark, tmp_path):
+    """mergeSchema read over batches with disjoint column tails: missing
+    columns come back null, shared columns align by name."""
+    spark.createDataFrame([(1, 10.0)], "k int, a double").write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame([(2, "x")], "k int, b string").write.parquet(str(tmp_path / "b2"))
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(tmp_path / "b1"), str(tmp_path / "b2"))
+        .orderBy("k").collect()
+    )
+    assert [(r["k"], r["a"], r["b"]) for r in got] == [(1, 10.0, None), (2, None, "x")]
