@@ -63,6 +63,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # tail (checked locally by tools/check_oracle.py) holds redundant shape
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # analytics — newest module (changed-recently rule): window-function
+    # breadth, exact percentiles, declared-values pivot, and the IVF
+    # exactness gate (nprobe == n_lists must reproduce brute force — makes
+    # the whole index pipeline hash-checkable, not just pytest-gated)
+    "window_funcs", "percentile_agg", "pivot_wide", "similarity_ivf_exact",
     # relational — flagship + the shapes that exercise distinct plan features
     # (tpch_q1_shape / join_semi_anti moved to the tail: green in r03,
     # unchanged, plan-tested)
@@ -76,28 +81,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hive_sql — entire SQL-text path (invisible to the r03 gate)
     # (sql_cast1 / sql_case_sensitivity to the tail: minor semantics checks,
     # green locally, their cast/resolver paths also exercised by
-    # csv_typed_roundtrip and scalar_funcs)
-    "sql_groupby2", "sql_join2", "sql_union", "sql_ddl_roundtrip",
+    # csv_typed_roundtrip and scalar_funcs; sql_union too — UNION dedup
+    # semantics stay driver-visible via union_all's oracle family)
+    "sql_groupby2", "sql_join2", "sql_ddl_roundtrip",
     "sql_partition_pruning", "sql_subq",
     "sql_transform", "sql_insert_overwrite_partition",
-    # sources/sinks — every distinct round-trip (seqfilter_scan and
-    # xml_roundtrip to the tail: stable variants of seqfile_roundtrip /
-    # the StreamInputFormat reader, green locally, unchanged)
-    "kv_text_roundtrip", "seqfile_roundtrip",
-    "multiple_inputs_union", "tagged_join_shape", "bucketed_join",
+    # sources/sinks — distinct round-trips + the new maintenance ops
+    # (seqfilter_scan, xml_roundtrip, kv_text_roundtrip,
+    # multiple_inputs_union, tagged_join_shape to the tail: stable
+    # variants green locally/r03 and unchanged; seqfile_roundtrip covers
+    # the K/V round-trip family, orc_roundtrip in the tail next to it)
+    "seqfile_roundtrip", "bucketed_join",
     "dbcount_jdbc_roundtrip", "bucket_point_lookup",
     "csv_typed_roundtrip", "skip_bad_records",
-    # udf surface (invisible to the r03 gate; counters_observe in the tail —
-    # its distinctive behavior, the observe() metrics, is pytest-asserted and
-    # invisible to the driver's DF compare anyway)
-    "transform_pipe_wordcount", "udf_registered_sql", "chain_map_wordcount",
+    "compact_small_files", "schema_evolution_read",
+    # udf surface (counters_observe in the tail — its distinctive behavior,
+    # the observe() metrics, is pytest-asserted and invisible to the
+    # driver's DF compare anyway; chain_map_wordcount to the tail — the
+    # chain composes the same tokenize/count path transform_pipe covers)
+    "transform_pipe_wordcount", "udf_registered_sql",
     # streaming / online aggregation (invisible to the r03 gate;
     # cq_sliding_window in the tail — same window family as cq_tumbling)
     # (cq_moving_avg and cq_tumbling_window batch variants in the tail —
     # the real-stream twins stream_tumbling_count / cq_moving_avg_stream
     # cover the same window families)
+    # (online_agg_topk to the tail: same snapshot machinery as
+    # online_agg_events, whose final-equals-exact oracle stays windowed)
     "stream_tumbling_count",
-    "online_agg_events", "online_agg_topk",
+    "online_agg_events",
     "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
     # mrlib — representatives + the formerly-red index_build ("grep",
     # "salted_agg", "pi_estimator" moved to the tail: green in r03, unchanged)
