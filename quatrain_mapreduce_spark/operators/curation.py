@@ -224,3 +224,97 @@ def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("passes", passes.cast("int"))
+
+
+def dedup_spans(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 8
+) -> DataFrame:
+    """Span-level (line-level) dedup, C4/RefinedWeb style: split each doc
+    into consecutive ``span_tokens``-token spans, keep only the FIRST
+    occurrence of every distinct span corpus-wide (first = min (doc, pos)),
+    reassemble the surviving spans per doc in original order.
+
+    The reference generation deduped whole records (MR distinct); span
+    granularity is what removes boilerplate repeated across pages. Scale
+    shape: keep-first is computed as groupBy(span).min(struct(doc,pos)) —
+    a hash aggregate with map-side combine, NOT a row_number window, so a
+    span repeated millions of times (cookie banners) collapses to one row
+    per mapper before the shuffle instead of sorting one hot partition.
+    Two shuffles total: span agg + per-doc reassembly. Docs whose spans
+    are all duplicates drop out entirely (their row count is the dedup
+    rate).
+    """
+    toks = F.split(F.col(text_col), " ")
+    k = span_tokens
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - F.lit(1)) / F.lit(k)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k))),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
+    winners = (
+        ex.groupBy("span")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"), "span")
+    )
+    return winners.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").cast("long").alias("n_spans_kept"),
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_tok_col: str,
+    seq_len: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence-packing manifest for training export: lay every document's
+    tokens end-to-end in the deterministic corpus order (portable hash —
+    same order as ``corpus_shuffle``) and cut the stream every ``seq_len``
+    tokens. Emits per-doc (tok_start, first_seq, last_seq): everything a
+    loader needs to materialize packed training sequences.
+
+    The naive formulation is ONE window over the whole corpus (a global
+    cumulative sum = single-reducer sort — the exact anti-pattern TeraSort
+    exists to avoid). This is the distributed prefix sum instead: within-
+    shard cumulative sums shuffle once on shard; shard totals are a tiny
+    n_shards-row frame whose exclusive prefix runs on one partition of 64
+    rows; offsets broadcast back. Identical output to the global window
+    (the oracle computes it that way), O(corpus/n_shards) per task.
+    """
+    h = h16(id_col)
+    d = df.select(
+        F.col(id_col),
+        F.col(n_tok_col).cast("long").alias(n_tok_col),
+        (h % n_shards).alias("shard"),
+        h.alias("hkey"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("within_end", F.sum(n_tok_col).over(w_in))
+    totals = d.groupBy("shard").agg(F.sum(n_tok_col).alias("tot"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_sh), F.lit(0))
+    ).select("shard", "offset")
+    d = d.join(F.broadcast(offsets), "shard")
+    end = F.col("offset") + F.col("within_end")
+    start = end - F.col(n_tok_col)
+    return d.select(
+        id_col,
+        n_tok_col,
+        F.col("shard").cast("int").alias("shard"),
+        start.alias("tok_start"),
+        F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_seq"),
+        F.floor((end - 1) / F.lit(float(seq_len))).cast("long").alias("last_seq"),
+    )

@@ -331,3 +331,84 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stop_hits").cast("long").alias("stop_hits"),
         "passes",
     )
+
+
+@register(
+    "dedup_spans",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), u AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ), s AS (
+            SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS pos,
+                   string_agg(tok, ' ' ORDER BY ord) AS span
+            FROM u GROUP BY doc_id, (ord - 1) // 8
+        ), d AS (
+            SELECT doc_id, pos, span,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, pos) AS rn
+            FROM s
+        )
+        SELECT doc_id,
+               string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+               CAST(count(*) AS BIGINT) AS n_spans_kept
+        FROM d WHERE rn = 1 GROUP BY doc_id
+    """,
+    doc="Span-level dedup (C4/RefinedWeb line-dedup adapted to 8-token "
+        "spans): keep only the corpus-wide FIRST occurrence of each "
+        "distinct span, reassemble docs from survivors. Engine side is a "
+        "min-struct hash aggregate (map-side combine — a boilerplate span "
+        "repeated across millions of pages collapses per-mapper, no hot "
+        "sorted partition), the oracle the equivalent keep-first window. "
+        "Dropped docs = fully-duplicate content.",
+    tags=("curation", "dedup"),
+)
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_spans(docs, "doc_id", "text", span_tokens=8)
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+                   {_H} % 64 AS shard, {_H} AS hkey
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok, shard,
+                   sum(n_tok) OVER (ORDER BY shard, hkey, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS tok_end
+            FROM d
+        )
+        SELECT doc_id, n_tok, CAST(shard AS INTEGER) AS shard,
+               tok_end - n_tok AS tok_start,
+               CAST(floor((tok_end - n_tok) / 1024.0) AS BIGINT) AS first_seq,
+               CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
+        FROM c
+    """,
+    doc="Sequence-packing manifest (concat-then-chunk training layout, "
+        "seq_len=1024): per-doc global token offset and the first/last "
+        "training sequence it lands in, in the deterministic corpus-"
+        "shuffle order. Engine side is a distributed prefix sum (within-"
+        "shard window + 64-row exclusive shard-offset frame, broadcast "
+        "back) — the oracle's single global window IS the 100 TB anti-"
+        "pattern the operator exists to avoid, and both must agree "
+        "exactly.",
+    tags=("curation", "pack"),
+)
+def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import pack_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    return pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)

@@ -113,3 +113,42 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     # the eval-gram side (small by construction) must come in as a broadcast,
     # not a shuffled sort-merge join against the full corpus
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_spans_keeps_first_occurrence(spark):
+    """A span shared between docs survives only in the earliest (doc, pos);
+    surviving spans reassemble in original order."""
+    from quatrain_mapreduce_spark.operators.curation import dedup_spans
+
+    boiler = "a b c d"  # 4-token span shared by both docs
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} u v w x"), (2, f"{boiler} y z q r"), (3, boiler)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_spans_kept"])
+           for r in dedup_spans(docs, "doc_id", "text", span_tokens=4).collect()}
+    assert got[1] == (f"{boiler} u v w x", 2)   # first occurrence keeps both spans
+    assert got[2] == ("y z q r", 1)             # shared span dropped, unique span kept
+    assert 3 not in got                          # fully-duplicate doc drops out
+
+
+def test_pack_manifest_is_contiguous_and_matches_global_cumsum(spark):
+    """Distributed prefix sum must tile the token stream exactly: sorted by
+    tok_start, each doc starts where the previous ended, and seq bounds are
+    floor(start/L), floor((end-1)/L)."""
+    from quatrain_mapreduce_spark.operators.curation import pack_manifest
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id") * 37 + 11, F.lit(50)) + 1).alias("n_tok")
+    )
+    rows = sorted(
+        pack_manifest(docs, "doc_id", "n_tok", seq_len=64, n_shards=8).collect(),
+        key=lambda r: r["tok_start"],
+    )
+    expect_start = 0
+    for r in rows:
+        assert r["tok_start"] == expect_start
+        assert r["first_seq"] == r["tok_start"] // 64
+        assert r["last_seq"] == (r["tok_start"] + r["n_tok"] - 1) // 64
+        expect_start += r["n_tok"]
+    assert expect_start == sum(r["n_tok"] for r in rows)
