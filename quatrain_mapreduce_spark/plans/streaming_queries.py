@@ -347,9 +347,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
         WITH o AS (
-            SELECT user_id, ts, epoch(ts) AS ep,
-                   CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                             OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+            SELECT user_id, ts, epoch_us(ts) AS ep,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -360,8 +360,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, session_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(min(ep), 3) AS session_start_epoch,
-               round(max(ep) - min(ep), 3) AS session_secs
+               min(ep) AS session_start_us,
+               max(ep) - min(ep) AS session_dur_us
         FROM s GROUP BY user_id, session_id
     """,
     doc="Gap-based sessionization (30-min gap): lag → boundary flag → "

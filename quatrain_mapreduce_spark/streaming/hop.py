@@ -60,9 +60,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(_stage_stream_dir(sf_dir, "events"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from quatrain_mapreduce_spark.catalog import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 def clock_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
@@ -143,23 +143,24 @@ def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int =
     modern shape of that pattern.
 
     Emits one row per session: (user, session_id, n_events,
-    session_start_epoch, session_secs).
+    session_start_us, session_dur_us) — exact integer epoch microseconds
+    (Spark ``unix_micros`` ↔ DuckDB ``epoch_us``), so results hash
+    identically across engines with no float-rounding ties.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # full-precision epoch seconds (timestamp→double keeps fractional part —
-    # matches DuckDB's epoch()); unix_timestamp would truncate to seconds
-    ep = F.col(ts_col).cast("double")
+    ep = F.unix_micros(F.col(ts_col))
     gap = ep - F.lag(ep).over(w)
     flagged = events.withColumn(
-        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+        "_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     sessions = flagged.withColumn("session_id", F.sum("_new").over(w))
     return sessions.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.min(ep), 3).alias("session_start_epoch"),
-        F.round(F.max(ep) - F.min(ep), 3).alias("session_secs"),
+        F.min(ep).alias("session_start_us"),
+        (F.max(ep) - F.min(ep)).alias("session_dur_us"),
     )
 
 
