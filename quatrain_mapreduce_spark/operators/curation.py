@@ -41,8 +41,8 @@ def word_all_ngrams(toks: F.Column, n: int) -> F.Column:
     dedup.word_shingles, which is distinct-set semantics for Jaccard) —
     repetition measures need the multiset."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + F.lit(j)) for j in range(n)]),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
@@ -127,8 +127,11 @@ def decontaminate(
 
     ``eval_ids`` carries just ``id_col``; returns the decontaminated frame.
     """
+    from quatrain_mapreduce_spark.operators.util import spread
+
     grams = lambda frame: (  # noqa: E731
-        frame.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
+        spread(frame.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
     )
     eval_grams = grams(df.join(eval_ids, id_col, "semi")).select("ng").distinct()
     train = df.join(eval_ids, id_col, "anti")
@@ -149,20 +152,30 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
 
     Computed entirely with array higher-order functions — scan-local, ZERO
     shuffle (the explode→groupBy(doc, gram) formulation would shuffle the
-    whole tokenized corpus). Per-doc cost is O(len · distinct); right for
-    natural documents where distinct ≪ len bounds the constant, and the
-    no-shuffle property is what matters at 100 TB.
+    whole tokenized corpus). Per-doc cost is O(len log len): sort, then one
+    aggregate() pass tracking the longest run of equal adjacent elements —
+    the distinct×filter formulation is O(len·distinct) AND pays nested-HOF
+    interpretation overhead per element (measured ~20x slower).
     """
     toks = tokenize(text_col)
 
     def top_frac(arr: F.Column) -> F.Column:
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda x: F.size(F.filter(arr, lambda y: y == x)),
-            )
+        s = F.array_sort(arr)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         )
-        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+        scan = F.aggregate(
+            s,
+            acc0,
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+                ).alias("best"),
+            ),
+        )
+        return F.when(F.size(arr) > 0, scan.best / F.size(arr)).otherwise(F.lit(0.0))
 
     bigrams = word_all_ngrams(toks, 2)
     return df.withColumn("top_tok_frac", top_frac(toks)).withColumn(
