@@ -87,7 +87,9 @@ def connected_components(
     )
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregation is the action that
+        # materializes it — one job per round instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _fingerprint(e)
         if cur == prev:  # fixed point of the (large∘small)-star round
             break
