@@ -177,3 +177,131 @@ def similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding", dim, k=10, n_lists=8, nprobe=8
     )
     return out.select("q_id", "neighbor_id", "cos", "rk")
+
+
+@register(
+    "range_frame_window",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_10m,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS cents_10m,
+               max(value) OVER w AS max_10m
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Event-time RANGE frame: per user, count/sum/max of events in the "
+        "trailing 10 minutes of EVENT time (not row count) — the windowed "
+        "form of 'rate over a sliding interval' that HOP's CQ answered with "
+        "ad-hoc reducer state (EX/CQ.java:365). RANGE frames bound by an "
+        "interval need a numeric order key, so the frame runs over exact "
+        "epoch micros (unix_micros <-> epoch_us); the summed measure is "
+        "integer cents so per-row running sums can't drift between engines' "
+        "accumulation orders. One hash exchange on user_id, one sort, all "
+        "three aggregates in a single Window operator.",
+    tags=("analytics", "window", "temporal"),
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_micros("ts")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10m"),
+        F.sum(cents).over(w).alias("cents_10m"),
+        F.max("value").over(w).alias("max_10m"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS INTEGER) AS drk,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY round(o_totalprice, 2))
+    """,
+    doc="Distribution window functions (dense_rank / percent_rank / "
+        "cume_dist) per priority class — the 'where does this order sit in "
+        "its class' analytic the reference era hand-rolled with a "
+        "rank-subquery self-join. No tie-break key on purpose: all three "
+        "functions are tie-STABLE (tied rows get equal values), so the "
+        "result is deterministic even with duplicate prices, and "
+        "dense_rank's gap-free semantics are actually exercised. Exact "
+        "cross-engine equality: rank-count ratios of identical integer "
+        "operands divide bit-identically. One exchange, one sort.",
+    tags=("analytics", "window"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.round("o_totalprice", 2))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "tpch_q3_shape",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping-priority): selective dim filter "
+        "(mktsegment) broadcast into orders, fact-fact join on orderkey, "
+        "grouped revenue, top-10 by revenue. The plan to hold at 100 TB: "
+        "customer filter broadcast (no fact shuffle on custkey), both date "
+        "filters pushed to the parquet scans, final top-10 via "
+        "TakeOrderedAndProject (per-partition heaps, no global sort "
+        "materialization). Unique tie-break on l_orderkey keeps the LIMIT "
+        "deterministic.",
+    tags=("relational", "tpch"),
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

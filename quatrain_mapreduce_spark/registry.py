@@ -63,11 +63,15 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # tail (checked locally by tools/check_oracle.py) holds redundant shape
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # analytics — newest module (changed-recently rule): window-function
-    # breadth, exact percentiles, declared-values pivot, and the IVF
-    # exactness gate (nprobe == n_lists must reproduce brute force — makes
-    # the whole index pipeline hash-checkable, not just pytest-gated)
-    "window_funcs", "percentile_agg", "pivot_wide", "similarity_ivf_exact",
+    # analytics — newest queries first (changed-recently rule): event-time
+    # RANGE frames, distribution window funcs, TPC-H Q3 shape (all new in
+    # r5), exact percentiles, declared-values pivot, and the IVF exactness
+    # gate (nprobe == n_lists must reproduce brute force — makes the whole
+    # index pipeline hash-checkable, not just pytest-gated).
+    # (window_funcs to the tail: r04-green, unchanged; the window family
+    # stays driver-visible via the two new window queries)
+    "range_frame_window", "window_distribution", "tpch_q3_shape",
+    "percentile_agg", "pivot_wide", "similarity_ivf_exact",
     # relational — flagship + the shapes that exercise distinct plan features
     # (tpch_q1_shape / join_semi_anti moved to the tail: green in r03,
     # unchanged, plan-tested)
@@ -85,15 +89,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # semantics stay driver-visible via union_all's oracle family)
     "sql_groupby2", "sql_join2", "sql_ddl_roundtrip",
     "sql_partition_pruning", "sql_subq",
-    "sql_transform", "sql_insert_overwrite_partition",
+    "sql_transform",
     # sources/sinks — distinct round-trips + the new maintenance ops
     # (seqfilter_scan, xml_roundtrip, kv_text_roundtrip,
     # multiple_inputs_union, tagged_join_shape to the tail: stable
     # variants green locally/r03 and unchanged; seqfile_roundtrip covers
     # the K/V round-trip family, orc_roundtrip in the tail next to it)
+    # (bucket_point_lookup, csv_typed_roundtrip, sql_insert_overwrite_partition
+    # to the tail: r04-green and unchanged; bucketing stays visible via
+    # bucketed_join, the csv codec via skip_bad_records, partitioned writes
+    # via sql_partition_pruning + compact_small_files)
     "seqfile_roundtrip", "bucketed_join",
-    "dbcount_jdbc_roundtrip", "bucket_point_lookup",
-    "csv_typed_roundtrip", "skip_bad_records",
+    "dbcount_jdbc_roundtrip",
+    "skip_bad_records",
     "compact_small_files", "schema_evolution_read",
     # udf surface (counters_observe in the tail — its distinctive behavior,
     # the observe() metrics, is pytest-asserted and invisible to the
@@ -115,9 +123,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wordcount", "index_build",
     # data pipeline — oracled representatives + the multimodal 1->n oracle
     # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged;
-    # dedup_ngram_jaccard too — dedup_lsh_recall joins LSH candidates against
-    # the same ngram ground truth, so it exercises that path transitively)
-    "dedup_exact", "dedup_lsh_recall",
+    # dedup_ngram_jaccard promoted this round: its shingle builder changed
+    # (array_join(slice) grams) and it is the exact ground truth the LSH
+    # recall gate joins against)
+    "dedup_exact", "dedup_lsh_recall", "dedup_ngram_jaccard",
     "dedup_components", "corpus_curation", "multimodal_frames",
     "embedding_quantize",
     # curation tier — newest queries first (changed-recently rule), fully
