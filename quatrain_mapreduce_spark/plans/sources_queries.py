@@ -126,6 +126,18 @@ def tagged_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", F.col("c_cnt").alias("cust_cnt"), F.col("s_cnt").alias("supp_cnt"))
 
 
+def _bucketed_table_names(sf_dir: str) -> tuple[str, str]:
+    """Catalog names for the staged bucketed (orders, customer) tables.
+    Data-version in the key: regenerated testdata must not silently reuse
+    bucketed tables built from the previous generation (same rule as
+    staging.stage_dir)."""
+    from quatrain_mapreduce_spark.staging import _source_fingerprint
+
+    raw = f"{os.path.realpath(sf_dir)}:{_source_fingerprint(sf_dir)}"
+    key = hashlib.md5(raw.encode()).hexdigest()[:8]
+    return f"qms_orders_b_{key}", f"qms_customer_b_{key}"
+
+
 @register(
     "bucketed_join",
     oracle="""
@@ -141,8 +153,7 @@ def tagged_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "sources", "bucketing"),
 )
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-    ot, ct = f"qms_orders_b_{key}", f"qms_customer_b_{key}"
+    ot, ct = _bucketed_table_names(sf_dir)
     if not spark.catalog.tableExists(ot) or not spark.catalog.tableExists(ct):
         import shutil
         from urllib.parse import urlparse
@@ -246,8 +257,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sources", "bucketing", "lookup"),
 )
 def bucket_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-    ot = f"qms_orders_b_{key}"
+    ot, _ = _bucketed_table_names(sf_dir)
     if not spark.catalog.tableExists(ot):
         bucketed_join(spark, sf_dir)  # stages both bucketed tables
     # the planner skips the bucketed layout when no join/agg needs the

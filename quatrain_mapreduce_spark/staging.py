@@ -17,9 +17,28 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content-version stamp of a testdata dir: (name, size, mtime) of
+    every parquet file. Staged artifacts derive from these tables, so keying
+    on the fingerprint auto-invalidates every staged dir when the source data
+    is regenerated between rounds — a path-only key would silently reuse
+    artifacts built from the previous data generation."""
+    parts = []
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    except OSError:
+        pass
+    return ";".join(parts)
+
+
 def stage_dir(sf_dir: str, tag: str) -> str:
-    """The canonical staging path for (sf_dir, tag) — not created."""
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}:{tag}".encode()).hexdigest()[:12]
+    """The canonical staging path for (sf_dir, tag, data-version) — not
+    created."""
+    raw = f"{os.path.realpath(sf_dir)}:{tag}:{_source_fingerprint(sf_dir)}"
+    key = hashlib.md5(raw.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"qms_{tag}_{key}")
 
 
