@@ -120,3 +120,31 @@ def test_pivot_wide_single_scan(spark, sf_dir):
     orders (a naive count(*) join doubles the scan)."""
     p = plan_of(spark, sf_dir, "pivot_wide")
     assert p.count("Scan parquet") == 1
+
+
+def test_tpch_q3_is_take_ordered_with_pushed_dates(spark, sf_dir):
+    """tpch_q3_shape: top-10 must be TakeOrderedAndProject (per-partition
+    heaps, no global sort), both date predicates pushed to their scans, and
+    the mktsegment dim side broadcast."""
+    p = plan_of(spark, sf_dir, "tpch_q3_shape")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    for col in ("o_orderdate", "l_shipdate", "c_mktsegment"):
+        assert col in p.split("PushedFilters:", 1)[1] or f"PushedFilters: [IsNotNull({col})" in p
+
+
+def test_range_frame_window_single_exchange(spark, sf_dir):
+    """range_frame_window: all three RANGE-frame aggregates must evaluate in
+    ONE Window operator over one hash exchange on user_id — three separate
+    Window nodes (or two exchanges) would triple the sort cost at 100 TB."""
+    p = plan_of(spark, sf_dir, "range_frame_window")
+    assert p.count("Window") - p.count("WindowGroupLimit") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_window_distribution_single_exchange(spark, sf_dir):
+    """window_distribution: dense_rank/percent_rank/cume_dist share one
+    window spec — one Window operator, one exchange on the partition key."""
+    p = plan_of(spark, sf_dir, "window_distribution")
+    assert p.count("Window") - p.count("WindowGroupLimit") == 1
+    assert p.count("Exchange hashpartitioning") == 1
