@@ -373,3 +373,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, "user_id", "ts", gap_minutes=30)
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, epoch_us(ts) AS us, value FROM events
+        ), m AS (
+            SELECT max(us) FILTER (WHERE event_id % 2 = 0) AS maxe FROM e
+        ), kept AS (
+            -- evens (slice 0) + odds within 6h of the even max (slice 1);
+            -- older odds (slice 2) arrive after their windows were evicted
+            -- and are dropped by the watermark
+            SELECT us, value FROM e, m
+            WHERE event_id % 2 = 0 OR us >= m.maxe - 21600000000
+        ), fin AS (
+            SELECT max(us) - 1800000000 AS cut FROM kept
+        ), w AS (
+            SELECT CAST(floor(us / 600000000) * 600000000 AS BIGINT) AS win_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM kept GROUP BY 1
+        )
+        SELECT w.* FROM w, fin WHERE w.win_start_us + 600000000 <= fin.cut
+    """,
+    doc="Append-mode watermark semantics end to end: events replayed as "
+        "three engineered slices (staging.stage_late_slices) so the third "
+        "slice's rows arrive AFTER their tumbling windows were finalized — "
+        "the state store genuinely drops them "
+        "(numRowsDroppedByWatermark > 0, asserted in pytest), closed "
+        "windows are emitted exactly once with the pre-late counts, and "
+        "open tail windows are withheld. The whole run — drop set, "
+        "emitted-window set, per-window counts — is a pure function of the "
+        "data, checked against the SQL oracle. At scale this is the "
+        "bounded-state guarantee: watermark delay caps state size "
+        "regardless of how disordered the input is.",
+    tags=("streaming", "watermark", "no-sql-plan"),
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.catalog import normalize_event_ts
+    from quatrain_mapreduce_spark.staging import stage_late_slices
+
+    src = stage_late_slices(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        )
+    )
+    name = f"qms_late_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("w.start").alias("win_start_us"), "n_events", "cents"
+    )

@@ -114,8 +114,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the real-stream twins stream_tumbling_count / cq_moving_avg_stream
     # cover the same window families)
     # (online_agg_topk to the tail: same snapshot machinery as
-    # online_agg_events, whose final-equals-exact oracle stays windowed)
-    "stream_tumbling_count",
+    # online_agg_events, whose final-equals-exact oracle stays windowed;
+    # stream_tumbling_count to the tail this round — r04-green, unchanged;
+    # stream_late_data is the new deepest real-stream check: append-mode
+    # watermark drops held to a SQL oracle)
+    "stream_late_data",
     "online_agg_events",
     "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
     # mrlib — representatives + the formerly-red index_build ("grep",

@@ -15,6 +15,7 @@ import tempfile
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -73,5 +74,55 @@ def stage_event_slices(
             base = time.time() - 3600
             for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*.parquet")))):
                 os.utime(f, (base + i * 10, base + i * 10))
+        open(marker, "w").close()
+    return d
+
+
+def stage_late_slices(spark: SparkSession, sf_dir: str, recent_hours: int = 6) -> str:
+    """Stage events as THREE mtime-ordered slices engineering real late-data
+    drops under an append-mode watermark (delay D, D << recent_hours):
+
+    - slice 0: even event_ids (spans the whole range — processing it
+      advances the watermark to maxE - D, maxE = max even event time);
+    - slice 1: odd ids within ``recent_hours`` of maxE (its batch END is
+      where windows <= maxE - D get evicted+emitted; these rows merge into
+      still-open windows first);
+    - slice 2: the remaining old odd ids — they arrive AFTER their windows
+      were evicted, so the stateful operator genuinely DROPS them
+      (numRowsDroppedByWatermark > 0).
+
+    Empirically pinned semantics (Spark 4.1): a batch merges its input
+    before evicting with its own watermark, so drops only happen for
+    windows evicted in a PRIOR batch — hence three slices, not two. Every
+    rule (slice membership, drop set, final emitted-window set) is a pure
+    function of the data, so the whole run is SQL-oracle-checkable.
+    """
+    import shutil
+
+    d = stage_dir(sf_dir, f"lateslices{recent_hours}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        from quatrain_mapreduce_spark.catalog import load_table
+
+        os.makedirs(d, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        even = F.col("event_id") % 2 == 0
+        max_even_us = ev.where(even).agg(F.max(F.unix_micros("ts"))).first()[0]
+        recent_cut = max_even_us - recent_hours * 3_600_000_000
+        ep = F.unix_micros("ts")
+        slices = (
+            ("even", even),
+            ("oddrecent", (~even) & (ep >= F.lit(recent_cut))),
+            ("oddold", (~even) & (ep < F.lit(recent_cut))),
+        )
+        base = time.time() - 3600
+        for i, (name, cond) in enumerate(slices):
+            tmp = os.path.join(d, f"_build_{name}")
+            ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"slice-{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (base + i * 10, base + i * 10))
         open(marker, "w").close()
     return d

@@ -363,3 +363,57 @@ def test_online_aggregator_incremental_survives_progress_retention(spark, sf_dir
     assert abs(progresses[-1] - 1.0) < 1e-9, progresses
     exact = {r["event_type"]: r["cnt"] for r in agg_fn(ev).collect()}
     assert {r["event_type"]: r["cnt"] for r in final.collect()} == exact
+
+
+def test_late_data_is_genuinely_dropped(spark, sf_dir):
+    """stream_late_data's third slice must be dropped by the watermark —
+    numRowsDroppedByWatermark > 0 across the run, and the emitted windows
+    must exclude every old-odd row (counts equal the evens + recent-odds
+    batch aggregate on closed windows only)."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.catalog import load_table, normalize_event_ts
+    from quatrain_mapreduce_spark.staging import stage_late_slices
+
+    src = stage_late_slices(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("qms_test_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    even = F.col("event_id") % 2 == 0
+    max_even = ev.where(even).agg(F.max(F.unix_micros("ts"))).first()[0]
+    n_old_odds = ev.where(
+        (~even) & (F.unix_micros("ts") < max_even - 6 * 3_600_000_000)
+    ).count()
+    assert n_old_odds > 0, "fixture degenerate: no old odd rows at this SF"
+    # the state operator's counter can miss a handful of rows that the
+    # pre-operator event-time filter removes first; the exactness assertion
+    # below is the strict check that ALL old odds stayed out of the output
+    assert 0 < dropped <= n_old_odds
+    assert dropped >= int(0.9 * n_old_odds)
+    # emitted totals exclude exactly the dropped rows and the open tail
+    kept = ev.where(even | (F.unix_micros("ts") >= max_even - 6 * 3_600_000_000))
+    cut = kept.agg(F.max(F.unix_micros("ts"))).first()[0] - 1_800_000_000
+    expected = (
+        kept.withColumn("ws", (F.floor(F.unix_micros("ts") / 600_000_000) * 600_000_000))
+        .where(F.col("ws") + 600_000_000 <= cut)
+        .count()
+    )
+    got = spark.table("qms_test_late").agg(F.sum("n_events")).first()[0]
+    assert got == expected
