@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "gopher_rules",        # quality gate: scan-local array exprs, zero shuffle
     "embedding_quantize",  # int8 quantization: scan-local, zero shuffle
     "merge_upsert_orders", # MERGE plan: full-outer join on the key
+    "tpch_q3_shape",       # broadcast dim + fact-fact join + grouped top-k
+    "range_frame_window",  # event-time RANGE frame, one window exchange
+    "window_distribution", # rank-family window funcs, one exchange
+    "repetition_filter",   # Gopher repetition gate: sort+run-length arrays
 ]
 
 

@@ -87,9 +87,10 @@ def connected_components(
     )
     prev: tuple[int, int] | None = None
     for _ in range(max_iter):
-        # lazy checkpoint: the fingerprint aggregation is the action that
-        # materializes it — one job per round instead of two
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # eager checkpoint: materialize the round once, then fingerprint the
+        # cached partitions (measured faster end-to-end than folding both
+        # into one lazy action, which re-plans the round inside the agg job)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _fingerprint(e)
         if cur == prev:  # fixed point of the (large∘small)-star round
             break

@@ -249,7 +249,12 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation",),
 )
 def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    # spread(): the per-doc sort+run-length arrays are CPU-bound narrow work;
+    # a single-file input would otherwise run them on one core (no-op at
+    # real scale where the scan has many partitions)
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return repetition_stats(docs, "text").select(
         "doc_id", "top_tok_frac", "top_bigram_frac"
     )
