@@ -305,3 +305,67 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "zorder_box_query",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(min(l_orderkey) + 0.25 * (max(l_orderkey) - min(l_orderkey))) AS BIGINT) AS ok_lo,
+                   CAST(floor(min(l_orderkey) + 0.375 * (max(l_orderkey) - min(l_orderkey))) AS BIGINT) AS ok_hi,
+                   CAST(floor(min(l_partkey) + 0.25 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS pk_lo,
+                   CAST(floor(min(l_partkey) + 0.375 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS pk_hi
+            FROM lineitem
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+               CAST(sum(l_partkey) AS BIGINT) AS pkey_sum
+        FROM lineitem, b
+        WHERE l_orderkey BETWEEN b.ok_lo AND b.ok_hi
+          AND l_partkey  BETWEEN b.pk_lo AND b.pk_hi
+    """,
+    doc="Z-order clustering + 2-D box query (operators/zorder.py): lineitem "
+        "rewritten sorted by the Morton interleave of (l_orderkey, "
+        "l_partkey) — the OPTIMIZE ZORDER maintenance op; the reference's "
+        "one-key analogue is the total-order partitioner feeding sorted "
+        "MapFiles (MR/lib/TotalOrderPartitioner.java). Every staged file "
+        "covers a tight hyper-rectangle in BOTH keys, so footer min/max "
+        "stats prune files for predicates on either column "
+        "(tests/test_plans.py quantifies: a partkey-only slab touches a "
+        "fraction of z-ordered files but ALL linearly-sorted ones). The "
+        "box aggregate itself is oracle-checked against the unclustered "
+        "table — clustering must never change query results.",
+    tags=("analytics", "storage", "zorder"),
+)
+def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.zorder import zorder_by
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    d = stage_dir(sf_dir, "zorder16")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        zorder_by(li, "l_orderkey", "l_partkey", n_files=16).write.mode("overwrite").parquet(d)
+    li = spark.read.parquet(d)
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    ok_lo = int(lo_o + 0.25 * (hi_o - lo_o))
+    ok_hi = int(lo_o + 0.375 * (hi_o - lo_o))
+    pk_lo = int(lo_p + 0.25 * (hi_p - lo_p))
+    pk_hi = int(lo_p + 0.375 * (hi_p - lo_p))
+    return (
+        li.where(
+            F.col("l_orderkey").between(ok_lo, ok_hi)
+            & F.col("l_partkey").between(pk_lo, pk_hi)
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_orderkey").alias("okey_sum"),
+            F.sum("l_partkey").alias("pkey_sum"),
+        )
+    )

@@ -99,10 +99,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # to the tail: r04-green and unchanged; bucketing stays visible via
     # bucketed_join, the csv codec via skip_bad_records, partitioned writes
     # via sql_partition_pruning + compact_small_files)
+    # (schema_evolution_read to the tail this round: r04-green, unchanged,
+    # pytest-asserted; zorder_box_query is the new storage-maintenance op)
     "seqfile_roundtrip", "bucketed_join",
     "dbcount_jdbc_roundtrip",
     "skip_bad_records",
-    "compact_small_files", "schema_evolution_read",
+    "compact_small_files", "zorder_box_query",
     # udf surface (counters_observe in the tail — its distinctive behavior,
     # the observe() metrics, is pytest-asserted and invisible to the
     # driver's DF compare anyway; chain_map_wordcount to the tail — the

@@ -148,3 +148,49 @@ def test_window_distribution_single_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "window_distribution")
     assert p.count("Window") - p.count("WindowGroupLimit") == 1
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_files_prune_on_both_dimensions(spark, sf_dir):
+    """Z-ordered files must be prunable on the NON-primary dimension too: a
+    partkey-only slab predicate touches a strict subset of z-ordered files
+    (footer min/max) but every file of an orderkey-sorted layout."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.zorder import zorder_by
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    slab_lo = int(lo + 0.25 * (hi - lo))
+    slab_hi = int(lo + 0.375 * (hi - lo))
+
+    def touched(d: str) -> tuple[int, int]:
+        n_total = n_hit = 0
+        for f in glob.glob(os.path.join(d, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_partkey"]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min); maxs.append(st.max)
+            n_total += 1
+            if min(mins) <= slab_hi and max(maxs) >= slab_lo:
+                n_hit += 1
+        return n_hit, n_total
+
+    with tempfile.TemporaryDirectory() as tmp:
+        zd, ld = os.path.join(tmp, "z"), os.path.join(tmp, "lin")
+        zorder_by(li, "l_orderkey", "l_partkey").write.parquet(zd)
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        ).write.parquet(ld)
+        z_hit, z_total = touched(zd)
+        l_hit, l_total = touched(ld)
+    assert l_hit == l_total, "linear layout should touch every file on a partkey slab"
+    assert z_hit < z_total, "z-order layout must prune at least some files"
+    assert z_hit / z_total <= 0.75, f"weak pruning: {z_hit}/{z_total}"
