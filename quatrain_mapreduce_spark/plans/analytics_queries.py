@@ -369,3 +369,63 @@ def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_partkey").alias("pkey_sum"),
         )
     )
+
+
+@register(
+    "sketch_mergeable_rollup",
+    oracle="""
+        WITH per AS (
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+        )
+        SELECT event_type, n_exact, 1 AS hll_ok FROM per
+        UNION ALL
+        SELECT 'ALL' AS event_type, n_exact, 1 AS hll_ok FROM tot
+    """,
+    doc="Mergeable-sketch rollup (Datasketches HLL, Spark 4 "
+        "hll_sketch_agg/hll_union/hll_sketch_estimate): per-event-type HLL "
+        "sketches built once, then UNIONED — not rescanned — to answer the "
+        "corpus-wide distinct-user count; both tiers gated against exact "
+        "twins inside the query (oracle pins ok-flags to 1). This is the "
+        "pre-aggregated-cube pattern that matters at 100 TB: sketches are "
+        "algebraic state (map-side partials, persistable as a daily cube), "
+        "so any rollup level is a cheap merge of stored binaries instead "
+        "of a full rescan — the modern form of the reference's "
+        "UniqValueCount ceiling (MR/lib/aggregate/UniqValueCount.java).",
+    tags=("analytics", "sketch", "approx"),
+)
+def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+    )
+    per_rows = per.select(
+        "event_type",
+        "n_exact",
+        (
+            (
+                F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("n_exact"))
+                / F.col("n_exact")
+            )
+            <= 0.05
+        ).cast("int").alias("hll_ok"),
+    )
+    # rollup tier: merge the per-group sketches (NO rescan of events) and
+    # gate the merged estimate against the exact global distinct
+    total_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    merged = per.agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    total_row = total_exact.crossJoin(merged).select(
+        F.lit("ALL").alias("event_type"),
+        "n_exact",
+        (
+            (
+                F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("n_exact"))
+                / F.col("n_exact")
+            )
+            <= 0.05
+        ).cast("int").alias("hll_ok"),
+    )
+    return per_rows.unionAll(total_row)

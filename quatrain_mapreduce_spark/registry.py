@@ -71,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (window_funcs to the tail: r04-green, unchanged; the window family
     # stays driver-visible via the two new window queries)
     "range_frame_window", "window_distribution", "tpch_q3_shape",
+    "sketch_mergeable_rollup",
     "percentile_agg", "pivot_wide", "similarity_ivf_exact",
     # relational — flagship + the shapes that exercise distinct plan features
     # (tpch_q1_shape / join_semi_anti moved to the tail: green in r03,
@@ -108,8 +109,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # udf surface (counters_observe in the tail — its distinctive behavior,
     # the observe() metrics, is pytest-asserted and invisible to the
     # driver's DF compare anyway; chain_map_wordcount to the tail — the
-    # chain composes the same tokenize/count path transform_pipe covers)
-    "transform_pipe_wordcount", "udf_registered_sql",
+    # chain composes the same tokenize/count path transform_pipe covers;
+    # udf_registered_sql to the tail this round: r04-green, unchanged,
+    # resolver path also pytest-covered)
+    "transform_pipe_wordcount",
     # streaming / online aggregation (invisible to the r03 gate;
     # cq_sliding_window in the tail — same window family as cq_tumbling)
     # (cq_moving_avg and cq_tumbling_window batch variants in the tail —
