@@ -429,3 +429,42 @@ def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("hll_ok"),
     )
     return per_rows.unionAll(total_row)
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle="""
+        SELECT source AS item, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, source) AS INTEGER) AS rank
+        FROM documents GROUP BY source
+        QUALIFY rank <= 3
+    """,
+    doc="Heavy hitters (frequent-items sketch, Spark 4 approx_top_k): the "
+        "domain/token frequency question every corpus-curation cap starts "
+        "from. Sketch state is mergeable (map-side partials) and bounded by "
+        "maxItemsTracked, not cardinality — the 100 TB path. Gate: with "
+        "maxItemsTracked >= the column's distinct count the sketch "
+        "degrades to exact (same construction as the IVF exactness gate), "
+        "so the full sketch pipeline — accumulate, merge, extract, rank — "
+        "must reproduce the exact top-3 with exact counts, hash-checked. "
+        "Ties broken by item for determinism on the approx side too "
+        "(equal-count items are re-ranked by a stable sort on the "
+        "extracted array).",
+    tags=("analytics", "sketch", "approx"),
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # extract well past k: ties AT the k boundary are resolved arbitrarily
+    # inside the sketch, so pull the whole (exact, budget >= cardinality)
+    # frequency table and cut after the deterministic re-rank
+    top = docs.agg(F.expr("approx_top_k(source, 64, 8192)").alias("tk"))
+    flat = top.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    # deterministic re-rank: approx_top_k orders ties arbitrarily; rank by
+    # (count desc, item) so equal-count items hash identically cross-engine
+    w = Window.orderBy(F.desc("cnt"), "item")
+    return (
+        flat.select("item", "cnt", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 3)
+    )
