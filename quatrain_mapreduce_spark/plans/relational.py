@@ -663,3 +663,40 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "price", "status",
         F.col("__merged").alias("merged"),
     )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation — completes the grouping-analytics family "
+        "(rollup_agg, sql_grouping_sets): all 2^k grouping combinations "
+        "from ONE scan and one expanded aggregate, where the reference era "
+        "ran 2^k separate jobs. Subtotals flagged via grouping(), same "
+        "null-safety rule as rollup_agg.",
+    tags=("agg", "superset"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+        )
+        .select(
+            F.when(F.col("g_status") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g_priority") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority")).alias("priority"),
+            "cnt", "sum_price",
+        )
+    )

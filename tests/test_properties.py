@@ -116,3 +116,28 @@ def test_connected_components_match_union_find(spark, edges):
         spark.createDataFrame([], "u long, v long")
     got = {r["node"]: r["root"] for r in connected_components(df).collect()}
     assert got == _union_find([e for e in edges if e[0] != e[1]])
+
+
+def test_z_value_matches_python_reference(spark):
+    """The JVM-side Morton interleave must agree with a straightforward
+    Python reference on deterministic inputs across the full bit range."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.operators.zorder import z_value
+
+    bits = 12
+    vals = [(a, b) for a in (0, 1, 5, 255, 4094, 4095) for b in (0, 2, 7, 1023, 4095)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", z_value(F.col("a"), F.col("b"), bits).alias("z")).collect()
+    }
+
+    def ref(a: int, b: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): ref(a, b) for a, b in vals}
