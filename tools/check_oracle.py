@@ -58,9 +58,29 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--atol", type=float, default=0.0)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="build a bare SparkSession (optionally non-UTC via --tz) instead "
+        "of get_spark() — mirrors the driver harness, which sets none of the "
+        "engine's session confs; catches session-conf-dependent bugs",
+    )
+    ap.add_argument("--tz", default="America/Chicago", help="session tz for --vanilla")
     args = ap.parse_args()
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("qms-oracle-vanilla")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", args.tz)
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duck_connection(args.sf)
     queries = all_queries()
     only = set(args.only.split(",")) if args.only else None
