@@ -109,10 +109,23 @@ def ngram_jaccard_pairs(
     # size(sh) > 0: Catalyst pushes filters through Repartition, and a pushed
     # filter over the full shingle expression would evaluate it on the
     # pre-spread (often single) input partition.
+    #
+    # The shingle SET is carried as xxhash64 longs, not strings: Jaccard
+    # only needs set identity, and array_intersect on 8-byte longs is
+    # ~2.4x faster than on shingle strings (measured on the verify step,
+    # 3.0 s -> 1.25 s at sf0.1) while also shrinking the persisted frame.
+    # A 64-bit collision inside one candidate pair's union (probability
+    # ~pairs * |union|^2 / 2^64, ~1e-15 here) is the only way this can
+    # differ from string-set Jaccard — and the DuckDB oracle computes the
+    # string form, so it would be caught, not masked.
     sh = (
         spread(df)
         .where(F.size(tokenize(text_col)) >= n)
-        .select(F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, n).alias("sh"))
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("sh"),
+        )
     )
     # both self-join sides consume the shingle frame — persist the expensive
     # narrow stage once instead of shingling the corpus twice (measured at
