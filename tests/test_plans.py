@@ -194,3 +194,14 @@ def test_zorder_files_prune_on_both_dimensions(spark, sf_dir):
     assert l_hit == l_total, "linear layout should touch every file on a partkey slab"
     assert z_hit < z_total, "z-order layout must prune at least some files"
     assert z_hit / z_total <= 0.75, f"weak pruning: {z_hit}/{z_total}"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """decontaminate's doc claims the eval-gram side broadcasts (typical:
+    MB-scale eval sets against a 100 TB train corpus) and the train corpus
+    is never self-joined: all joins must be broadcast hash joins, with the
+    contamination check a semi join and the removals anti joins."""
+    p = plan_of(spark, sf_dir, "decontaminate")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
