@@ -393,7 +393,9 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d
         )
         SELECT doc_id, n_tok, CAST(shard AS INTEGER) AS shard,
-               tok_end - n_tok AS tok_start,
+               -- CAST: windowed sum() is HUGEINT -> pandas float64 in the
+               -- driver's fetchdf view; Spark emits BIGINT
+               CAST(tok_end - n_tok AS BIGINT) AS tok_start,
                CAST(floor((tok_end - n_tok) / 1024.0) AS BIGINT) AS first_seq,
                CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
         FROM c

@@ -423,3 +423,47 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(d, "batch=1"), os.path.join(d, "batch=2"))
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@register(
+    "codec_roundtrip",
+    oracle="""
+        SELECT 'gzip_csv' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        UNION ALL
+        SELECT 'zstd_parquet' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+    """,
+    doc="Compression-codec selection round trip (SURVEY §1.5 — "
+        "IO/compress/{GzipCodec,BZip2Codec,...}.java; the reference's "
+        "codec registry picks a (de)compressor per file extension): the "
+        "supplier projection written as GZIP csv and ZSTD parquet, both "
+        "read back and unioned under a fmt tag — a codec that corrupts, "
+        "truncates, or reorders fails the doubled identity oracle. The "
+        "pytest twin asserts .csv.gz extensions and parquet footer codec "
+        "metadata, proving compression actually engaged (this oracle "
+        "alone would pass on an uncompressed write).",
+    tags=("sources", "codec"),
+)
+def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d_csv = _stage_dir(sf_dir, "codecgz")
+    d_parq = _stage_dir(sf_dir, "codeczstd")
+    if not os.path.exists(os.path.join(d_csv, "_SUCCESS")):
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+        s.write.mode("overwrite").option("header", True) \
+            .option("compression", "gzip").csv(d_csv)
+    if not os.path.exists(os.path.join(d_parq, "_SUCCESS")):
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+        s.write.mode("overwrite").option("compression", "zstd").parquet(d_parq)
+    from_csv = (
+        spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double")
+        .option("header", True).csv(d_csv)
+        .select(F.lit("gzip_csv").alias("fmt"), "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("acctbal"))
+    )
+    from_parq = (
+        spark.read.parquet(d_parq)
+        .select(F.lit("zstd_parquet").alias("fmt"), "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("acctbal"))
+    )
+    return from_csv.unionByName(from_parq)

@@ -348,6 +348,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH o AS (
             SELECT user_id, ts, epoch_us(ts) AS ep,
+                   -- STRICT > gap: session_window merges an exact-gap event
+                   -- (test_sessionize_exact_gap_boundary)
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                         THEN 1 ELSE 0 END AS new_s
@@ -358,7 +360,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
             FROM o
         )
-        SELECT user_id, session_id,
+        -- CAST: DuckDB windowed sum() yields HUGEINT -> pandas float64;
+        -- Spark emits BIGINT. Without the cast the driver's value-hash sees
+        -- 3.0 vs 3 and flags a mismatch on identical answers.
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                CAST(count(*) AS BIGINT) AS n_events,
                min(ep) AS session_start_us,
                max(ep) - min(ep) AS session_dur_us
@@ -444,6 +449,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH o AS (
             SELECT user_id, ts, epoch_us(ts) AS ep,
+                   -- STRICT > gap: session_window merges an exact-gap event
+                   -- (test_sessionize_exact_gap_boundary)
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                         THEN 1 ELSE 0 END AS new_s

@@ -63,85 +63,45 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # tail (checked locally by tools/check_oracle.py) holds redundant shape
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # analytics — newest queries first (changed-recently rule): event-time
-    # RANGE frames, distribution window funcs, TPC-H Q3 shape (all new in
-    # r5), exact percentiles, declared-values pivot, and the IVF exactness
-    # gate (nprobe == n_lists must reproduce brute force — makes the whole
-    # index pipeline hash-checkable, not just pytest-gated).
-    # (window_funcs to the tail: r04-green, unchanged; the window family
-    # stays driver-visible via the two new window queries)
-    "range_frame_window", "window_distribution", "tpch_q3_shape",
-    "sketch_mergeable_rollup",
-    "percentile_agg", "pivot_wide", "similarity_ivf_exact",
-    # relational — flagship + the shapes that exercise distinct plan features
-    # (tpch_q1_shape / join_semi_anti moved to the tail: green in r03,
-    # unchanged, plan-tested)
-    "groupby2_shape", "join_multiway",
-    "rollup_agg", "order_by_limit",
-    # temporal joins + merge — new this round (salted_join_orders and
-    # sketch_bounds in the tail: the former's oracle equals the plain join,
-    # the latter's flags are additionally pytest-bounded)
-    "asof_join_events", "range_join_incidents", "scd2_user_state",
-    "merge_upsert_orders",
-    # hive_sql — entire SQL-text path (invisible to the r03 gate)
-    # (sql_cast1 / sql_case_sensitivity to the tail: minor semantics checks,
-    # green locally, their cast/resolver paths also exercised by
-    # csv_typed_roundtrip and scalar_funcs; sql_union too — UNION dedup
-    # semantics stay driver-visible via union_all's oracle family)
-    "sql_groupby2", "sql_join2", "sql_ddl_roundtrip",
-    "sql_partition_pruning", "sql_subq",
-    "sql_transform",
-    # sources/sinks — distinct round-trips + the new maintenance ops
-    # (seqfilter_scan, xml_roundtrip, kv_text_roundtrip,
-    # multiple_inputs_union, tagged_join_shape to the tail: stable
-    # variants green locally/r03 and unchanged; seqfile_roundtrip covers
-    # the K/V round-trip family, orc_roundtrip in the tail next to it)
-    # (bucket_point_lookup, csv_typed_roundtrip, sql_insert_overwrite_partition
-    # to the tail: r04-green and unchanged; bucketing stays visible via
-    # bucketed_join, the csv codec via skip_bad_records, partitioned writes
-    # via sql_partition_pruning + compact_small_files)
-    # (schema_evolution_read to the tail this round: r04-green, unchanged,
-    # pytest-asserted; zorder_box_query is the new storage-maintenance op)
-    "seqfile_roundtrip", "bucketed_join",
-    "dbcount_jdbc_roundtrip",
-    "skip_bad_records",
-    "compact_small_files", "zorder_box_query",
-    # udf surface (counters_observe in the tail — its distinctive behavior,
-    # the observe() metrics, is pytest-asserted and invisible to the
-    # driver's DF compare anyway; chain_map_wordcount to the tail — the
-    # chain composes the same tokenize/count path transform_pipe covers;
-    # udf_registered_sql to the tail this round: r04-green, unchanged,
-    # resolver path also pytest-covered)
-    "transform_pipe_wordcount",
-    # streaming / online aggregation (invisible to the r03 gate;
-    # cq_sliding_window in the tail — same window family as cq_tumbling)
-    # (cq_moving_avg and cq_tumbling_window batch variants in the tail —
-    # the real-stream twins stream_tumbling_count / cq_moving_avg_stream
-    # cover the same window families)
-    # (online_agg_topk to the tail: same snapshot machinery as
-    # online_agg_events, whose final-equals-exact oracle stays windowed;
-    # stream_tumbling_count to the tail this round — r04-green, unchanged;
-    # stream_late_data is the new deepest real-stream check: append-mode
-    # watermark drops held to a SQL oracle)
-    "stream_late_data",
-    "online_agg_events",
-    "cq_moving_avg_stream", "sessionize_events", "stream_dedup",
-    # mrlib — representatives + the formerly-red index_build ("grep",
-    # "salted_agg", "pi_estimator" moved to the tail: green in r03, unchanged)
-    "wordcount", "index_build",
-    # data pipeline — oracled representatives + the multimodal 1->n oracle
-    # (similarity_bruteforce / text_quality to the tail: r03-green, unchanged;
-    # dedup_ngram_jaccard promoted this round: its shingle builder changed
-    # (array_join(slice) grams) and it is the exact ground truth the LSH
-    # recall gate joins against)
-    "dedup_exact", "dedup_lsh_recall", "dedup_ngram_jaccard",
-    "dedup_components", "corpus_curation", "multimodal_frames",
-    "embedding_quantize",
-    # curation tier — newest queries first (changed-recently rule), fully
-    # oracled incl. sample membership
-    "repetition_filter", "corpus_shuffle", "gopher_rules",
-    "stratified_sample", "train_val_split", "domain_cap", "decontaminate",
-    "pii_scrub",
+    # --- r6 rotation rule: EVERY oracled query that has never had a
+    # driver-green row (26 of them, computed from CORRECTNESS_r01..r05 by
+    # tools/coverage_rotation.py) is promoted this round, so that by end of
+    # r6 the whole oracled registry has >=1 historical driver-green row
+    # (tracked in COVERAGE.md). r5-green unchanged rows are demoted to the
+    # locally-checked tail to make room.
+    # never-green: streaming / online-agg family
+    "sessionize_events",      # oracle CAST fixed this round (r04/r05 red)
+    "stream_sessionize", "stream_stream_join", "cq_tumbling_window",
+    "cq_sliding_window", "cq_moving_avg", "online_agg_topk",
+    # never-green: relational / SQL surface
+    "salted_join_orders", "cube_agg", "sketch_bounds", "sql_union",
+    "sql_grouping_sets", "sql_case_sensitivity", "sql_cast1",
+    # never-green: sources / formats
+    "kv_text_roundtrip", "seqfilter_scan", "multiple_inputs_union",
+    "tagged_join_shape", "xml_roundtrip", "orc_roundtrip",
+    # never-green: UDF surface + analytics + curation tail
+    "chain_map_wordcount", "counters_observe", "heavy_hitters_topk",
+    "multimodal_features", "dedup_spans", "sequence_pack",
+    # new this round (codec selection round-trip, SURVEY §1.5)
+    "codec_roundtrip",
+    # --- 23 representatives keeping every module driver-visible (all green
+    # in r05 or earlier; chosen for distinct plan features). Everything else
+    # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
+    # is in the locally-checked tail via tools/check_oracle.py.
+    # relational / analytics flagships
+    "groupby2_shape", "join_multiway", "order_by_limit", "tpch_q3_shape",
+    "range_frame_window", "similarity_ivf_exact", "sketch_mergeable_rollup",
+    # temporal joins + merge
+    "asof_join_events", "merge_upsert_orders",
+    # SQL-text path
+    "sql_groupby2", "sql_ddl_roundtrip", "sql_partition_pruning",
+    # sources / storage maintenance
+    "seqfile_roundtrip", "bucketed_join", "compact_small_files",
+    "zorder_box_query",
+    # streaming real-stream deep checks
+    "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
+    # mrlib + data pipeline + curation
+    "wordcount", "dedup_lsh_recall", "dedup_components", "decontaminate",
 )
 
 

@@ -134,7 +134,9 @@ def monitor_job(spark: SparkSession, rows_per_second: int = 10, window: str = "2
 
 def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): per user, a new session starts
-    when the gap since the previous event exceeds ``gap_minutes``.
+    when the gap since the previous event STRICTLY exceeds ``gap_minutes``
+    (an exact-gap event merges — matching ``session_window``, which extends
+    a session to last+gap inclusive).
 
     Declarative two-window form (lag → boundary flag → running sum), fully
     shuffle-partitioned by user — the batch twin of the stateful streaming
@@ -152,6 +154,12 @@ def sessionize(events: DataFrame, user_col: str, ts_col: str, gap_minutes: int =
     w = Window.partitionBy(user_col).orderBy(ts_col)
     ep = F.unix_micros(F.col(ts_col))
     gap = ep - F.lag(ep).over(w)
+    # Boundary rule is STRICTLY > gap: Spark's session_window MERGES an event
+    # arriving exactly gap after its predecessor (verified empirically — the
+    # session extends to last+gap inclusive; see
+    # tests/test_streaming.py::test_sessionize_exact_gap_boundary). The
+    # lag/cumsum form must use the same strict rule or the two
+    # implementations disagree on exact-gap pairs.
     flagged = events.withColumn(
         "_new",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),

@@ -198,6 +198,35 @@ def test_compression_codec_roundtrips(spark, sf_dir, tmp_path):
         assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(p).collect()} == want
 
 
+def test_codec_roundtrip_files_are_compressed(spark, sf_dir):
+    """codec_roundtrip's identity oracle would pass on an uncompressed
+    write — this twin proves compression engaged: the csv route emits
+    .csv.gz part files and the parquet route's footer records ZSTD for
+    every column chunk."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from quatrain_mapreduce_spark.plans.sources_queries import codec_roundtrip
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    out = codec_roundtrip(spark, sf_dir)
+    assert out.count() > 0
+
+    gz_files = g.glob(stage_dir(sf_dir, "codecgz") + "/*.csv.gz")
+    assert gz_files, "gzip csv route produced no .csv.gz part files"
+
+    pq_files = g.glob(stage_dir(sf_dir, "codeczstd") + "/*.parquet")
+    assert pq_files, "zstd parquet route produced no parquet files"
+    meta = pq.ParquetFile(pq_files[0]).metadata
+    codecs = {
+        meta.row_group(rg).column(c).compression
+        for rg in range(meta.num_row_groups)
+        for c in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}, f"parquet footer codecs: {codecs}"
+
+
 def test_compact_files_hits_target_count(spark, tmp_path):
     """compact_files sizes output from filesystem bytes: 32 small files
     collapse to the returned ceil(bytes/target) count, content preserved."""

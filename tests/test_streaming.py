@@ -111,6 +111,33 @@ def test_sessionize_batch_matches_window_form(spark, sf_dir):
     assert {(r["user_id"], r["n"]) for r in a.collect()} == {(r["user_id"], r["n"]) for r in b.collect()}
 
 
+def test_sessionize_exact_gap_boundary(spark):
+    """An event arriving EXACTLY gap after its predecessor MERGES into the
+    session in BOTH formulations: session_window extends a session to
+    last+gap INCLUSIVE (verified empirically), so the lag/cumsum form uses a
+    strict > comparison to match. Data-independent lock on the boundary
+    convention — fixture agreement alone (9549/9549 at sf0.01) would not
+    survive a regenerated exact-gap pair."""
+    import datetime
+
+    from quatrain_mapreduce_spark.streaming.hop import sessionize, sessionize_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    gap_min = 30
+    rows = [
+        # u1: second event exactly 30:00.000000 later -> MERGES (1 session)
+        ("u1", t0), ("u1", t0 + datetime.timedelta(minutes=gap_min)),
+        # u2: second event 1 microsecond past the gap -> 2 sessions
+        ("u2", t0), ("u2", t0 + datetime.timedelta(minutes=gap_min, microseconds=1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    a = {(r["user_id"], r["n"]) for r in sessionize(ev, "user_id", "ts", gap_min)
+         .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    b = {(r["user_id"], r["n"]) for r in sessionize_stream(ev, "user_id", "ts", gap_min)
+         .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert a == b == {("u1", 1), ("u2", 2)}
+
+
 def test_monitor_job_windows_ticks(spark):
     """Monitor framework (ClockInputFormat + MonitorClient parity): the
     continuous clock job emits windowed tick counts."""

@@ -5,6 +5,14 @@ parquet tables, then compares row count, column names/order-insensitive
 schema, and values (rows sorted, columns sorted by name) — approximating the
 driver's value-hash. Floats compare exactly unless --atol is given.
 
+Additionally compares PANDAS DTYPES the way the driver's hash pipeline sees
+them: the driver materializes the DuckDB side via fetchdf(), where HUGEINT
+(e.g. any windowed sum() of integers) and DECIMAL become float64 — so an
+oracle emitting bare `sum(x) OVER (...)` hash-mismatches a Spark BIGINT
+(3.0 vs 3) even though Python-level values compare equal. That class of bug
+(sessionize_events, red in r04+r05) is invisible to a value-only compare;
+the dtype check below fails it locally.
+
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only name[,name]]
 """
 
@@ -43,6 +51,48 @@ def normalize(rows: list[tuple], col_names: list[str]) -> list[tuple]:
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+_SPARK_KIND = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f",
+    "boolean": "b", "timestamp": "M", "timestamp_ntz": "M",
+}
+
+
+def spark_kind(dtype: str) -> str:
+    """Expected pandas dtype kind for a Spark column type (simpleString)."""
+    return _SPARK_KIND.get(dtype, "O")  # string/date/binary/array/map/... -> object
+
+
+def dtype_problems(sdf, ddf) -> list[str]:
+    """Mirror the driver's pandas-level dtype view: the DuckDB result is
+    materialized with fetchdf(), so HUGEINT/DECIMAL columns arrive as
+    float64. If the Spark column is integer-typed, the driver's value hash
+    sees 3.0 vs 3 and flags a mismatch on identical answers. Fail that
+    combination here (unless the float64 is pandas' NaN-promotion of a
+    genuinely NULL-bearing integer column, which fetchall/None compare
+    handles — warn only)."""
+    out = []
+    spark_kinds = {name: spark_kind(dt) for name, dt in sdf.dtypes}
+    for col in ddf.columns:
+        dk = ddf[col].dtype.kind
+        sk = spark_kinds.get(col)
+        if sk is None or sk == dk:
+            continue
+        if "O" in (sk, dk):
+            continue  # object-side representations (str/date/list) are loose
+        if sk == "i" and dk == "f":
+            if ddf[col].isna().any():
+                continue  # NULL-int promotion, not a typing bug
+            out.append(
+                f"dtype: oracle col {col!r} is float64 (HUGEINT/DECIMAL via "
+                f"fetchdf) but Spark emits integer — add a CAST(... AS BIGINT) "
+                f"in the oracle"
+            )
+        else:
+            out.append(f"dtype: col {col!r} spark kind={sk} duck kind={dk}")
+    return out
 
 
 def values_equal(a, b, atol: float) -> bool:
@@ -106,11 +156,12 @@ def main() -> int:
             res = con.execute(q.oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            ddf = con.execute(q.oracle).fetchdf()  # driver's pandas view
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = dtype_problems(sdf, ddf)
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
