@@ -59,12 +59,18 @@ def zorder_by(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input (or all-NULL keys): nothing to cluster
+        return df
+    zcol = "_z"
+    while zcol in df.columns:
+        zcol += "_"
     z = z_value(
         _scale_expr(col_a, lo_a, hi_a, bits), _scale_expr(col_b, lo_b, hi_b, bits), bits
     )
     return (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zcol, z)
+        .repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
     )

@@ -454,10 +454,23 @@ def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # The exactness gate silently depends on distinct(source) fitting the
+    # sketch budget — beyond it the sketch turns approximate and the exact
+    # oracle mismatches with no hint why. Fail fast instead (one tiny agg
+    # on a low-cardinality column; a production caller with unbounded
+    # cardinality drops this guard and accepts approximate counts).
+    budget = 8192
+    n_distinct = docs.agg(F.countDistinct("source")).first()[0]
+    if n_distinct > budget:
+        raise ValueError(
+            f"heavy_hitters_topk exactness gate: distinct(source)={n_distinct} "
+            f"exceeds maxItemsTracked={budget}; the sketch would be "
+            f"approximate and the exact-count oracle invalid"
+        )
     # extract well past k: ties AT the k boundary are resolved arbitrarily
     # inside the sketch, so pull the whole (exact, budget >= cardinality)
     # frequency table and cut after the deterministic re-rank
-    top = docs.agg(F.expr("approx_top_k(source, 64, 8192)").alias("tk"))
+    top = docs.agg(F.expr(f"approx_top_k(source, 64, {budget})").alias("tk"))
     flat = top.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
     )

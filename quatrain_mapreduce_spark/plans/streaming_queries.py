@@ -3,7 +3,7 @@
 Batch/stream parity is the whole design: the same window() transformations
 run over the events table as a batch DataFrame (oracle-checkable) and as a
 replayed file stream (``stream_tumbling_count`` runs a real Structured
-Streaming query with availableNow and returns the drained memory sink).
+Streaming query with availableNow and returns the file-sink-drained result).
 Window starts are emitted as epoch seconds (BIGINT) — engine-portable, no
 timestamp formatting dependence.
 """
@@ -19,8 +19,8 @@ from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.registry import register
 from quatrain_mapreduce_spark.staging import stage_event_slices
 from quatrain_mapreduce_spark.streaming.hop import (
-    OnlineAggregator, read_events_stream, run_available_now, sessionize,
-    tumbling_window_agg,
+    OnlineAggregator, drain_to_parquet, read_events_stream, run_available_now,
+    sessionize, tumbling_window_agg,
 )
 from quatrain_mapreduce_spark.streaming.stateful import (
     moving_avg_batch, moving_avg_stream,
@@ -98,7 +98,7 @@ def cq_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Real Structured Streaming execution: events replayed as a file "
         "stream, tumbling 1-h count per key, drained with availableNow into a "
-        "memory sink — proves stream/batch parity on the same expression "
+        "parquet sink — proves stream/batch parity on the same expression "
         "(the engine's HOP continuous-job equivalent, end to end).",
     tags=("streaming", "no-sql-plan"),
 )
@@ -229,12 +229,7 @@ def cq_moving_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = moving_avg_stream(stream, "user_id", "event_id", "value", k=5)
     name = f"qms_moving_avg_{next(_stream_counter)}"
-    q = (
-        ma.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return drain_to_parquet(ma, name, output_mode="append")
 
 
 @register(
@@ -275,13 +270,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"qms_stream_dedup_{next(_stream_counter)}"
     # append mode: dropDuplicates emits each first-seen row exactly once
-    # (complete mode is for aggregates — run_available_now doesn't apply)
-    q = (
-        stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name).groupBy("source").agg(F.count("*").alias("uniq_docs"))
+    kept = drain_to_parquet(stream, name, output_mode="append")
+    return kept.groupBy("source").agg(F.count("*").alias("uniq_docs"))
 
 
 @register(
@@ -329,12 +319,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 5 minutes")),
     )
     name = f"qms_ss_join_{next(_stream_counter)}"
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return drain_to_parquet(joined, name, output_mode="append").select(
         F.col("c_user").alias("user_id"),
         F.col("c_id").alias("click_id"),
         F.col("p_id").alias("purchase_id"),
@@ -434,12 +419,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"qms_late_{next(_stream_counter)}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return drain_to_parquet(agg, name, output_mode="append").select(
         F.unix_micros("w.start").alias("win_start_us"), "n_events", "cents"
     )
 

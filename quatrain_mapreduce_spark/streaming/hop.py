@@ -103,15 +103,55 @@ def sliding_window_agg(
     ).agg(*aggs)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
-    """Drain a bounded stream with availableNow into a memory sink; return the
-    result table. Deterministic harness for tests/oracle checks."""
+def drain_to_parquet(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded stream with availableNow through a FILE sink and read
+    the result back. This is the scale-shaped harness drain: a memory sink
+    buffers every result row on the driver, while a parquet sink lands them
+    on the (distributed) filesystem exactly as a production job would — the
+    acceptance path and the 100 TB path are the same code.
+
+    ``append`` mode uses the native parquet sink (exactly-once via the sink
+    commit log). ``complete`` mode — unwatermarked aggregates, which the
+    file sink rejects by design — goes through foreachBatch overwriting a
+    snapshot dir, so the last micro-batch's full result is the answer: the
+    same snapshot-file pattern as OnlineAggregator (HOP's
+    snapshot-<progress> analogue), with no driver-side accumulation.
+    """
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"qms_drain_{query_name}_")
+    ckpt = tempfile.mkdtemp(prefix=f"qms_drain_ckpt_{query_name}_")
+    spark = stream_df.sparkSession
+    if output_mode == "append":
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(stream_df.schema).parquet(out)
+    snap = os.path.join(out, "snapshot")
+
+    def write_snapshot(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(snap)
+
     q = (
-        stream_df.writeStream.format("memory").queryName(query_name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        stream_df.writeStream.foreachBatch(write_snapshot)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    return spark.read.schema(stream_df.schema).parquet(snap)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a bounded complete-mode stream with availableNow; return the
+    final result. Deterministic harness for tests/oracle checks — file-sink
+    backed (drain_to_parquet), never a driver-buffering memory sink."""
+    return drain_to_parquet(stream_df, query_name, output_mode="complete")
 
 
 def monitor_job(spark: SparkSession, rows_per_second: int = 10, window: str = "2 seconds"):

@@ -24,8 +24,9 @@ def test_filter_reaches_parquet_scan(spark, sf_dir):
     """tpch_q1_shape's shipdate predicate must appear as PushedFilters on the
     lineitem scan (predicate pushdown — free from Catalyst, fatal to lose)."""
     p = plan_of(spark, sf_dir, "tpch_q1_shape")
-    assert "PushedFilters: [" in p
-    assert "l_shipdate" in p.split("PushedFilters:", 1)[1][:200]
+    brackets = pushed_filter_brackets(p)
+    assert brackets, p
+    assert any("LessThanOrEqual(l_shipdate" in b for b in brackets), brackets
 
 def test_projection_prunes_scan_columns(spark, sf_dir):
     """field_selection projects 2 columns — ReadSchema must not include the
@@ -122,15 +123,31 @@ def test_pivot_wide_single_scan(spark, sf_dir):
     assert p.count("Scan parquet") == 1
 
 
+def pushed_filter_brackets(plan: str) -> list[str]:
+    """Each FileScan's own PushedFilters bracket content. The plan string
+    truncates long brackets ('IsNotNull(...'), so capture up to the
+    ', ReadSchema:' that always follows rather than the closing ']'."""
+    import re
+
+    return [m.group(1) for m in re.finditer(r"PushedFilters: \[(.*?), ReadSchema:", plan)]
+
+
 def test_tpch_q3_is_take_ordered_with_pushed_dates(spark, sf_dir):
     """tpch_q3_shape: top-10 must be TakeOrderedAndProject (per-partition
-    heaps, no global sort), both date predicates pushed to their scans, and
-    the mktsegment dim side broadcast."""
+    heaps, no global sort), both date predicates pushed to their scans as
+    actual comparison predicates (not just IsNotNull), and the mktsegment
+    dim side broadcast. Asserts inside each scan's own PushedFilters bracket
+    — a column name elsewhere in the plan (projections, join keys) must not
+    satisfy the check."""
     p = plan_of(spark, sf_dir, "tpch_q3_shape")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
-    for col in ("o_orderdate", "l_shipdate", "c_mktsegment"):
-        assert col in p.split("PushedFilters:", 1)[1] or f"PushedFilters: [IsNotNull({col})" in p
+    brackets = pushed_filter_brackets(p)
+    assert len(brackets) == 3, p
+    for predicate in (
+        "LessThan(o_orderdate", "GreaterThan(l_shipdate", "EqualTo(c_mktsegment,BUILDING)"
+    ):
+        assert any(predicate in b for b in brackets), (predicate, brackets)
 
 
 def test_range_frame_window_single_exchange(spark, sf_dir):

@@ -141,3 +141,18 @@ def test_z_value_matches_python_reference(spark):
         return z
 
     assert got == {(a, b): ref(a, b) for a, b in vals}
+
+
+def test_zorder_by_edge_inputs(spark):
+    """zorder_by must not crash on an empty frame (min/max agg yields NULLs)
+    and must not clobber a pre-existing `_z` column (collision-safe temp
+    name): the input column set and row set survive unchanged."""
+    from quatrain_mapreduce_spark.operators.zorder import zorder_by
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert zorder_by(empty, "a", "b", n_files=4).count() == 0
+
+    withz = spark.createDataFrame([(1, 2, 99), (3, 4, 88)], "a long, b long, _z long")
+    out = zorder_by(withz, "a", "b", n_files=2)
+    assert out.columns == ["a", "b", "_z"]
+    assert {(r["a"], r["b"], r["_z"]) for r in out.collect()} == {(1, 2, 99), (3, 4, 88)}
