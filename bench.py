@@ -136,8 +136,11 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # median of N_REPS steady-state runs per query — a single local[32] pass
-    # has ±10-20% scheduler/GC jitter; the median is stable round-to-round
-    N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # has ±10-20% scheduler/GC jitter; the median is stable round-to-round.
+    # 5 reps (was 3): sub-second queries keep warming through ~4 reps
+    # (JIT/page-cache depth — see PLANS.md round-6 noise re-measurement), so
+    # a 3-rep median still carried warm-up tail it shouldn't
+    N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:

@@ -1,0 +1,60 @@
+"""Driver-gate coverage ledger: which registered queries have ever been
+driver-green, and which still need a turn in the 50-slot DRIVER_WINDOW.
+
+The driver's correctness gate only checks the first 50 queries yielded by
+``__spark_entry__.queries()`` (registry.DRIVER_WINDOW pins that window).
+This tool reads every CORRECTNESS_r*.json the driver has produced and
+reports, per registered query: the first round it went green, or that it
+has never been checked — the input for each round's window rotation
+(round-6 rule: every never-green oracled query gets promoted until the
+whole registry has >=1 historical green row; ledger kept in COVERAGE.md).
+
+Usage: python tools/coverage_rotation.py [--repo /root/repo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repo", default="/root/repo")
+    args = ap.parse_args()
+    sys.path.insert(0, args.repo)
+
+    from quatrain_mapreduce_spark.registry import DRIVER_WINDOW, all_queries
+
+    first_green: dict[str, str] = {}
+    for f in sorted(glob.glob(os.path.join(args.repo, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(f)[len("CORRECTNESS_"):-len(".json")]
+        for name, row in json.load(open(f)).items():
+            ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match", True)
+            if ok and name not in first_green:
+                first_green[name] = rnd
+
+    qs = all_queries()
+    oracled = [n for n, q in qs.items() if q.oracle is not None]
+    rows_only = [n for n, q in qs.items() if q.oracle is None]
+    never = [n for n in oracled if n not in first_green]
+    in_window_now = [n for n in never if n in DRIVER_WINDOW]
+
+    print(f"registered: {len(qs)}  oracled: {len(oracled)}  rows-only: {len(rows_only)}")
+    print(f"ever driver-green: {len(first_green)}")
+    print(f"never driver-green (oracled): {len(never)}")
+    for n in never:
+        mark = "in current window" if n in DRIVER_WINDOW else "STILL IN TAIL"
+        print(f"  {n:32s} {mark}")
+    if len(in_window_now) == len(never):
+        print("OK: every never-green oracled query is in the current window")
+        return 0
+    print(f"WARN: {len(never) - len(in_window_now)} never-green queries not in window")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
