@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "dedup_exact",
     "dedup_components",    # iterative star contraction over near-dup pairs
+    "dedup_components_lsh",  # same closure from LSH candidates (the scale path)
     "corpus_curation",     # composed curation pipeline (1 scan, 2 shuffles)
     "dedup_minhash_lsh",
     "dedup_simhash",

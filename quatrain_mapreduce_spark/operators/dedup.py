@@ -268,6 +268,48 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification restricted to a CANDIDATE pair set.
+
+    The scale path around ``ngram_jaccard_pairs``'s blocked all-pairs join:
+    candidate generation (LSH) is linear in corpus size, and verification
+    here touches only the candidate pairs — never a block². Shingle sets
+    are carried as xxhash64 longs (same trade as ngram_jaccard_pairs).
+    ``cand`` must have (a_id, b_id) columns.
+
+    ``block_col``: when the pair definition is blocked (ngram_jaccard_pairs
+    only ever pairs same-block docs, e.g. same lang), enforce block equality
+    here too — LSH candidates ignore blocks, so without this the verified
+    set is a strict SUPERSET whenever near-dups cross block boundaries.
+    """
+    cols = [F.col(id_col), F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    sets = spread(df).where(F.size(tokenize(text_col)) >= n).select(*cols)
+    a_renames = {id_col: "a_id", "sh": "a_sh"}
+    b_renames = {id_col: "b_id", "sh": "b_sh"}
+    if block_col:
+        a_renames["blk"], b_renames["blk"] = "a_blk", "b_blk"
+    out = (
+        cand.join(sets.withColumnsRenamed(a_renames), "a_id")
+        .join(sets.withColumnsRenamed(b_renames), "b_id")
+    )
+    if block_col:
+        out = out.where(F.col("a_blk") == F.col("b_blk"))
+    return (
+        out.select("a_id", "b_id", _jaccard(F.col("a_sh"), F.col("b_sh")).alias("jac"))
+        .where(F.col("jac") >= threshold)
+    )
+
+
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document via a vectorized Pandas UDF.
 

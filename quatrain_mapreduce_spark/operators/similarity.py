@@ -55,10 +55,21 @@ def cosine(a: Column, b: Column) -> Column:
 def embedding_dim(parquet_path: str, vec_col: str = "embedding") -> int:
     """Vector dimensionality from one locally-read value (pyarrow, no Spark
     job). In production the dim is pipeline config; this helper exists so
-    test harnesses don't hardcode it."""
+    test harnesses don't hardcode it. Accepts a single parquet file OR a
+    table directory (real lakehouse tables are multi-file directories —
+    peek the first part file)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(parquet_path)
+    path = parquet_path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files in {path}")
+        path = parts[0]
+    pf = pq.ParquetFile(path)
     batch = next(pf.iter_batches(batch_size=1, columns=[vec_col]))
     return len(batch.column(0)[0])
 

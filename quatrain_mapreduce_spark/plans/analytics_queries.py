@@ -271,9 +271,11 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
     """,
     doc="TPC-H Q3 shape (shipping-priority): selective dim filter "
-        "(mktsegment) broadcast into orders, fact-fact join on orderkey, "
+        "(mktsegment) joined into orders, fact-fact join on orderkey, "
         "grouped revenue, top-10 by revenue. The plan to hold at 100 TB: "
-        "customer filter broadcast (no fact shuffle on custkey), both date "
+        "customer joined by SIZE-BASED choice (broadcast while it fits the "
+        "threshold, shuffle join beyond — customer grows with SF, so a "
+        "forced broadcast hint OOMs at scale), both date "
         "filters pushed to the parquet scans, final top-10 via "
         "TakeOrderedAndProject (per-partition heaps, no global sort "
         "materialization). Unique tie-break on l_orderkey keeps the LIMIT "
@@ -290,8 +292,14 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
     )
+    # No explicit broadcast hint on customer: unlike nation/region it GROWS
+    # with the fact tables (1/5 of customers pass the segment filter), so a
+    # forced broadcast OOMs at scale (measured at 10x bench data). Catalyst's
+    # size-based planning + AQE broadcast it while it fits the threshold and
+    # switch to shuffle join when it doesn't — the plan test still sees
+    # BroadcastHashJoin at test SFs.
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
     )
     return (

@@ -159,9 +159,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gt.join(cand, ["a_id", "b_id"], "left_semi").select("a_id", "b_id", "jac")
 
 
-@register(
-    "dedup_components",
-    oracle="""
+# Shared by dedup_components (exact blocked all-pairs edge gen) and
+# dedup_components_lsh (LSH candidates + exact verify): both must produce
+# the SAME components, so they are held to the same recursive-CTE oracle.
+_COMPONENTS_ORACLE = """
         WITH RECURSIVE t AS (
             SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents
@@ -193,7 +194,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
         )
         SELECT node AS doc_id, min(r) AS root_id FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
     doc="Near-dup connected components — the canonical fuzzy-dedup closure "
         "(pairwise near-dup relations are not transitive; production "
         "pipelines keep min-id per component): exact-Jaccard pairs -> "
@@ -212,6 +218,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="lang", n=2, threshold=0.8, length_band=True,
     )
     comp = connected_components(pairs, src="a_id", dst="b_id")
+    return comp.select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
+
+
+@register(
+    "dedup_components_lsh",
+    oracle=_COMPONENTS_ORACLE,
+    doc="The 100 TB form of dedup_components: MinHash-LSH candidate pairs "
+        "(linear in corpus size) -> exact bigram-Jaccard verify restricted "
+        "to candidates (operators/dedup.verify_pairs) -> star contraction. "
+        "Equal to the exact blocked-all-pairs variant whenever LSH recall "
+        "covers the ground truth — which is exactly what the driver-checked "
+        "dedup_lsh_recall gate proves; a recall miss would hash-mismatch "
+        "THIS query's oracle too, so the equality is continuously verified, "
+        "not assumed. Motivation measured at 10x bench data (SCALING.md): "
+        "ngram_jaccard_pairs' within-block candidate count grows "
+        "quadratically with corpus size at fixed length/lang distribution, "
+        "while the LSH candidate count stays linear.",
+    tags=("dedup", "components", "iterative", "lsh"),
+)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.components import connected_components
+    from quatrain_mapreduce_spark.operators.dedup import verify_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("a_id", "b_id")
+    # block_col="lang": the ground-truth pair definition (and the oracle)
+    # only pairs same-language docs; LSH candidates ignore blocks
+    verified = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
+    comp = connected_components(verified, src="a_id", dst="b_id")
     return comp.select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
 
 

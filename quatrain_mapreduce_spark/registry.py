@@ -82,8 +82,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-green: UDF surface + analytics + curation tail
     "chain_map_wordcount", "counters_observe", "heavy_hitters_topk",
     "multimodal_features", "dedup_spans", "sequence_pack",
-    # new this round (codec selection round-trip, SURVEY §1.5)
-    "codec_roundtrip",
+    # new this round (codec selection round-trip, SURVEY §1.5; LSH-fed
+    # components — the scale path, same oracle as dedup_components)
+    "codec_roundtrip", "dedup_components_lsh",
     # --- 23 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -100,8 +101,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_box_query",
     # streaming real-stream deep checks
     "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
-    # mrlib + data pipeline + curation
-    "wordcount", "dedup_lsh_recall", "dedup_components", "decontaminate",
+    # mrlib + data pipeline + curation (dedup_components family visible via
+    # dedup_components_lsh above, which shares its oracle)
+    "wordcount", "dedup_lsh_recall", "decontaminate",
 )
 
 

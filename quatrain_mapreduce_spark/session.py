@@ -41,6 +41,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    if master.startswith("local"):
+        # In local mode the driver JVM IS every executor; Spark's 1g default
+        # heap starves 32 task threads (measured at 10x bench data: broadcast
+        # builds OOM and the components loop GC-thrashes 20x slower). On a
+        # real cluster executor sizing comes from spark-submit and this is
+        # not set.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
+    builder = (
+        builder
         # --- optimizer / runtime ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -73,3 +73,18 @@ def test_components_query_partitions_near_dups(spark, sf_dir):
     for a, b in pairs:
         assert comp[a] == comp[b]
     assert comp == _union_find(pairs)
+
+
+def test_lsh_components_match_exact_components(spark, sf_dir):
+    """dedup_components_lsh (LSH candidates -> exact verify -> contraction)
+    must produce the SAME component labeling as the exact blocked all-pairs
+    variant — the equality the shared oracle asserts at the driver, locked
+    here at sf0.001. A recall miss in LSH or a block-rule mismatch in
+    verify_pairs breaks this."""
+    from quatrain_mapreduce_spark.plans.data_pipeline import (
+        dedup_components, dedup_components_lsh,
+    )
+
+    exact = {(r["doc_id"], r["root_id"]) for r in dedup_components(spark, sf_dir).collect()}
+    lsh = {(r["doc_id"], r["root_id"]) for r in dedup_components_lsh(spark, sf_dir).collect()}
+    assert lsh == exact and exact
