@@ -97,10 +97,19 @@ def ngram_jaccard_pairs(
     Blocking key = ``block_col`` composed with a logarithmic shingle-count
     band: J(A,B) >= t implies |A|/|B| in [t, 1/t], so banding set sizes at
     ratio 1/t and probing each doc's own band ± 1 is *complete* for the
-    threshold (floor over log-ratio <= 1 differs by at most one band) while
-    capping every block at near-equal-length docs — sum(block²) stays
-    near-linear even when one language dominates the corpus. Emits
+    threshold (floor over log-ratio <= 1 differs by at most one band) and
+    restricts every block to near-equal-length docs. Emits
     (a_id, b_id, jac) for pairs ≥ threshold, a < b.
+
+    SCALE LIMIT (measured, SCALING.md r6): within-block candidate count is
+    O(block²), and block sizes grow linearly with corpus size at a fixed
+    length/language distribution — so this EXACT enumeration is quadratic
+    in the corpus and exists as the oracle-checkable ground truth, not the
+    production path. At scale, generate candidates with
+    ``minhash_lsh_pairs`` (linear) and verify them with ``verify_pairs``
+    (touches candidates only) — the composition ``dedup_components_lsh``
+    demonstrates, which stays flat across a 10× data step while this
+    blocked form grows ~14×.
 
     ``length_band=False`` degrades to plain block_col blocking (the verify
     stage inside LSH buckets, where the bucket already bounds block size).
