@@ -252,6 +252,113 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
 
 
+def _root_h16() -> str:
+    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+    return portable_h16_sql("root_id")
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), banded AS (
+            SELECT doc_id, lang, sh, floor(ln(len(sh)) / ln(1.25)) AS band
+            FROM sh WHERE len(sh) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND b.band BETWEEN a.band - 1 AND a.band + 1
+             AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        ), edges AS (
+            SELECT a_id AS u, b_id AS v FROM pairs
+            UNION
+            SELECT b_id, a_id FROM pairs
+        ), reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        ), roots AS (
+            SELECT node AS doc_id, min(r) AS root_id FROM reach GROUP BY node
+        ), labeled AS (
+            SELECT d.doc_id,
+                   CASE WHEN __ROOT_H__ % 1000 < 950 THEN 'train' ELSE 'val' END AS split
+            FROM (SELECT doc_id, coalesce(r.root_id, d2.doc_id) AS root_id
+                  FROM documents d2 LEFT JOIN roots r USING (doc_id)) d
+        ), leak AS (
+            SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+            FROM pairs p
+            JOIN labeled x ON p.a_id = x.doc_id
+            JOIN labeled y ON p.b_id = y.doc_id
+            WHERE x.split <> y.split
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum, leaked_pairs
+        FROM labeled, leak GROUP BY split, leaked_pairs
+    """.replace("__ROOT_H__", _root_h16()),
+    doc="Leakage-safe train/val split — the near-dup-aware form of "
+        "train_val_split a real eval protocol needs: a naive per-doc hash "
+        "split puts ~5% of every near-duplicate cluster's members in val "
+        "while their twins sit in train (memorized-copy leakage). Here the "
+        "split key is the near-dup COMPONENT root (LSH candidates -> exact "
+        "verify -> star contraction -> coalesce singletons to themselves), "
+        "so a whole cluster lands on one side by construction. The output's "
+        "leaked_pairs column — near-dup pairs straddling the split — is "
+        "oracle-checked at exactly 0, and n_docs/id_sum hash-check the "
+        "assignment itself (portable md5-nibble hash of the root id, same "
+        "family as train_val_split). Scale shape: everything rides the "
+        "dedup_components_lsh pipeline plus one broadcast-able 1-row leak "
+        "audit and one hash-keyed aggregation.",
+    tags=("curation", "dedup", "components"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.components import connected_components
+    from quatrain_mapreduce_spark.operators.curation import h16
+    from quatrain_mapreduce_spark.operators.dedup import verify_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("a_id", "b_id")
+    pairs = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang") \
+        .select("a_id", "b_id")
+    comp = connected_components(pairs, src="a_id", dst="b_id") \
+        .withColumnRenamed("node", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("root_id", F.coalesce(F.col("root"), F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(h16("root_id") % 1000 < 950, F.lit("train")).otherwise(F.lit("val")),
+        )
+    )
+    lab_a = labeled.select(F.col("doc_id").alias("a_id"), F.col("split").alias("a_split"))
+    lab_b = labeled.select(F.col("doc_id").alias("b_id"), F.col("split").alias("b_split"))
+    leaked = (
+        pairs.join(lab_a, "a_id").join(lab_b, "b_id")
+        .where(F.col("a_split") != F.col("b_split"))
+        .agg(F.count("*").alias("leaked_pairs"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+        .crossJoin(F.broadcast(leaked))
+    )
+
+
 @register(
     "similarity_bruteforce",
     oracle="""

@@ -83,8 +83,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "chain_map_wordcount", "counters_observe", "heavy_hitters_topk",
     "multimodal_features", "dedup_spans", "sequence_pack",
     # new this round (codec selection round-trip, SURVEY §1.5; LSH-fed
-    # components — the scale path, same oracle as dedup_components)
-    "codec_roundtrip", "dedup_components_lsh",
+    # components — the scale path, same oracle as dedup_components; the
+    # component-keyed leakage-safe train/val split)
+    "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
     # --- 23 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -102,8 +103,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming real-stream deep checks
     "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
     # mrlib + data pipeline + curation (dedup_components family visible via
-    # dedup_components_lsh above, which shares its oracle)
-    "wordcount", "dedup_lsh_recall", "decontaminate",
+    # dedup_components_lsh above, which shares its oracle; decontaminate to
+    # the tail this round — r04/r05-green, unchanged, plan-asserted)
+    "wordcount", "dedup_lsh_recall",
 )
 
 

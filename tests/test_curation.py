@@ -152,3 +152,34 @@ def test_pack_manifest_is_contiguous_and_matches_global_cumsum(spark):
         assert r["last_seq"] == (r["tok_start"] + r["n_tok"] - 1) // 64
         expect_start += r["n_tok"]
     assert expect_start == sum(r["n_tok"] for r in rows)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Component-keyed splitting must put every near-dup pair on ONE side of
+    the train/val boundary, where the naive per-doc hash split provably
+    leaks (2 of 6 ground-truth pairs straddle it on this fixture) — the
+    negative control that makes leaked_pairs=0 meaningful rather than
+    vacuous."""
+    from tests.conftest import SF_DIR_MID
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.curation import h16
+    from quatrain_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from quatrain_mapreduce_spark.plans.data_pipeline import leakage_safe_split
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", n=2, threshold=0.8
+    ).select("a_id", "b_id")
+    lab = docs.select(
+        "doc_id", F.when(h16("doc_id") % 1000 < 950, "t").otherwise("v").alias("s")
+    )
+    la = lab.withColumnsRenamed({"doc_id": "a_id", "s": "sa"})
+    lb = lab.withColumnsRenamed({"doc_id": "b_id", "s": "sb"})
+    naive_leaked = pairs.join(la, "a_id").join(lb, "b_id").where(F.col("sa") != F.col("sb")).count()
+    assert naive_leaked > 0, "fixture must make the naive split leak, else the test is vacuous"
+
+    rows = leakage_safe_split(spark, SF_DIR_MID).collect()
+    assert {r["split"] for r in rows} == {"train", "val"}
+    assert all(r["leaked_pairs"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
