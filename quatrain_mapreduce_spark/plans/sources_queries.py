@@ -467,3 +467,38 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("s_acctbal", 2).alias("acctbal"))
     )
     return from_csv.unionByName(from_parq)
+
+
+@register(
+    "distcp_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    doc="DistCp parity (src/tools/org/apache/hadoop/tools/DistCp.java:74): "
+        "the 64-file lineitem staging copied file-by-file across executors "
+        "(sinks.distcp — pyarrow.fs byte streams, scheme-dispatched, no "
+        "driver-side data movement), then read back as parquet. The "
+        "identity oracle proves bytes survived; per-file size equality is "
+        "asserted inside the operator and file-set/byte-identity in the "
+        "pytest twin. Declared out of scope as infra in SURVEY §2.1 — "
+        "closed anyway because dataset migration is a routine 100 TB "
+        "maintenance op.",
+    tags=("sources", "maintenance"),
+)
+def distcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from quatrain_mapreduce_spark.sources.sinks import distcp
+
+    src = _stage_dir(sf_dir, "smallfiles")
+    dst = _stage_dir(sf_dir, "distcp")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        li.repartition(64).write.mode("overwrite").parquet(src)
+    if not os.path.exists(os.path.join(dst, "_DISTCP_DONE")):
+        files = sorted(glob.glob(os.path.join(src, "*.parquet"))) + [
+            os.path.join(src, "_SUCCESS")
+        ]
+        distcp(spark, files, dst)
+        open(os.path.join(dst, "_DISTCP_DONE"), "w").close()
+    return spark.read.parquet(dst)

