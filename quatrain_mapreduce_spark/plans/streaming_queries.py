@@ -471,3 +471,57 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("sw.start")).alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_jdbc_serving",
+    oracle="""
+        SELECT event_type AS url, CAST(count(*) AS BIGINT) AS pageview,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1
+    """,
+    doc="DBCountPageView streamed (EX/DBCountPageView.java:72 + "
+        "mapred/lib/db/DBOutputFormat) — the serving-layer pattern a "
+        "continuous pipeline actually deploys: events replayed as a 4-file "
+        "stream, complete-mode aggregate carried in the state store, and "
+        "every micro-batch's FULL snapshot overwritten into an embedded "
+        "Derby table via foreachBatch + JDBC. Idempotent overwrite makes "
+        "batch retries exactly-once without a commit log on the database "
+        "side (per-batch work O(groups) — the RDBMS holds the aggregate "
+        "snapshot, never the stream). The final JDBC read-back equals the "
+        "pure-relational oracle — same gate as the batch "
+        "dbcount_jdbc_roundtrip, now through the streaming path.",
+    tags=("streaming", "jdbc", "no-sql-plan"),
+)
+def stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quatrain_mapreduce_spark.sources.readers import read_jdbc
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    src = stage_multifile_events(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = stream.groupBy(F.col("event_type").alias("url")).agg(
+        F.count("*").alias("pageview"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    db = stage_dir(sf_dir, "derbystream")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def write_snapshot(batch_df: DataFrame, _batch_id: int) -> None:
+        (batch_df.write.mode("overwrite").format("jdbc")
+         .option("url", url).option("dbtable", "stream_counts")
+         .option("driver", driver).save())
+
+    ckpt = tempfile.mkdtemp(prefix="qms_jdbc_serving_ckpt_")
+    q = (
+        agg.writeStream.foreachBatch(write_snapshot)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return read_jdbc(spark, url, "stream_counts", driver=driver)

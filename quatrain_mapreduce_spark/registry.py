@@ -84,9 +84,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_features", "dedup_spans", "sequence_pack",
     # new this round (codec selection round-trip, SURVEY §1.5; LSH-fed
     # components — the scale path, same oracle as dedup_components; the
-    # component-keyed leakage-safe train/val split; DistCp parity)
+    # component-keyed leakage-safe train/val split; DistCp parity; the
+    # streaming JDBC serving-layer sink)
     "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
-    "distcp_roundtrip",
+    "distcp_roundtrip", "stream_jdbc_serving",
     # --- 23 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -99,8 +100,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SQL-text path (sql_groupby2 to the tail this round — r05-green,
     # unchanged, same shape as groupby2_shape)
     "sql_ddl_roundtrip", "sql_partition_pruning",
-    # sources / storage maintenance
-    "seqfile_roundtrip", "bucketed_join", "compact_small_files",
+    # sources / storage maintenance (seqfile_roundtrip to the tail this
+    # round — r05-green, unchanged; the K/V text route is covered by the
+    # promoted kv_text_roundtrip)
+    "bucketed_join", "compact_small_files",
     "zorder_box_query",
     # streaming real-stream deep checks
     "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
