@@ -207,38 +207,21 @@ def minhash_signature(shingles: F.Column, num_perm: int = 32, seed: int = 42) ->
     return signature_from_hashes(base_hashes(shingles), num_perm, seed)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
+def lsh_band_rows(
+    docs_sh: DataFrame,
     id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
-
-    Pipeline: shingle → signature → explode into ``bands`` band-hashes →
-    self-join within (band, band_hash) buckets → distinct candidate pairs →
-    verify exact Jaccard on shingle sets ≥ threshold. Candidate generation is
-    one explode + one shuffle; verification touches only colliding pairs.
-    """
+    """(id, band, bhash) LSH bucket rows from a (id, sh) shingle frame —
+    the INDEX side of banded MinHash. Shared by the one-shot pair finder
+    and the incremental probe path (where this frame is persisted as the
+    corpus index). ``max_bucket`` drops degenerate buckets (skew guard);
+    pass None to keep all buckets (e.g. when capping is applied later over
+    a combined index+increment view)."""
     rows_per_band = num_perm // bands
-    # cheap pushdown-safe filter; the expensive shingle projection stays
-    # above the spread repartition (see ngram_jaccard_pairs note)
-    docs = (
-        spread(df)
-        .where(F.size(tokenize(text_col)) >= shingle_n)
-        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
-    )
-    # shingling is the expensive narrow stage and is consumed three times
-    # (signature branch + both verify-join sides): cache it. MEMORY_AND_DISK
-    # so a 100 TB corpus's shingle sets spill instead of recomputing.
-    from pyspark.storagelevel import StorageLevel
-
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    signed = docs.withColumn("bh", base_hashes(F.col("sh"))).withColumn(
+    signed = docs_sh.withColumn("bh", base_hashes(F.col("sh"))).withColumn(
         "sig", signature_from_hashes(F.col("bh"), num_perm)
     )
     band_rows = signed.select(
@@ -256,11 +239,45 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
-    # skew guard: drop degenerate buckets
-    w = Window.partitionBy("band", "bhash")
-    band_rows = band_rows.withColumn("bucket_n", F.count("*").over(w)).where(
-        F.col("bucket_n") <= max_bucket
-    ).drop("bucket_n")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bhash")
+        band_rows = band_rows.withColumn("bucket_n", F.count("*").over(w)).where(
+            F.col("bucket_n") <= max_bucket
+        ).drop("bucket_n")
+    return band_rows
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → signature → explode into ``bands`` band-hashes →
+    self-join within (band, band_hash) buckets → distinct candidate pairs →
+    verify exact Jaccard on shingle sets ≥ threshold. Candidate generation is
+    one explode + one shuffle; verification touches only colliding pairs.
+    """
+    # cheap pushdown-safe filter; the expensive shingle projection stays
+    # above the spread repartition (see ngram_jaccard_pairs note)
+    docs = (
+        spread(df)
+        .where(F.size(tokenize(text_col)) >= shingle_n)
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    )
+    # shingling is the expensive narrow stage and is consumed three times
+    # (signature branch + both verify-join sides): cache it. MEMORY_AND_DISK
+    # so a 100 TB corpus's shingle sets spill instead of recomputing.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows = lsh_band_rows(docs, id_col, num_perm, bands, max_bucket)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash"))
@@ -275,6 +292,38 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id", F.round(_jaccard(F.col("a_sh"), F.col("b_sh")), 6).alias("jac"))
         .where(F.col("jac") >= threshold)
     )
+
+
+def incremental_lsh_candidates(
+    existing_bands: DataFrame, arriving_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs TOUCHING an increment: arriving docs probe
+    the persisted corpus index bucket-by-bucket (cross pairs) plus the
+    increment's own self-join (within pairs).
+
+    The property that makes continuous corpus dedup affordable: per-
+    increment work scales with |increment| + matched bucket rows, never
+    with |corpus| — the index is built once and only READ here (at scale,
+    store it bucketed by (band, bhash) so probes co-locate without a
+    shuffle of the index side). Pair orientation (a_id < b_id) matches the
+    one-shot finder.
+    """
+    a = arriving_bands.alias("a")
+    e = existing_bands.alias("e")
+    cross = (
+        a.join(e, (F.col("a.band") == F.col("e.band")) & (F.col("a.bhash") == F.col("e.bhash")))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"e.{id_col}")).alias("a_id"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"e.{id_col}")).alias("b_id"),
+        )
+    )
+    b = arriving_bands.alias("b")
+    within = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+    )
+    return cross.unionByName(within).distinct()
 
 
 def verify_pairs(

@@ -259,6 +259,79 @@ def _root_h16() -> str:
 
 
 @register(
+    "dedup_incremental_lsh",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), banded AS (
+            SELECT doc_id, lang, sh, floor(ln(len(sh)) / ln(1.25)) AS band
+            FROM sh WHERE len(sh) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+            FROM banded a JOIN banded b
+              ON a.lang = b.lang AND b.band BETWEEN a.band - 1 AND a.band + 1
+             AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, jac FROM pairs
+        WHERE jac >= 0.8 AND (a_id % 5 = 0 OR b_id % 5 = 0)
+    """,
+    doc="Incremental near-dup dedup against a PERSISTED LSH index — the "
+        "continuously-fed-corpus workflow: docs split into existing corpus "
+        "(doc_id % 5 != 0, band rows staged once as the index) and an "
+        "arriving increment (doc_id % 5 == 0) that probes the index "
+        "bucket-by-bucket plus self-joins within the increment "
+        "(operators/dedup.incremental_lsh_candidates), then exact "
+        "bigram-Jaccard verification on candidates only. Per-increment "
+        "work scales with the increment, never the corpus — the property "
+        "stream_dedup gives exact dedup, extended to NEAR-dup. Oracle: the "
+        "exact ground-truth pairs restricted to those touching the "
+        "increment; equality holds by the same recall argument the "
+        "driver-checked dedup_lsh_recall gate proves.",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.dedup import (
+        incremental_lsh_candidates, lsh_band_rows, spread, tokenize,
+        verify_pairs, word_shingles,
+    )
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving_pred = F.col("doc_id") % 5 == 0
+
+    def band_rows_of(subset: DataFrame) -> DataFrame:
+        sh = (
+            spread(subset)
+            .where(F.size(tokenize("text")) >= 3)
+            .select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
+        )
+        return lsh_band_rows(sh, "doc_id", num_perm=32, bands=8, max_bucket=1000)
+
+    idx = stage_dir(sf_dir, "lshindex")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        # the index is built ONCE for the standing corpus and only read by
+        # every later increment (at 100 TB: bucketed by (band, bhash))
+        band_rows_of(docs.where(~arriving_pred)).write.mode("overwrite").parquet(idx)
+    existing_bands = spark.read.parquet(idx)
+    arriving_bands = band_rows_of(docs.where(arriving_pred))
+    cand = incremental_lsh_candidates(existing_bands, arriving_bands, "doc_id")
+    return verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
+
+
+@register(
     "leakage_safe_split",
     oracle="""
         WITH RECURSIVE t AS (

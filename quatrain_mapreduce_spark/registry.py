@@ -87,7 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # component-keyed leakage-safe train/val split; DistCp parity; the
     # streaming JDBC serving-layer sink)
     "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
-    "distcp_roundtrip", "stream_jdbc_serving",
+    "distcp_roundtrip", "stream_jdbc_serving", "dedup_incremental_lsh",
     # --- 23 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -100,11 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SQL-text path (sql_groupby2 to the tail this round — r05-green,
     # unchanged, same shape as groupby2_shape)
     "sql_ddl_roundtrip", "sql_partition_pruning",
-    # sources / storage maintenance (seqfile_roundtrip to the tail this
-    # round — r05-green, unchanged; the K/V text route is covered by the
-    # promoted kv_text_roundtrip)
-    "bucketed_join", "compact_small_files",
-    "zorder_box_query",
+    # sources / storage maintenance (seqfile_roundtrip and
+    # compact_small_files to the tail this round — both r05-green and
+    # unchanged; the small-files staging family stays visible via the
+    # promoted distcp_roundtrip, K/V text via kv_text_roundtrip)
+    "bucketed_join", "zorder_box_query",
     # streaming real-stream deep checks
     "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
     # mrlib + data pipeline + curation (dedup_components family visible via
