@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_components_lsh",  # same closure from LSH candidates (the scale path)
     "corpus_curation",     # composed curation pipeline (1 scan, 2 shuffles)
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",  # arriving increment probes the persisted LSH index
     "dedup_simhash",
     "similarity_bruteforce",
     "similarity_lsh",
