@@ -81,6 +81,50 @@ def stratified_sample(
     return df.withColumn("__kept", (h16(id_col) % 1000 < quota).cast("int"))
 
 
+def temperature_sample(
+    df: DataFrame, id_col: str, stratum_col: str, head_permille: int = 300,
+) -> DataFrame:
+    """Temperature-flattened stratum sampling (the multilingual data-mixing
+    rule of mC4/mT5, Xue et al. 2021 §3.1, with T=2 i.e. α=0.5): each
+    stratum's keep-rate is the head stratum's rate boosted by
+    ``sqrt(c_max / c_stratum)``, capped at 1 — head languages are
+    downsampled hardest, the tail is progressively protected, and the
+    flattening exponent is exactly sqrt.
+
+    Unlike ``stratified_sample`` the quotas are DERIVED from the data (one
+    tiny per-stratum count aggregate — a broadcast-sized side input, never a
+    shuffle of the corpus), so the same call rebalances any crawl snapshot.
+    Determinism contract: the rate formula uses only +,*,/ ,sqrt,least on
+    exact integer counts — every one of those is IEEE-correctly-rounded, so
+    Spark and any ANSI engine compute bit-identical thresholds (pow() would
+    NOT survive this — libm vs StrictMath differ in the last ulp; that is
+    why the flattening exponent is hard-wired to sqrt rather than a free α).
+    Membership then comes from the portable md5-nibble hash, as everywhere
+    in this module.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__cnt"))
+    cmax = counts.agg(F.max("__cnt").alias("__cmax"))
+    rates = (
+        counts.crossJoin(F.broadcast(cmax))
+        .withColumn(
+            "__thr",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("__cmax") / F.col("__cnt").cast("double"))
+                    * (head_permille / 1000.0),
+                )
+                * 1000
+            ).cast("int"),
+        )
+        .select(stratum_col, "__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("__kept", (h16(id_col) % 1000 < F.col("__thr")).cast("int"))
+    )
+
+
 def train_val_split(df: DataFrame, id_col: str, val_permille: int = 50) -> DataFrame:
     """Deterministic train/validation assignment: h16(id) % 1000 — rows keep
     their split across reruns and engines, the property that makes the split

@@ -87,3 +87,35 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 over normalized text (stable document id)."""
     return df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, min_len: int = 2) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus vocabulary — the
+    inner statistic of one BPE merge round (Sennrich et al. 2016 §3.2: the
+    most frequent pair becomes the next merge rule).
+
+    Scale shape, which IS the classic BPE-training trick: pair extraction
+    runs over the DISTINCT-word table weighted by word frequency, never over
+    the corpus. Tokenize+count is one partial-aggregated shuffle of words
+    (the corpus is scanned once); the char-pair explosion then touches only
+    |vocab| rows — at 100 TB the vocabulary is millions of rows where the
+    corpus is trillions, so the quadratic-ish per-word work rides on the
+    small table. Words are ASCII-letter runs lowercased after extraction
+    (locale-independent, engine-portable).
+
+    Returns (pair, n) — every adjacent character pair with its
+    frequency-weighted corpus count.
+    """
+    words = df.select(
+        F.explode(
+            F.expr(f"transform(regexp_extract_all({text_col}, '[A-Za-z]+', 0), x -> lower(x))")
+        ).alias("w")
+    ).where(F.length("w") >= min_len)
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))

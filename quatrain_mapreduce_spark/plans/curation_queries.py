@@ -69,6 +69,51 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_sample",
+    oracle=f"""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        r AS (
+            SELECT lang,
+                   CAST(round(least(1.0,
+                            sqrt((max(cnt) OVER ()) / CAST(cnt AS DOUBLE)) * 0.3)
+                        * 1000) AS INTEGER) AS permille
+            FROM c
+        ),
+        t AS (
+            SELECT d.lang, r.permille,
+                   CASE WHEN {_H.replace('doc_id', 'd.doc_id')} % 1000 < r.permille
+                        THEN 1 ELSE 0 END AS kept,
+                   d.doc_id
+            FROM documents d JOIN r ON d.lang = r.lang
+        )
+        SELECT lang, permille,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_sampled,
+               CAST(sum(kept * doc_id) AS BIGINT) AS sampled_id_sum
+        FROM t GROUP BY lang, permille
+    """,
+    doc="Temperature-flattened language sampling (mT5, Xue et al. 2021 §3.1, "
+        "T=2): per-language keep-rates DERIVED from the data — head language "
+        "at 30%, tail boosted by sqrt(c_max/c_lang) capped at 1. The rate "
+        "table is a broadcast-sized aggregate; membership is the portable "
+        "hash, so the oracle checks the derived permille AND the sampled "
+        "id-sum. sqrt (IEEE-correctly-rounded) rather than free-α pow keeps "
+        "the thresholds bit-identical across engines.",
+    tags=("curation",),
+)
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = temperature_sample(docs, "doc_id", "lang", head_permille=300)
+    return s.groupBy("lang", F.col("__thr").alias("permille")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__kept").alias("n_sampled"),
+        F.sum(F.col("__kept") * F.col("doc_id")).alias("sampled_id_sum"),
+    )
+
+
+@register(
     "train_val_split",
     oracle=f"""
         SELECT CASE WHEN {_H} % 1000 < 950 THEN 'train' ELSE 'val' END AS split,

@@ -546,6 +546,95 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle="""
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        scored AS (
+            SELECT v.vec_id, cent.cid,
+                   list_dot_product(vec, cvec)
+                     / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+            FROM v CROSS JOIN cent
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS cluster_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+        ),
+        av AS (
+            SELECT a.cluster_id, a.vec_id, v.vec
+            FROM assigned a JOIN v ON a.vec_id = v.vec_id
+        ),
+        red AS (
+            SELECT DISTINCT b.vec_id
+            FROM av a JOIN av b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.vec, b.vec)
+                    / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+        )
+        SELECT CAST(a.cluster_id AS INTEGER) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN r.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        FROM assigned a LEFT JOIN red r ON a.vec_id = r.vec_id
+        GROUP BY a.cluster_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster the embedding space (broadcast "
+        "row-centroids, map-side argmax), then drop every vector with a "
+        "cosine>=tau smaller-id neighbor in the SAME cluster — the quadratic "
+        "verify is bounded by cluster size, never the corpus. FULLY "
+        "oracle-checked including kept-set membership (data-derived centroids "
+        "mean no float constants cross the engine boundary). tau=0.4 is "
+        "calibrated to the synthetic fixture's cosine mass (no planted "
+        "semantic dups; real embeddings would use ~0.95+): 19/500 dropped.",
+    tags=("dedup", "similarity"),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.clustering import (
+        semantic_dedup, semantic_dedup_cluster_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dd = semantic_dedup(emb, "vec_id", "embedding", k=8, tau=0.4)
+    return semantic_dedup_cluster_stats(dd, "vec_id").select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vectors", "n_kept", "kept_id_sum",
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+        WITH words AS (
+            SELECT w FROM (
+                SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                             x -> lower(x))) AS w
+                FROM documents
+            ) WHERE length(w) >= 2
+        ),
+        vocab AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        pairs AS (
+            SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt
+            FROM vocab, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        )
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+    """,
+    doc="BPE merge-round pair statistic (Sennrich et al. 2016 §3.2): "
+        "adjacent-char pair counts weighted by word frequency — computed "
+        "over the DISTINCT-word vocabulary, never the corpus (the classic "
+        "BPE-training trick; at 100 TB the vocab is millions of rows where "
+        "the corpus is trillions). The argmax row is the next merge rule.",
+    tags=("text",),
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), "text")
+
+
+@register(
     "text_stats",
     oracle=f"""
         SELECT doc_id,

@@ -88,18 +88,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming JDBC serving-layer sink)
     "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
     "distcp_roundtrip", "stream_jdbc_serving", "dedup_incremental_lsh",
-    # --- 23 representatives keeping every module driver-visible (all green
+    # new this round, second batch (training-pipeline tier): SemDeDup
+    # clustering dedup, temperature-flattened language sampling, BPE
+    # merge-pair statistics — fully oracled, promoted in place of three
+    # unchanged r05-green representatives (order_by_limit,
+    # sql_ddl_roundtrip, merge_upsert_orders -> locally-checked tail;
+    # their modules stay visible via tpch_q3_shape/groupby2_shape,
+    # sql_partition_pruning, asof_join_events).
+    "semantic_dedup", "temperature_sample", "bpe_pair_counts",
+    # --- 20 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
-    # (66 queries, all r05-or-earlier driver-green or rows-only-by-design)
+    # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
     # is in the locally-checked tail via tools/check_oracle.py.
     # relational / analytics flagships
-    "groupby2_shape", "join_multiway", "order_by_limit", "tpch_q3_shape",
+    "groupby2_shape", "join_multiway", "tpch_q3_shape",
     "range_frame_window", "similarity_ivf_exact", "sketch_mergeable_rollup",
     # temporal joins + merge
-    "asof_join_events", "merge_upsert_orders",
+    "asof_join_events",
     # SQL-text path (sql_groupby2 to the tail this round — r05-green,
     # unchanged, same shape as groupby2_shape)
-    "sql_ddl_roundtrip", "sql_partition_pruning",
+    "sql_partition_pruning",
     # sources / storage maintenance (seqfile_roundtrip and
     # compact_small_files to the tail this round — both r05-green and
     # unchanged; the small-files staging family stays visible via the

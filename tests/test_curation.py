@@ -183,3 +183,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert {r["split"] for r in rows} == {"train", "val"}
     assert all(r["leaked_pairs"] == 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_temperature_sample_derived_rates(spark):
+    """Strata 400/100/4 docs: head keeps 30%; a 4x-smaller stratum keeps
+    sqrt(4)*30% = 60%; a 100x-smaller one caps at 100%. Membership is the
+    portable hash — recomputed here independently."""
+    from quatrain_mapreduce_spark.operators.curation import h16, temperature_sample
+
+    rows = [(i, "head") for i in range(400)]
+    rows += [(1000 + i, "mid") for i in range(100)]
+    rows += [(2000 + i, "rare") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s = temperature_sample(df, "doc_id", "lang", head_permille=300)
+    thr = {r["lang"]: r["__thr"] for r in s.select("lang", "__thr").distinct().collect()}
+    assert thr == {"head": 300, "mid": 600, "rare": 1000}
+    # membership equals the hash predicate exactly (no rand() anywhere)
+    bad = s.where(
+        (F.col("__kept") == 1) != (h16("doc_id") % 1000 < F.col("__thr"))
+    ).count()
+    assert bad == 0
+    # rare stratum is fully kept (rate capped at 1)
+    assert s.where("lang = 'rare' AND __kept = 0").count() == 0

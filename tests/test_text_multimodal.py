@@ -90,3 +90,16 @@ def test_sample_frames_reassembles_payload(spark, sf_dir):
     for doc_id, fs in by_doc.items():
         fs.sort()
         assert b"".join(f for _, f in fs) == orig[doc_id]
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    """Sennrich's toy corpus: pair counts are word-frequency weighted and
+    computed over the distinct-word vocabulary."""
+    from quatrain_mapreduce_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new Newest")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
+    # low x2, lower x1 -> lo:3 ow:3 we:1+1 er:1 ; new x1, newest x1 -> ne:2 ew:2 es:1 st:1
+    assert got == {"lo": 3, "ow": 3, "we": 2, "er": 1, "ne": 2, "ew": 2, "es": 1, "st": 1}
