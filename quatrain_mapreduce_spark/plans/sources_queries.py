@@ -469,6 +469,44 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_csv.unionByName(from_parq)
 
 
+def _smallfiles_src(spark: SparkSession, sf_dir: str) -> str:
+    """The 64-file lineitem staging shared by the distcp / har round trips."""
+    src = _stage_dir(sf_dir, "smallfiles")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        li.repartition(64).write.mode("overwrite").parquet(src)
+    return src
+
+
+@register(
+    "har_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+    doc="HadoopArchives parity (src/tools/org/apache/hadoop/tools/"
+        "HadoopArchives.java:50 — pack small files into one archive with an "
+        "index, against NameNode metadata bloat): the 64-file lineitem "
+        "staging packed into a single-file columnar archive (sinks.har_create "
+        "— distributed binaryFile scan, name-sorted so parquet footer stats "
+        "index point reads), then unpacked distributed (sinks.har_extract) "
+        "and read back as parquet. The identity oracle proves bytes survived "
+        "the pack/unpack; archive file count, point-read pushdown, and "
+        "per-file byte identity are pytest-asserted.",
+    tags=("sources", "maintenance"),
+)
+def har_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.sources.sinks import har_create, har_extract
+
+    src = _smallfiles_src(spark, sf_dir)
+    har = _stage_dir(sf_dir, "har_archive")
+    out = _stage_dir(sf_dir, "har_extract")
+    if not os.path.exists(os.path.join(out, "_HAR_DONE")):
+        har_create(spark, src, har, target_files=1)
+        har_extract(spark, har, out)
+        open(os.path.join(out, "_HAR_DONE"), "w").close()
+    return spark.read.parquet(out)
+
+
 @register(
     "distcp_roundtrip",
     oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
@@ -488,13 +526,8 @@ def distcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quatrain_mapreduce_spark.sources.sinks import distcp
 
-    src = _stage_dir(sf_dir, "smallfiles")
+    src = _smallfiles_src(spark, sf_dir)
     dst = _stage_dir(sf_dir, "distcp")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_extendedprice"
-        )
-        li.repartition(64).write.mode("overwrite").parquet(src)
     if not os.path.exists(os.path.join(dst, "_DISTCP_DONE")):
         files = sorted(glob.glob(os.path.join(src, "*.parquet"))) + [
             os.path.join(src, "_SUCCESS")

@@ -96,6 +96,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # their modules stay visible via tpch_q3_shape/groupby2_shape,
     # sql_partition_pruning, asof_join_events).
     "semantic_dedup", "temperature_sample", "bpe_pair_counts",
+    # HadoopArchives parity (pack/unpack + footer-indexed point read);
+    # promoted in place of stream_dedup (r05-green, unchanged — streaming
+    # stays visible via 8 other window rows).
+    "har_roundtrip",
     # --- 20 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -114,7 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # promoted distcp_roundtrip, K/V text via kv_text_roundtrip)
     "bucketed_join", "zorder_box_query",
     # streaming real-stream deep checks
-    "stream_late_data", "cq_moving_avg_stream", "stream_dedup",
+    "stream_late_data", "cq_moving_avg_stream",
     # mrlib + data pipeline + curation (dedup_components family visible via
     # dedup_components_lsh above, which shares its oracle; decontaminate to
     # the tail this round — r04/r05-green, unchanged, plan-asserted)

@@ -204,3 +204,74 @@ def distcp(spark, src_files: list[str], dst_dir: str, chunk_bytes: int = 8 << 20
         if expect is not None and got != expect:
             raise IOError(f"distcp size mismatch for {src}: {got} != {expect}")
     return len(copied)
+
+
+def har_create(spark, src_dir: str, har_dir: str, target_files: int = 1) -> int:
+    """Pack a directory of many small files into a columnar archive —
+    HadoopArchives parity (src/tools/org/apache/hadoop/tools/
+    HadoopArchives.java:50: small files → one .har with an index, to stop
+    NameNode metadata bloat; here the archive IS a parquet table
+    (name, length, content) and the "index" is the parquet footer min/max
+    on the sorted ``name`` column, which prunes point reads for free).
+
+    The pack runs distributed via the binaryFile source (one task per input
+    split, bytes never touch the driver), range-partitioned and sorted by
+    name into ``target_files`` output files. At 100 TB, size target_files
+    by total bytes / desired archive-part size the same way compact_files
+    does. Hidden files (_ / . prefixed) are excluded, matching FileInputFormat.
+
+    Returns the number of files archived.
+    """
+    files = spark.read.format("binaryFile").load(src_dir)
+    arch = (
+        files.select(
+            F.expr("substring_index(path, '/', -1)").alias("name"),
+            F.col("length"),
+            F.col("content"),
+        )
+        .repartitionByRange(max(target_files, 1), "name")
+        .sortWithinPartitions("name")
+    )
+    arch.write.mode("overwrite").parquet(har_dir)
+    return spark.read.parquet(har_dir).count()
+
+
+def har_get(spark, har_dir: str, name: str) -> DataFrame:
+    """Point-read one archived file — MapFileOutputFormat.getEntry shape on
+    the archive: an equality filter on the sorted ``name`` column reaches
+    the parquet scan (PushedFilters), so row groups that cannot contain the
+    name are skipped via footer stats."""
+    return spark.read.parquet(har_dir).where(F.col("name") == name)
+
+
+def har_extract(spark, har_dir: str, out_dir: str) -> int:
+    """Unpack an archive back into individual files, distributed: each task
+    streams its partition's (name, content) rows out through pyarrow.fs —
+    the inverse of har_create, no driver-side data movement. Per-file byte
+    counts are validated against the archived ``length`` column executor-side.
+    Returns the number of files extracted."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows):
+        import os
+
+        import pyarrow.fs as pafs
+
+        fs = pafs.LocalFileSystem()
+        n = 0
+        for r in rows:
+            if len(r.content) != r.length:
+                raise IOError(f"har corrupt entry {r.name}: {len(r.content)} != {r.length}")
+            with fs.open_output_stream(os.path.join(out_dir, r.name)) as w:
+                w.write(r.content)
+            n += 1
+        yield n
+
+    return sum(
+        spark.read.parquet(har_dir)
+        .select("name", "length", "content")
+        .rdd.mapPartitions(write_part)
+        .collect()
+    )

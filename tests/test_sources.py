@@ -277,3 +277,42 @@ def test_distcp_copies_bytes_identically(spark, tmp_path):
             assert a.read() == b.read(), f
     want = {(r["n_nationkey"], r["n_name"]) for r in n.collect()}
     assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(dst).collect()} == want
+
+
+def test_har_pack_unpack_and_indexed_point_read(spark, tmp_path):
+    """har_create packs N small files into ONE archive file; har_extract
+    reproduces every byte; har_get's equality filter on the sorted name
+    column is pushed to the archive scan (the HAR index analogue)."""
+    import glob as g
+    import os
+
+    from quatrain_mapreduce_spark.sources.sinks import har_create, har_extract, har_get
+
+    src = str(tmp_path / "src")
+    n = load_table(spark, "/root/testdata/sf0.001", "nation")
+    n.repartition(8).write.mode("overwrite").parquet(src)
+    files = sorted(g.glob(src + "/*.parquet"))
+
+    har = str(tmp_path / "har")
+    assert har_create(spark, src, har, target_files=1) == len(files)
+    # many files in, one archive data file out
+    assert len(g.glob(har + "/*.parquet")) == 1
+
+    # point read prunes via a pushed equality filter on name
+    name = os.path.basename(files[3])
+    got = har_get(spark, har, name)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    from tests.test_plans import pushed_filter_brackets
+    assert any(f"EqualTo(name,{name})" in b for b in pushed_filter_brackets(plan)), plan
+    [row] = got.collect()
+    with open(files[3], "rb") as f:
+        assert bytes(row["content"]) == f.read()
+
+    # full unpack: byte-identical files, parquet still readable
+    out = str(tmp_path / "out")
+    assert har_extract(spark, har, out) == len(files)
+    for f in files:
+        with open(f, "rb") as a, open(os.path.join(out, os.path.basename(f)), "rb") as b:
+            assert a.read() == b.read(), f
+    want = {(r["n_nationkey"], r["n_name"]) for r in n.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(out).collect()} == want
