@@ -49,7 +49,10 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
     "similarity_lsh",
     "similarity_ivf",
+    "semantic_dedup",      # SemDeDup: broadcast-centroid clustering + in-cluster verify
     "text_quality",
+    "bpe_pair_counts",     # BPE pair stats over the distinct-word vocab
+    "temperature_sample",  # data-derived language-mixing rates + hash membership
     "decontaminate",       # eval-set n-gram decontamination (broadcast anti-join)
     "domain_cap",          # per-domain frequency cap (one window shuffle)
     "asof_join_events",    # as-of join: union-tag + window, single shuffle

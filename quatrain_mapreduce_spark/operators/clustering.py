@@ -98,19 +98,38 @@ def semantic_dedup(
     it for recall; cross-boundary pairs are what `embedding_neardup_pairs`'
     banded blocking catches instead).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from quatrain_mapreduce_spark.operators.similarity import _dot, _norm
+
     cents = centroids if centroids is not None else min_id_centroids(df, id_col, vec_col, k)
-    assigned = assign_to_row_centroids(df, cents, id_col, vec_col)
+    # norms precomputed ONCE per row: the pairwise verify below evaluates
+    # cos as dot/(nrm_a*nrm_b) — the exact expression shape of the oracle —
+    # but without re-aggregating both self-dot-products for every pair
+    # (cosine() per pair does 3 array folds; this does 1). Persisted at the
+    # branch point: the a-side, b-side and final-join consumers would
+    # otherwise each re-run the assignment cross join.
+    assigned = (
+        assign_to_row_centroids(df, cents, id_col, vec_col)
+        .withColumn("nrm", _norm(F.col("vec")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     a = assigned.select(
-        F.col("cluster_id"), F.col(id_col).alias("a_id"), F.col("vec").alias("a_vec")
+        F.col("cluster_id"), F.col(id_col).alias("a_id"),
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
-        F.col("cluster_id"), F.col(id_col).alias("b_id"), F.col("vec").alias("b_vec")
+        F.col("cluster_id"), F.col(id_col).alias("b_id"),
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
     )
     redundant = (
         a.join(b, "cluster_id")
         .where(F.col("a_id") < F.col("b_id"))
-        .where(cosine(F.col("a_vec"), F.col("b_vec")) >= F.lit(float(tau)))
+        .where(
+            _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+            >= F.lit(float(tau))
+        )
         .select(F.col("b_id").alias("r_id"))
         .distinct()
     )

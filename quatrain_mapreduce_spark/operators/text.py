@@ -119,3 +119,41 @@ def bpe_pair_counts(df: DataFrame, text_col: str, min_len: int = 2) -> DataFrame
         "cnt",
     )
     return pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k keywords per document by tf·idf with RAW inverse document
+    frequency: score = tf × N / df (Salton & Buckley's unsmoothed variant).
+
+    The raw-ratio form is deliberate: tf, N and df are exact integers, so
+    the score is one IEEE division — bit-identical across engines — where
+    ln(N/df) would differ in the last ulp between libm and StrictMath and
+    could flip near-tied rankings. Whitespace tokenization matches the
+    wordcount contract.
+
+    Scale shape: tf is one partial-aggregated shuffle of (doc, word); df is
+    a word-keyed agg OF THE TF TABLE (no second corpus scan); N and the df
+    table join back broadcast. The per-doc top-k is a window over doc_id —
+    the same bounded-state rank as cap_per_domain.
+
+    Returns (id_col, word, score, rk), rk = 1..k (score desc, word asc).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = toks.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "word", "score", "rk")
+    )

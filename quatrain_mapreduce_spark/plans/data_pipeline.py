@@ -635,6 +635,42 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_keywords",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> ''
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        scored AS (
+            SELECT tf.doc_id, tf.word,
+                   tf.tf * n.n_docs / CAST(dfreq.df AS DOUBLE) AS score
+            FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+        )
+        SELECT doc_id, word, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, word) AS INTEGER) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    doc="Per-document top-3 keywords by tf*idf with RAW inverse document "
+        "frequency (score = tf*N/df — one exact IEEE division; ln() would "
+        "differ between libm and StrictMath in the last ulp and flip "
+        "near-tied ranks). df is an agg OF THE TF TABLE, never a second "
+        "corpus scan; df and N join back broadcast; top-k is the bounded "
+        "per-doc window rank.",
+    tags=("text",),
+)
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@register(
     "text_stats",
     oracle=f"""
         SELECT doc_id,

@@ -100,6 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # promoted in place of stream_dedup (r05-green, unchanged — streaming
     # stays visible via 8 other window rows).
     "har_roundtrip",
+    # tf-idf keyword extraction (raw-IDF exact arithmetic); promoted in
+    # place of zorder_box_query (r05-green, unchanged — analytics stays
+    # visible via range_frame_window/sketch_mergeable_rollup/
+    # heavy_hitters_topk/similarity_ivf_exact).
+    "tfidf_keywords",
     # --- 20 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
@@ -116,7 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # compact_small_files to the tail this round — both r05-green and
     # unchanged; the small-files staging family stays visible via the
     # promoted distcp_roundtrip, K/V text via kv_text_roundtrip)
-    "bucketed_join", "zorder_box_query",
+    "bucketed_join",
     # streaming real-stream deep checks
     "stream_late_data", "cq_moving_avg_stream",
     # mrlib + data pipeline + curation (dedup_components family visible via

@@ -103,3 +103,32 @@ def test_bpe_pair_counts_hand_example(spark):
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
     # low x2, lower x1 -> lo:3 ow:3 we:1+1 er:1 ; new x1, newest x1 -> ne:2 ew:2 es:1 st:1
     assert got == {"lo": 3, "ow": 3, "we": 2, "er": 1, "ne": 2, "ew": 2, "es": 1, "st": 1}
+
+
+def test_tfidf_keywords_hand_example(spark):
+    """3 docs: 'cat' appears in all (df=3, idf=1), 'mouse' only in doc 3
+    (df=1, idf=3) — rare terms outrank common ones; ties break on word."""
+    from quatrain_mapreduce_spark.operators.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat dog dog"),
+            (3, "cat mouse"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rk"]): (r["word"], r["score"])
+        for r in tfidf_keywords(df, "doc_id", "text", k=2).collect()
+    }
+    # N=3; df: cat=3, dog=2, mouse=1
+    # doc1: cat tf=2 -> 2*3/3=2.0 ; dog tf=1 -> 1*3/2=1.5  => cat first
+    assert got[(1, 1)] == ("cat", 2.0)
+    assert got[(1, 2)] == ("dog", 1.5)
+    # doc2: dog tf=2 -> 3.0 ; cat tf=1 -> 1.0
+    assert got[(2, 1)] == ("dog", 3.0)
+    assert got[(2, 2)] == ("cat", 1.0)
+    # doc3: mouse tf=1 -> 3.0 ; cat tf=1 -> 1.0
+    assert got[(3, 1)] == ("mouse", 3.0)
+    assert got[(3, 2)] == ("cat", 1.0)
