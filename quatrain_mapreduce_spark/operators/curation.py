@@ -375,3 +375,83 @@ def pack_manifest(
         F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_seq"),
         F.floor((end - 1) / F.lit(float(seq_len))).cast("long").alias("last_seq"),
     )
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_chars: int = 200, overlap: int = 50,
+) -> DataFrame:
+    """Overlapping fixed-width character chunking — the context-window
+    preparation step of a RAG / long-document training pipeline (each chunk
+    carries its provenance: parent id, chunk ordinal, 1-based start offset).
+
+    Scan-local: the chunk list is a per-row array expression (sequence →
+    transform → explode), so chunking is zero-shuffle and rides whole-stage
+    codegen; at 100 TB the output is written straight back out partitioned
+    however the training export needs. A document of length L produces
+    1 + floor((L-1)/step) chunks (step = chunk_chars - overlap); empty text
+    still yields its chunk_id=0 row so provenance never silently drops a
+    document. Division is double + floor in both engines (integer-division
+    truncation semantics differ between engines for negative operands).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    step = chunk_chars - overlap
+    n_hi = (
+        f"greatest(CAST(floor((length({text_col}) - 1) / CAST({step} AS DOUBLE)) AS INT), 0)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {n_hi}), i -> struct("
+        f"i AS chunk_id, i*{step}+1 AS chunk_start, "
+        f"substring({text_col}, i*{step}+1, {chunk_chars}) AS chunk))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk_start", "c.chunk")
+    )
+
+
+def build_vocab(df: DataFrame, text_col: str, size: int) -> DataFrame:
+    """Deterministic frequency-ranked vocabulary: the ``size`` most frequent
+    whitespace tokens, id 1..size by (count desc, word asc). Broadcast-sized
+    by construction — a vocabulary is pipeline metadata, like centroids."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word")) \
+             .where(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    # sort of the full distinct-word table), THEN rank the k survivors; the
+    # single-partition window only ever sees ``size`` rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return top.withColumn("token_id", F.row_number().over(w)).select("word", "token_id")
+
+
+def tokenize_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame,
+) -> DataFrame:
+    """Map documents to vocabulary token ids — the id-ization step of a
+    training export. Unknown words get id 0 (OOV); token positions are
+    1-based over the non-empty whitespace tokens.
+
+    The vocab joins back broadcast (it is metadata-sized); the corpus is
+    scanned once and never shuffled except by the per-document position
+    window, which is bounded by document length. Returns one row per token:
+    (id_col, tok_pos, word, token_id).
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("raw_pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("raw_pos")
+    return (
+        toks.withColumn("tok_pos", F.row_number().over(w))
+        .join(F.broadcast(vocab), "word", "left")
+        .select(
+            id_col,
+            "tok_pos",
+            "word",
+            F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+        )
+    )

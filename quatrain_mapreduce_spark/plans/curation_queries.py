@@ -114,6 +114,81 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_id,
+               CAST(i*150+1 AS INTEGER) AS chunk_start,
+               substr(text, CAST(i*150+1 AS INTEGER), 200) AS chunk
+        FROM documents,
+             unnest(generate_series(0,
+                 CAST(greatest(floor((length(text)-1)/CAST(150 AS DOUBLE)), 0) AS BIGINT)
+             )) AS g(i)
+    """,
+    doc="Overlapping fixed-width chunking (RAG / long-doc context-window "
+        "prep): 200-char chunks, 50-char overlap, 1-based offsets, full "
+        "provenance. Scan-local array expression — zero shuffle; the oracle "
+        "value-checks every chunk string and offset.",
+    tags=("curation", "export"),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_chars=200, overlap=50)
+
+
+@register(
+    "tokenize_ids",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS tok_pos
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        vocab AS (
+            SELECT w,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, w) AS INTEGER) AS token_id
+            FROM counts QUALIFY token_id <= 100
+        ),
+        m AS (
+            SELECT t.doc_id, t.tok_pos, coalesce(v.token_id, 0) AS tid
+            FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST(sum(tid * tok_pos) AS BIGINT) AS id_checksum
+        FROM m GROUP BY doc_id
+    """,
+    doc="Token-id export: corpus-derived frequency vocabulary (top-100, "
+        "deterministic (count desc, word) ranking via TakeOrderedAndProject "
+        "— no global sort of the distinct-word table), broadcast-joined back "
+        "to map every token to its id, OOV=0. The per-doc "
+        "sum(token_id*position) checksum makes the id SEQUENCE "
+        "oracle-checked, not just counts.",
+    tags=("curation", "export"),
+)
+def tokenize_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import build_vocab, tokenize_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=100)
+    ids = tokenize_ids(docs, "doc_id", "text", vocab)
+    return ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.sum(F.col("token_id").cast("bigint") * F.col("tok_pos")).alias("id_checksum"),
+    )
+
+
+@register(
     "train_val_split",
     oracle=f"""
         SELECT CASE WHEN {_H} % 1000 < 950 THEN 'train' ELSE 'val' END AS split,

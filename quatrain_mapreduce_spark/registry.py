@@ -105,13 +105,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # visible via range_frame_window/sketch_mergeable_rollup/
     # heavy_hitters_topk/similarity_ivf_exact).
     "tfidf_keywords",
+    # context-window chunking + token-id export (training-export tier);
+    # promoted in place of range_frame_window and cq_moving_avg_stream
+    # (both r05-green, unchanged — their modules keep 4+ window rows each).
+    "chunk_documents", "tokenize_ids",
     # --- 20 representatives keeping every module driver-visible (all green
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
     # is in the locally-checked tail via tools/check_oracle.py.
     # relational / analytics flagships
     "groupby2_shape", "join_multiway", "tpch_q3_shape",
-    "range_frame_window", "similarity_ivf_exact", "sketch_mergeable_rollup",
+    "similarity_ivf_exact", "sketch_mergeable_rollup",
     # temporal joins + merge
     "asof_join_events",
     # SQL-text path (sql_groupby2 to the tail this round — r05-green,
@@ -123,7 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # promoted distcp_roundtrip, K/V text via kv_text_roundtrip)
     "bucketed_join",
     # streaming real-stream deep checks
-    "stream_late_data", "cq_moving_avg_stream",
+    "stream_late_data",
     # mrlib + data pipeline + curation (dedup_components family visible via
     # dedup_components_lsh above, which shares its oracle; decontaminate to
     # the tail this round — r04/r05-green, unchanged, plan-asserted)

@@ -205,3 +205,51 @@ def test_temperature_sample_derived_rates(spark):
     assert bad == 0
     # rare stratum is fully kept (rate capped at 1)
     assert s.where("lang = 'rare' AND __kept = 0").count() == 0
+
+
+def test_chunk_documents_offsets_and_edges(spark):
+    """Chunks tile with the configured overlap; empty text keeps its
+    chunk_id=0 provenance row; overlap >= width is rejected."""
+    import pytest as _pytest
+
+    from quatrain_mapreduce_spark.operators.curation import chunk_documents
+
+    text = "abcdefghij" * 5  # 50 chars
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "short")], "doc_id long, text string")
+    got = chunk_documents(df, "doc_id", "text", chunk_chars=20, overlap=5).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_start"], r["chunk"]))
+    # doc 1: step 15 -> starts 1,16,31,46 (floor((50-1)/15)=3 -> 4 chunks)
+    assert [(c, s) for c, s, _ in sorted(by_doc[1])] == [(0, 1), (1, 16), (2, 31), (3, 46)]
+    for c, s, chunk in sorted(by_doc[1]):
+        assert chunk == text[s - 1:s - 1 + 20]
+    # consecutive chunks overlap by exactly 5 chars
+    chunks1 = [c for _, _, c in sorted(by_doc[1])]
+    for a, b in zip(chunks1, chunks1[1:]):
+        assert a[15:] == b[: len(a) - 15]
+    assert by_doc[2] == [(0, 1, "")]
+    assert by_doc[3] == [(0, 1, "short")]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_chars=10, overlap=10)
+
+
+def test_tokenize_ids_vocab_and_oov(spark):
+    """Vocab ids rank by (freq desc, word asc); OOV maps to 0; positions are
+    1-based over non-empty tokens."""
+    from quatrain_mapreduce_spark.operators.curation import build_vocab, tokenize_ids
+
+    df = spark.createDataFrame(
+        [(1, "b a  a"), (2, "a c")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, "text", size=2)
+    v = {r["word"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"a": 1, "b": 2}  # a freq 3; b and c tie at 1 -> b wins on word order
+    got = {
+        (r["doc_id"], r["tok_pos"]): (r["word"], r["token_id"])
+        for r in tokenize_ids(df, "doc_id", "text", vocab).collect()
+    }
+    assert got == {
+        (1, 1): ("b", 2), (1, 2): ("a", 1), (1, 3): ("a", 1),
+        (2, 1): ("a", 1), (2, 2): ("c", 0),
+    }
