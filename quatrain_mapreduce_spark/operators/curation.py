@@ -102,7 +102,15 @@ def temperature_sample(
     Membership then comes from the portable md5-nibble hash, as everywhere
     in this module.
     """
-    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__cnt"))
+    # the stratum-count frame is tiny but derives from a full corpus scan;
+    # persisted so its two consumers (the max aggregate and the rate rows)
+    # don't each rescan the corpus (plan-audited: 3 scans -> 2, the
+    # remaining 2 being the irreducible derive-rates + apply-membership
+    # passes).
+    from pyspark.storagelevel import StorageLevel
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__cnt")) \
+               .persist(StorageLevel.MEMORY_AND_DISK)
     cmax = counts.agg(F.max("__cnt").alias("__cmax"))
     rates = (
         counts.crossJoin(F.broadcast(cmax))
