@@ -133,6 +133,52 @@ def temperature_sample(
     )
 
 
+def mix_sources(
+    df: DataFrame, id_col: str, source_col: str, epochs: dict[str, float],
+    default_epochs: float = 1.0, rep_col: str = "__rep",
+) -> DataFrame:
+    """Deterministic source-weighted mixture with FRACTIONAL epochs — the
+    materialization step that turns a curated corpus plus a weight table
+    (e.g. wiki×2.4, books×1.0, crawl×0.3) into the actual training stream
+    (GPT-3, Brown et al. 2020 Table 2.2; The Pile, Gao et al. 2020 §1).
+
+    A weight w emits floor(w) full copies of every row plus one extra copy
+    of a deterministic frac(w) slice: copies(row) = floor(w) +
+    [h16(id·'_mix') % 1000 < permille(frac(w))]. w = 0 drops the source,
+    w = 0.3 downsamples, w = 2.4 repeats twice and upsamples a further 40 %
+    — one rule covers the whole weight axis. Repetition is realized as
+    ``explode(sequence(0, copies-1))`` carrying a rep index, so downstream
+    shuffling/packing can tell copies apart.
+
+    Determinism/portability: floor/frac are split in PYTHON (integer
+    literals reach the plan — no engine float arithmetic can diverge), and
+    membership uses the portable md5-nibble hash salted with '_mix' so the
+    fractional slice is independent of every other sampling decision in the
+    pipeline. Scale: pure scan-local projection + explode — zero shuffle,
+    no rand(), output size = sum(w_s·|s|) by construction.
+    """
+    def _split(v: float) -> tuple[int, int]:
+        whole = int(v)
+        return whole, int(round((v - whole) * 1000))
+
+    d_whole, d_perm = _split(default_epochs)
+    whole, perm = F.lit(d_whole), F.lit(d_perm)
+    for k, v in epochs.items():
+        w_k, p_k = _split(v)
+        whole = F.when(F.col(source_col) == k, w_k).otherwise(whole)
+        perm = F.when(F.col(source_col) == k, p_k).otherwise(perm)
+    h = F.expr(portable_h16_sql(f"concat({id_col}, '_mix')"))
+    copies = (whole + (h % 1000 < perm).cast("int")).cast("int")
+    reps = (
+        "CASE WHEN __copies <= 0 THEN CAST(array() AS array<int>) "
+        "ELSE sequence(0, __copies - 1) END"
+    )
+    return (
+        df.withColumn("__copies", copies)
+        .withColumn(rep_col, F.explode(F.expr(reps)))
+    )
+
+
 def train_val_split(df: DataFrame, id_col: str, val_permille: int = 50) -> DataFrame:
     """Deterministic train/validation assignment: h16(id) % 1000 — rows keep
     their split across reruns and engines, the property that makes the split

@@ -113,6 +113,57 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HM = portable_h16_sql("concat(doc_id, '_mix')")
+
+
+@register(
+    "source_mixture",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                WHEN 'src2' THEN 2 WHEN 'src3' THEN 0
+                                ELSE 1 END
+                    + CASE WHEN {_HM} % 1000 <
+                                CASE source WHEN 'src0' THEN 400
+                                            WHEN 'src1' THEN 300
+                                            ELSE 0 END
+                           THEN 1 ELSE 0 END) AS copies
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+               CAST(sum(copies) AS BIGINT) AS n_emitted,
+               CAST(sum(doc_id * copies) AS BIGINT) AS emitted_id_sum,
+               CAST(sum((copies * (copies - 1)) // 2) AS BIGINT) AS rep_sum
+        FROM t GROUP BY source HAVING sum(copies) > 0
+    """,
+    doc="Source-weighted mixture with fractional epochs (GPT-3/Pile data "
+        "mixing): src0×2.4 (repeat twice + 40% slice again), src1×0.3 "
+        "(downsample), src2×2.0 (exact doubling), src3×0.0 (dropped), "
+        "rest×1.0. floor/frac split in Python so only integer literals "
+        "reach either engine; membership via the '_mix'-salted portable "
+        "hash. The rep_sum column (sum of 0..copies-1 per doc) pins that "
+        "the explode emitted exactly the right DISTINCT rep indices, not "
+        "just the right multiplicity.",
+    tags=("curation",),
+)
+def source_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = mix_sources(
+        docs, "doc_id", "source",
+        {"src0": 2.4, "src1": 0.3, "src2": 2.0, "src3": 0.0},
+    )
+    return m.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_emitted"),
+        F.sum("doc_id").alias("emitted_id_sum"),
+        F.sum("__rep").alias("rep_sum"),
+    )
+
+
 @register(
     "chunk_documents",
     oracle="""

@@ -121,11 +121,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SQL-text path (sql_groupby2 to the tail this round — r05-green,
     # unchanged, same shape as groupby2_shape)
     "sql_partition_pruning",
-    # sources / storage maintenance (seqfile_roundtrip and
-    # compact_small_files to the tail this round — both r05-green and
-    # unchanged; the small-files staging family stays visible via the
-    # promoted distcp_roundtrip, K/V text via kv_text_roundtrip)
-    "bucketed_join",
+    # source-weighted mixture w/ fractional epochs (GPT-3/Pile data mixing,
+    # new r6); promoted in place of bucketed_join (r05-green, unchanged —
+    # sources/storage stays visible via kv_text_roundtrip, seqfilter_scan,
+    # xml_roundtrip, orc_roundtrip, codec_roundtrip, har_roundtrip,
+    # distcp_roundtrip; bucketed scans stay pytest-asserted)
+    "source_mixture",
     # streaming real-stream deep checks
     "stream_late_data",
     # mrlib + data pipeline + curation (dedup_components family visible via

@@ -207,6 +207,38 @@ def test_temperature_sample_derived_rates(spark):
     assert s.where("lang = 'rare' AND __kept = 0").count() == 0
 
 
+def test_mix_sources_copies_and_rep_indices(spark):
+    """Weights 2.5/0.0/1.0: every 'a' doc emits 2 or 3 copies with reps
+    exactly 0..copies-1, 'b' vanishes, default sources emit exactly once;
+    the whole mixture is rerun-identical (no rand())."""
+    from quatrain_mapreduce_spark.operators.curation import mix_sources
+
+    rows = [(i, "a") for i in range(40)]
+    rows += [(100 + i, "b") for i in range(10)]
+    rows += [(200 + i, "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    m = mix_sources(df, "doc_id", "source", {"a": 2.5, "b": 0.0})
+    per_doc = (
+        m.groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("__rep")).alias("reps"),
+        )
+        .collect()
+    )
+    assert all(r["n"] in (2, 3) for r in per_doc if r["source"] == "a")
+    assert not any(r["source"] == "b" for r in per_doc)
+    assert all(r["n"] == 1 for r in per_doc if r["source"] == "c")
+    # rep indices are the exact contiguous range, never duplicated
+    assert all(r["reps"] == list(range(r["n"])) for r in per_doc)
+    # the fractional slice took SOME but not ALL of 'a' (0.5 of 40 docs;
+    # the hash is fixed so this is a deterministic property of the ids)
+    n_a = sum(r["n"] for r in per_doc if r["source"] == "a")
+    assert 80 < n_a < 120
+    again = mix_sources(df, "doc_id", "source", {"a": 2.5, "b": 0.0})
+    assert sorted(m.collect()) == sorted(again.collect())
+
+
 def test_chunk_documents_offsets_and_edges(spark):
     """Chunks tile with the configured overlap; empty text keeps its
     chunk_id=0 provenance row; overlap >= width is rejected."""
