@@ -164,6 +164,70 @@ def source_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HX = portable_h16_sql("ex_id")
+
+
+@register(
+    "training_export",
+    oracle=f"""
+        WITH w AS (
+            SELECT source, doc_id, text,
+                   (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                WHEN 'src2' THEN 2 WHEN 'src3' THEN 0
+                                ELSE 1 END
+                    + CASE WHEN {_HM} % 1000 <
+                                CASE source WHEN 'src0' THEN 400
+                                            WHEN 'src1' THEN 300
+                                            ELSE 0 END
+                           THEN 1 ELSE 0 END) AS copies
+            FROM documents
+        ), m AS (
+            SELECT doc_id, text, unnest(range(copies)) AS rep FROM w
+        ), d AS (
+            SELECT concat(doc_id, '#', rep) AS ex_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n_tok
+            FROM m
+        ), h AS (
+            SELECT ex_id, n_tok, {_HX} % 64 AS shard, {_HX} AS hkey FROM d
+        ), c AS (
+            SELECT ex_id, n_tok, shard,
+                   sum(n_tok) OVER (ORDER BY shard, hkey, ex_id
+                                    ROWS UNBOUNDED PRECEDING) AS tok_end
+            FROM h
+        )
+        SELECT ex_id, n_tok, CAST(shard AS INTEGER) AS shard,
+               CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+               CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT) AS first_seq,
+               CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+        FROM c
+    """,
+    doc="End-to-end training export in ONE declarative plan: source-"
+        "weighted mixture (fractional epochs, repetition carried as an "
+        "example id doc_id#rep) -> deterministic corpus order -> sequence-"
+        "packing manifest (seq_len=512) via the distributed prefix sum. "
+        "The oracle recomputes the whole chain with a single global "
+        "window — the 100 TB anti-pattern the engine formulation avoids — "
+        "and must agree exactly, repetitions and all.",
+    tags=("curation", "pack"),
+)
+def training_export_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import (
+        mix_sources, pack_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = mix_sources(
+        docs, "doc_id", "source",
+        {"src0": 2.4, "src1": 0.3, "src2": 2.0, "src3": 0.0},
+    )
+    ex = m.select(
+        F.concat_ws("#", F.col("doc_id"), F.col("__rep")).alias("ex_id"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    return pack_manifest(ex, "ex_id", "n_tok", seq_len=512, n_shards=64)
+
+
 @register(
     "chunk_documents",
     oracle="""

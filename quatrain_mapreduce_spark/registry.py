@@ -127,8 +127,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # xml_roundtrip, orc_roundtrip, codec_roundtrip, har_roundtrip,
     # distcp_roundtrip; bucketed scans stay pytest-asserted)
     "source_mixture",
-    # streaming real-stream deep checks
-    "stream_late_data",
+    # end-to-end training export (mixture -> deterministic order -> packing
+    # prefix sum, one plan; new r6); promoted in place of stream_late_data
+    # (r05-green, unchanged — streaming stays visible via the 7 promoted
+    # never-green stream/cq rows plus stream_jdbc_serving).
+    "training_export",
     # mrlib + data pipeline + curation (dedup_components family visible via
     # dedup_components_lsh above, which shares its oracle; decontaminate to
     # the tail this round — r04/r05-green, unchanged, plan-asserted)

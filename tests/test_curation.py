@@ -239,6 +239,26 @@ def test_mix_sources_copies_and_rep_indices(spark):
     assert sorted(m.collect()) == sorted(again.collect())
 
 
+def test_training_export_is_contiguous_over_repetitions(spark, sf_dir):
+    """The end-to-end manifest lays the MIXED stream (repetitions included)
+    with no gaps or overlaps: offsets sorted by tok_start tile exactly, the
+    total equals sum(n_tok), and example ids are unique."""
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    pm = all_queries()["training_export"].fn(spark, sf_dir)
+    rows = pm.orderBy("tok_start").collect()
+    assert len({r["ex_id"] for r in rows}) == len(rows)
+    pos = 0
+    for r in rows:
+        assert r["tok_start"] == pos
+        pos += r["n_tok"]
+    assert pos == sum(r["n_tok"] for r in rows)
+    # repetition really reaches the manifest: some doc contributes >1 example
+    from collections import Counter
+    base = Counter(r["ex_id"].split("#")[0] for r in rows)
+    assert max(base.values()) > 1
+
+
 def test_chunk_documents_offsets_and_edges(spark):
     """Chunks tile with the configured overlap; empty text keeps its
     chunk_id=0 provenance row; overlap >= width is rejected."""
