@@ -412,8 +412,17 @@ def pack_manifest(
         .orderBy("hkey", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("within_end", F.sum(n_tok_col).over(w_in))
-    totals = d.groupBy("shard").agg(F.sum(n_tok_col).alias("tot"))
+    # Branch point: the windowed frame feeds BOTH the manifest rows and the
+    # shard-totals side input. Unpersisted, Catalyst recomputes the whole
+    # scan→explode→md5→window lineage for the totals branch (plan-audited
+    # r6: two full corpus scans); persisting makes the totals a cache read,
+    # and tot = max(within_end) reuses the cumulative sum instead of
+    # re-aggregating n_tok.
+    from pyspark.storagelevel import StorageLevel
+
+    d = d.withColumn("within_end", F.sum(n_tok_col).over(w_in)) \
+         .persist(StorageLevel.MEMORY_AND_DISK)
+    totals = d.groupBy("shard").agg(F.max("within_end").alias("tot"))
     w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "offset", F.coalesce(F.sum("tot").over(w_sh), F.lit(0))
