@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.curation import (
+    EMAIL_RE as _EMAIL_RE, PHONE_RE as _PHONE_RE,
+)
 from quatrain_mapreduce_spark.registry import register
 from quatrain_mapreduce_spark.staging import stage_event_slices
 from quatrain_mapreduce_spark.streaming.hop import (
@@ -525,3 +528,89 @@ def stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_jdbc(spark, url, "stream_counts", driver=driver)
+
+
+@register(
+    "stream_curation",
+    oracle="""
+        WITH inj AS (
+            SELECT doc_id, source,
+                   text || CASE WHEN doc_id % 7 = 0
+                                THEN ' contact bob@example.com now'
+                                WHEN doc_id % 11 = 0
+                                THEN ' call 555-123-4567 today'
+                                ELSE '' END AS text2
+            FROM documents
+        ), t AS (
+            SELECT doc_id, source, text2,
+                   list_filter(string_split(text2, ' '), x -> x <> '') AS toks
+            FROM inj
+        ), m AS (
+            SELECT doc_id, source, text2,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, s -> CAST(length(s) AS BIGINT)))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS mean_tok_len,
+                   CASE WHEN len(toks) > 0
+                        THEN round(len(list_filter(toks, s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS symbol_frac,
+                   CAST(len(list_intersect(list_distinct(toks),
+                                           ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text2, '{email}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text2, '{phone}')) AS INTEGER) AS n_phones,
+               md5(regexp_replace(regexp_replace(text2, '{email}', '<EMAIL>', 'g'),
+                                  '{phone}', '<PHONE>', 'g')) AS fp
+        FROM m
+        WHERE n_tokens BETWEEN 5 AND 100000
+          AND mean_tok_len BETWEEN 2 AND 12
+          AND symbol_frac < 0.1
+          AND stop_hits >= 2
+    """.format(email=_EMAIL_RE, phone=_PHONE_RE),
+    doc="Streaming ingestion-time curation: documents replayed as a 4-file "
+        "stream; each micro-batch runs the STATELESS curation chain — "
+        "synthetic-PII injection, Gopher quality gate, PII scrub — and "
+        "appends kept rows to a file sink (no state store: pure map work, "
+        "so the stream plan is the batch plan per batch). Held to the "
+        "same batch SQL oracle as gopher_rules+pii_scrub composed, with "
+        "the md5 of the SCRUBBED text value-checked per kept doc.",
+    tags=("streaming", "curation", "no-sql-plan"),
+)
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.curation import (
+        EMAIL_RE, PHONE_RE, gopher_rules, scrub_pii,
+    )
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    d = stage_dir(sf_dir, "docslices4")
+    if not os.path.exists(os.path.join(d, "_STAGED")):
+        load_table(spark, sf_dir, "documents").repartition(4) \
+            .write.mode("overwrite").parquet(d)
+        open(os.path.join(d, "_STAGED"), "w").close()
+    schema = spark.read.parquet(d).schema
+    injected = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, " contact bob@example.com now")
+                 .when(F.col("doc_id") % 11 == 0, " call 555-123-4567 today")
+                 .otherwise(""),
+            ),
+        )
+    )
+    kept = gopher_rules(injected, "text").where("passes = 1")
+    scrubbed = scrub_pii(kept, "text").select(
+        "doc_id", "source", "n_emails", "n_phones",
+        F.md5("scrubbed").alias("fp"),
+    )
+    name = f"qms_stream_curation_{next(_stream_counter)}"
+    return drain_to_parquet(scrubbed, name, output_mode="append")

@@ -118,9 +118,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_ivf_exact", "sketch_mergeable_rollup",
     # temporal joins + merge
     "asof_join_events",
-    # SQL-text path (sql_groupby2 to the tail this round — r05-green,
-    # unchanged, same shape as groupby2_shape)
-    "sql_partition_pruning",
+    # streaming ingestion-time curation (stateless gate+scrub per batch,
+    # new r6); promoted in place of sql_partition_pruning (r05-green,
+    # unchanged — the SQL-text path keeps 4 window rows: sql_union,
+    # sql_grouping_sets, sql_case_sensitivity, sql_cast1).
+    "stream_curation",
     # source-weighted mixture w/ fractional epochs (GPT-3/Pile data mixing,
     # new r6); promoted in place of bucketed_join (r05-green, unchanged —
     # sources/storage stays visible via kv_text_roundtrip, seqfilter_scan,
