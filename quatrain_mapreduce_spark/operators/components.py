@@ -101,3 +101,32 @@ def connected_components(
         e.union(roots).distinct()
         .select(F.col("u").alias("node"), F.col("v").alias("root"))
     )
+
+
+def keep_best_per_component(
+    scored: DataFrame, comp: DataFrame,
+    id_col: str = "doc_id", root_col: str = "root_id", score_col: str = "q",
+) -> DataFrame:
+    """Canonical-document selection: one kept row per near-dup component —
+    the member with the highest ``score_col`` (deterministic id tie-break)
+    — plus every singleton (docs absent from ``comp``) labeled as its own
+    root.
+
+    Scale shape: the argmax window runs ONLY over component members (a
+    frame proportional to the duplicated subset, not the corpus); the
+    corpus-sized work is a single anti-join against the far smaller
+    component map. No corpus-wide window, no self-join.
+    """
+    from pyspark.sql import Window
+
+    members = scored.join(comp, id_col)
+    w = Window.partitionBy(root_col).orderBy(F.desc(score_col), F.col(id_col))
+    best = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .where("__rk = 1").drop("__rk")
+    )
+    singles = (
+        scored.join(comp.select(id_col), id_col, "left_anti")
+        .withColumn(root_col, F.col(id_col))
+    )
+    return singles.unionByName(best)

@@ -162,7 +162,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by dedup_components (exact blocked all-pairs edge gen) and
 # dedup_components_lsh (LSH candidates + exact verify): both must produce
 # the SAME components, so they are held to the same recursive-CTE oracle.
-_COMPONENTS_ORACLE = """
+_COMPONENTS_CTES = """
         WITH RECURSIVE t AS (
             SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents
@@ -192,7 +192,9 @@ _COMPONENTS_ORACLE = """
             SELECT u, u FROM edges
             UNION
             SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
-        )
+        )"""
+
+_COMPONENTS_ORACLE = _COMPONENTS_CTES + """
         SELECT node AS doc_id, min(r) AS root_id FROM reach GROUP BY node
     """
 
@@ -250,6 +252,60 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
     comp = connected_components(verified, src="a_id", dst="b_id")
     return comp.select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
+
+
+def _quality_sql() -> str:
+    from quatrain_mapreduce_spark.plans.curation_queries import _Q_SQL
+
+    return _Q_SQL
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_COMPONENTS_CTES + """
+        , comp AS (
+            SELECT node AS doc_id, min(r) AS root_id FROM reach GROUP BY node
+        ), qual AS (
+            SELECT doc_id, {q} AS q FROM documents
+        ), lab AS (
+            SELECT qual.doc_id,
+                   CAST(coalesce(comp.root_id, qual.doc_id) AS BIGINT) AS root_id,
+                   qual.q
+            FROM qual LEFT JOIN comp ON qual.doc_id = comp.doc_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY root_id
+                                         ORDER BY q DESC, doc_id) AS rk
+            FROM lab
+        )
+        SELECT doc_id, root_id, round(q, 4) AS q FROM ranked WHERE rk = 1
+    """.format(q=_quality_sql()),
+    doc="Canonical-document selection per near-dup cluster: production "
+        "pipelines keep the BEST doc (highest quality score), not the "
+        "min-id one. Rides the dedup_components_lsh pipeline (LSH "
+        "candidates -> exact verify -> star contraction); the argmax "
+        "window runs ONLY on component members (ranked against the "
+        "recursive-CTE + argmax oracle), while the corpus-sized work is a "
+        "single anti-join of singletons against the far smaller component "
+        "map — no corpus-wide window, no self-join.",
+    tags=("dedup", "components", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.components import (
+        connected_components, keep_best_per_component,
+    )
+    from quatrain_mapreduce_spark.operators.dedup import verify_pairs
+    from quatrain_mapreduce_spark.operators.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("a_id", "b_id")
+    verified = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
+    comp = connected_components(verified, src="a_id", dst="b_id") \
+        .select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
+    q = docs.select("doc_id", quality_col("text").alias("q"))
+    kept = keep_best_per_component(q, comp, "doc_id", "root_id", "q")
+    return kept.select("doc_id", "root_id", F.round("q", 4).alias("q"))
 
 
 def _root_h16() -> str:

@@ -137,7 +137,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # mrlib + data pipeline + curation (dedup_components family visible via
     # dedup_components_lsh above, which shares its oracle; decontaminate to
     # the tail this round — r04/r05-green, unchanged, plan-asserted)
-    "wordcount", "dedup_lsh_recall",
+    "wordcount",
+    # canonical-doc-per-cluster selection by quality (new r6); promoted in
+    # place of dedup_lsh_recall (r05-green, unchanged — the LSH family
+    # stays visible via dedup_components_lsh and dedup_incremental_lsh,
+    # and recall stays pytest-gated).
+    "dedup_keep_best",
 )
 
 

@@ -88,3 +88,40 @@ def test_lsh_components_match_exact_components(spark, sf_dir):
     exact = {(r["doc_id"], r["root_id"]) for r in dedup_components(spark, sf_dir).collect()}
     lsh = {(r["doc_id"], r["root_id"]) for r in dedup_components_lsh(spark, sf_dir).collect()}
     assert lsh == exact and exact
+
+
+def test_keep_best_per_component_prefers_quality_over_min_id(spark):
+    """Planted 2-doc near-dup cluster where the HIGHER-quality doc has the
+    HIGHER id: min-id selection would keep doc 1; keep-best must keep doc 9.
+    Singletons pass through labeled as their own root. Runs the full
+    LSH -> exact-verify -> contraction -> argmax chain on synthetic rows."""
+    from quatrain_mapreduce_spark.operators.components import (
+        connected_components, keep_best_per_component,
+    )
+    from quatrain_mapreduce_spark.operators.dedup import (
+        minhash_lsh_pairs, verify_pairs,
+    )
+    from quatrain_mapreduce_spark.operators.text import quality_col
+
+    base = [f"tok{i}" for i in range(80)] + ["the", "a", "of", "and", "to"]
+    rich = base + [f"extra{i}" for i in range(15)]
+    rows = [
+        (1, " ".join(base), "en"),
+        (9, " ".join(rich), "en"),  # near-dup of 1, longer => higher quality
+        (5, "unrelated little text about nothing in particular", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
+    ).select("a_id", "b_id")
+    verified = verify_pairs(
+        docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang"
+    )
+    assert {(r["a_id"], r["b_id"]) for r in verified.collect()} == {(1, 9)}
+    comp = connected_components(verified, src="a_id", dst="b_id").select(
+        F.col("node").alias("doc_id"), F.col("root").alias("root_id")
+    )
+    q = docs.select("doc_id", quality_col("text").alias("q"))
+    kept = {r["doc_id"]: r["root_id"]
+            for r in keep_best_per_component(q, comp).collect()}
+    assert kept == {9: 1, 5: 5}
