@@ -727,6 +727,115 @@ def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cooccurrence_lift",
+    oracle="""
+        WITH t AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), pr AS (
+            SELECT unnest(flatten([
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(list_sort([toks[i], toks[i + 1]]), ' '))
+                     ELSE [] END,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(list_sort([toks[i], toks[i + 2]]), ' '))
+                     ELSE [] END])) AS pair
+            FROM t
+        ), pc AS (
+            SELECT pair, CAST(count(*) AS BIGINT) AS c_pair FROM pr GROUP BY pair
+        ), uni AS (
+            SELECT unnest(toks) AS w FROM t
+        ), uc AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w
+        ), tot AS (
+            SELECT CAST(sum(c_w) AS DOUBLE) AS big_t FROM uc
+        ), ptot AS (
+            SELECT CAST(sum(c_pair) AS DOUBLE) AS big_p FROM pc
+        ), lifted AS (
+            SELECT pc.pair, pc.c_pair, a.c_w AS c_a, b.c_w AS c_b,
+                   (pc.c_pair / ptot.big_p)
+                     / ((a.c_w / tot.big_t) * (b.c_w / tot.big_t)) AS lift
+            FROM pc CROSS JOIN tot CROSS JOIN ptot
+            JOIN uc a ON a.w = split_part(pc.pair, ' ', 1)
+            JOIN uc b ON b.w = split_part(pc.pair, ' ', 2)
+            WHERE pc.c_pair >= 3
+        )
+        SELECT pair, c_pair, c_a, c_b,
+               floor(lift * 10000 + 0.5) / 10000 AS lift_r
+        FROM lifted
+        ORDER BY lift DESC, pair
+        LIMIT 50
+    """,
+    doc="Word co-occurrence statistics, the canonical MapReduce 'pairs' "
+        "pattern (Lin & Dyer 2010 ch.3) ranked by association lift "
+        "p(xy)/(p(x)p(y)) — the monotone PMI transform (Church & Hanks "
+        "1990) that needs no log, so one fixed IEEE expression tree "
+        "evaluates bit-identically in both engines. Window = distance 1+2, "
+        "pair key order-normalized. Corpus is scanned ONCE (persisted "
+        "token frame feeds pair and unigram branches); both counts are "
+        "map-side-combinable hash aggs; totals are 1-row broadcast side "
+        "inputs; top-50 is TakeOrderedAndProject, never a global sort.",
+    tags=("text",),
+)
+def cooccurrence_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from quatrain_mapreduce_spark.operators.projection import tokenize
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokenize("text").alias("toks")) \
+               .persist(StorageLevel.MEMORY_AND_DISK)
+    pair_expr = (
+        "concat("
+        " CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        "  i -> array_join(array_sort(slice(toks, i, 2)), ' '))"
+        "  ELSE CAST(array() AS array<string>) END,"
+        " CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2),"
+        "  i -> array_join(array_sort(array(element_at(toks, i),"
+        "                                   element_at(toks, i + 2))), ' '))"
+        "  ELSE CAST(array() AS array<string>) END)"
+    )
+    pc = (
+        toks.select(F.explode(F.expr(pair_expr)).alias("pair"))
+        .groupBy("pair").agg(F.count("*").alias("c_pair"))
+    )
+    uc = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    tot = uc.agg(F.sum("c_w").cast("double").alias("big_t"))
+    ptot = pc.agg(F.sum("c_pair").cast("double").alias("big_p"))
+    lifted = (
+        pc.where(F.col("c_pair") >= 3)
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ptot))
+        # vocab joins: NOT hinted broadcast — unigram cardinality is
+        # data-dependent (vocab grows with corpus); size-based planning +
+        # AQE pick broadcast when it fits, sort-merge when it doesn't
+        .join(uc.withColumnRenamed("w", "__wa")
+                .withColumnRenamed("c_w", "c_a"),
+              F.expr("split_part(pair, ' ', 1) = __wa"))
+        .join(uc.withColumnRenamed("w", "__wb")
+                .withColumnRenamed("c_w", "c_b"),
+              F.expr("split_part(pair, ' ', 2) = __wb"))
+        .withColumn(
+            "lift",
+            (F.col("c_pair") / F.col("big_p"))
+            / ((F.col("c_a") / F.col("big_t")) * (F.col("c_b") / F.col("big_t"))),
+        )
+    )
+    return (
+        lifted.orderBy(F.desc("lift"), "pair").limit(50)
+        .select(
+            "pair", "c_pair", "c_a", "c_b",
+            (F.floor(F.col("lift") * 10000 + 0.5) / 10000).alias("lift_r"),
+        )
+    )
+
+
+@register(
     "text_stats",
     oracle=f"""
         SELECT doc_id,

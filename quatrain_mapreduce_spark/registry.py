@@ -137,7 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # mrlib + data pipeline + curation (dedup_components family visible via
     # dedup_components_lsh above, which shares its oracle; decontaminate to
     # the tail this round — r04/r05-green, unchanged, plan-asserted)
-    "wordcount",
+    # co-occurrence 'pairs' pattern with lift ranking (new r6); promoted in
+    # place of wordcount (green r01-r05, unchanged — the token-counting
+    # family stays visible via chain_map_wordcount above).
+    "cooccurrence_lift",
     # canonical-doc-per-cluster selection by quality (new r6); promoted in
     # place of dedup_lsh_recall (r05-green, unchanged — the LSH family
     # stays visible via dedup_components_lsh and dedup_incremental_lsh,

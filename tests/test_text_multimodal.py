@@ -132,3 +132,20 @@ def test_tfidf_keywords_hand_example(spark):
     # doc3: mouse tf=1 -> 3.0 ; cat tf=1 -> 1.0
     assert got[(3, 1)] == ("mouse", 3.0)
     assert got[(3, 2)] == ("cat", 1.0)
+
+
+def test_cooccurrence_lift_hand_example(spark, tmp_path):
+    """One periodic doc 'p q r' x3: every pair co-occurs maximally, so all
+    three normalized pairs get lift (5/15)/((3/9)^2) = 3.0 exactly."""
+    from quatrain_mapreduce_spark.plans.data_pipeline import cooccurrence_lift_q
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "p q r p q r p q r", "en", "src0", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r["pair"]: r for r in cooccurrence_lift_q(spark, d).collect()}
+    assert set(rows) == {"p q", "p r", "q r"}
+    for r in rows.values():
+        assert r["c_pair"] == 5 and r["c_a"] == 3 and r["c_b"] == 3
+        assert r["lift_r"] == 3.0
