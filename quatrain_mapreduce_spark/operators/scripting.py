@@ -45,6 +45,27 @@ def stage_script(name: str, body: str) -> str:
     return path
 
 
+def stage_native_binary(name: str, c_source: str) -> str:
+    """Compile a C source once (idempotent) and return the binary path —
+    the Hadoop Pipes analogue (src/c++/pipes/api/hadoop/Pipes.hh): user
+    logic in compiled native code, the framework feeding it records. Here
+    the record protocol is the same line-oriented pipe `script_transform`
+    uses (PipeMapper.java:44-75) rather than Pipes' socket protocol; the
+    native process still does the actual map work. On a cluster, ship the
+    binary with SparkContext.addFile / --archives; for local[*] a tempdir
+    path is valid on every worker.
+    """
+    import subprocess
+
+    path = os.path.join(tempfile.gettempdir(), name)
+    src = path + ".c"
+    if not os.path.exists(path):
+        with open(src, "w") as fh:
+            fh.write(c_source)
+        subprocess.run(["gcc", "-O2", "-o", path, src], check=True)
+    return path
+
+
 def script_transform(
     df: DataFrame, cmd: str, input_cols: list[str], sep: str = "\t"
 ) -> DataFrame:

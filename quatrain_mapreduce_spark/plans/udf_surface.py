@@ -54,6 +54,52 @@ def transform_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPES_WC_C = r"""
+#include <stdio.h>
+#include <string.h>
+/* Hadoop Pipes WordCount map task: read records, emit (word, 1) pairs.
+   Line-oriented stdin/stdout instead of the Pipes socket protocol. */
+int main(void) {
+    static char buf[1 << 20];
+    while (fgets(buf, sizeof buf, stdin)) {
+        size_t n = strlen(buf);
+        if (n && buf[n - 1] == '\n') buf[n - 1] = 0;
+        char *save = NULL;
+        for (char *tok = strtok_r(buf, " ", &save); tok;
+             tok = strtok_r(NULL, " ", &save))
+            if (*tok) printf("%s\t1\n", tok);
+    }
+    return 0;
+}
+"""
+
+
+@register(
+    "pipes_wordcount",
+    oracle=_WORDCOUNT_ORACLE,
+    doc="Hadoop Pipes parity (src/c++/pipes/api/hadoop/Pipes.hh, "
+        "examples/pipes/impl/wordcount-simple.cc): the map phase runs in a "
+        "COMPILED NATIVE C binary (gcc-built at stage time, idempotent) "
+        "emitting (word, 1) records over the line pipe; Spark shuffles and "
+        "sums the native map output. Same oracle as wordcount — the native "
+        "path computes the same relation as the declarative one.",
+    tags=("udf", "script", "native", "no-sql-plan"),
+)
+def pipes_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.scripting import stage_native_binary
+
+    binary = stage_native_binary("qms_pipes_wc", _PIPES_WC_C)
+    docs = load_table(spark, sf_dir, "documents")
+    kv = script_transform(docs, binary, ["text"])
+    return (
+        kv.select(
+            F.expr("split_part(line, '\t', 1)").alias("word"),
+            F.expr("CAST(split_part(line, '\t', 2) AS BIGINT)").alias("one"),
+        )
+        .groupBy("word").agg(F.sum("one").alias("cnt"))
+    )
+
+
 @register(
     "udf_registered_sql",
     oracle="""

@@ -113,8 +113,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # in r05 or earlier; chosen for distinct plan features). Everything else
     # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
     # is in the locally-checked tail via tools/check_oracle.py.
+    # Hadoop Pipes parity — compiled native map task (new r6); promoted in
+    # place of join_multiway (green r01-r05, unchanged — the join family
+    # stays visible via tpch_q3_shape, salted_join_orders, tagged_join_shape).
+    "pipes_wordcount",
     # relational / analytics flagships
-    "groupby2_shape", "join_multiway", "tpch_q3_shape",
+    "groupby2_shape", "tpch_q3_shape",
     "similarity_ivf_exact", "sketch_mergeable_rollup",
     # temporal joins + merge
     "asof_join_events",

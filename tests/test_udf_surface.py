@@ -61,3 +61,20 @@ def test_observed_counters_exact(spark):
                         F.sum("v").alias("v_sum"))
     assert out.count() == 50  # action fills the observation
     assert obs.get == {"rows_kept": 50, "v_sum": sum(range(0, 100, 2))}
+
+
+def test_pipes_native_binary_is_compiled_and_counts(spark, sf_dir):
+    """Pipes parity is honest: the staged mapper is a real compiled ELF
+    binary (not a shell script), and the native map output aggregates to
+    the same relation as the declarative wordcount."""
+    from quatrain_mapreduce_spark.operators.scripting import stage_native_binary
+    from quatrain_mapreduce_spark.plans.udf_surface import _PIPES_WC_C, pipes_wordcount
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    binary = stage_native_binary("qms_pipes_wc", _PIPES_WC_C)
+    with open(binary, "rb") as fh:
+        assert fh.read(4) == b"\x7fELF"
+    native = {(r["word"], r["cnt"]) for r in pipes_wordcount(spark, sf_dir).collect()}
+    plain = {(r["word"], r["cnt"])
+             for r in all_queries()["wordcount"].fn(spark, sf_dir).collect()}
+    assert native == plain and native
