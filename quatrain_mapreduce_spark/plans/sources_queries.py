@@ -358,6 +358,40 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="JSON-lines sink/source round trip — the interchange format every "
+        "training-data pipeline ingests (and the modern successor to the "
+        "reference's line-oriented TextInputFormat, "
+        "MR/TextInputFormat.java:41). Written with a NESTED struct column "
+        "(meta.lang/meta.source) to exercise object encoding, read back "
+        "with an EXPLICIT schema (schema-on-read discipline — no "
+        "inference pass over 100 TB), flattened to the identity oracle. "
+        "String escaping (newlines, quotes, unicode) must survive or the "
+        "value hash fails.",
+    tags=("sources", "roundtrip"),
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_dir(sf_dir, "jsonl")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (load_table(spark, sf_dir, "documents")
+         .select(
+             "doc_id", "text",
+             F.struct("lang", "source").alias("meta"),
+             "n_chars",
+         )
+         .write.mode("overwrite").json(d))
+    schema = ("doc_id bigint, text string, "
+              "meta struct<lang:string, source:string>, n_chars bigint")
+    return spark.read.schema(schema).json(d).select(
+        "doc_id", "text",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        "n_chars",
+    )
+
+
+@register(
     "compact_small_files",
     oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
     doc="Small-file compaction round trip: the lineitem projection is "

@@ -119,7 +119,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipes_wordcount",
     # relational / analytics flagships
     "groupby2_shape", "tpch_q3_shape",
-    "similarity_ivf_exact", "sketch_mergeable_rollup",
+    "similarity_ivf_exact",
+    # JSONL round trip (new r6); promoted in place of
+    # sketch_mergeable_rollup (r05-green, unchanged — analytics stays
+    # visible via tpch_q3_shape, heavy_hitters_topk, tfidf_keywords).
+    "jsonl_roundtrip",
     # temporal joins + merge
     "asof_join_events",
     # streaming ingestion-time curation (stateless gate+scrub per batch,
