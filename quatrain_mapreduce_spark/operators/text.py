@@ -162,3 +162,124 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
         .where(F.col("rk") <= k)
         .select(id_col, "word", "score", "rk")
     )
+
+
+def textrank_words(df: DataFrame, text_col: str,
+                   damping: float = 0.85, iters: int = 5) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau 2004): PageRank (Page et al.
+    1999) over the word co-occurrence graph, the iterative companion to the
+    near-dup connected-components operator.
+
+    Graph: tokens adjacent in a document (distance 1, self-loops dropped),
+    symmetrized, edge weight = adjacency count. Transition p(u→v) =
+    w(u,v)/W(u) is a ratio of integer-valued doubles — bit-identical across
+    engines — so only the iteration sums carry float noise (handled by the
+    caller's 4-dp rounding). iters fixed-point steps of
+    r(v) = (1-d)/N + d·Σ_u p(u→v)·r(u); the symmetric graph has no
+    dangling nodes, so rank mass is conserved without a correction term.
+
+    Scale shape: the transition table is built once (two corpus-shuffle
+    aggs), repartitioned by src and persisted — each iteration is ONE
+    shuffle join (rank side only moves; vocabulary-sized, not corpus-sized)
+    plus one map-side-combinable sum. State is |V| rows; iterations are
+    O(iters) jobs with no driver-side graph, the same Pregel-lite discipline
+    as components.large_small_star.
+
+    Returns (word, rank_n) with rank_n = rank × N (mean-normalized to 1.0).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(tokenize(text_col).alias("toks"))
+    fwd = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS src, element_at(toks, i + 1) AS dst))"
+        " ELSE CAST(array() AS array<struct<src:string,dst:string>>) END"
+    )
+    adj = (
+        toks.select(F.explode(F.expr(fwd)).alias("e"))
+        .select("e.src", "e.dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    sym = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = sym.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    ow = w.groupBy("src").agg(F.sum("w").alias("tw"))
+    trans = (
+        w.join(ow, "src")
+        .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = trans.select("src").distinct().count()  # scalar pull: node count only
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "word string, rank_n double")
+    ranks = trans.select("src").distinct().withColumn("r", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        ranks = (
+            trans.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("m"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(teleport) + F.lit(damping) * F.col("m")).alias("r"),
+            )
+        )
+    return ranks.select(F.col("src").alias("word"), (F.col("r") * n).alias("rank_n"))
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    hit_min: int = 3) -> DataFrame:
+    """Self-trained bigram language-model scoring — the CCNet-style
+    (Wenzek et al. 2019) perplexity quality filter, expressed as pure
+    relational algebra: train the LM on the corpus and score each document
+    against it in one plan, no external model.
+
+    Per document: avg_p = mean conditional probability p(w_i | w_{i-1}) =
+    c(w_{i-1}, w_i) / c(w_{i-1}·) under the corpus MLE (a monotone proxy for
+    negative perplexity that needs no log — one exact IEEE division per
+    bigram type, bit-identical across engines); hit_rate = fraction of
+    bigram tokens whose corpus count ≥ hit_min (exact integer ratio).
+    Documents with < 2 tokens have no bigrams and are excluded.
+
+    Scale shape: 'training' is two map-side-combinable hash aggs over bigram
+    types (the second aggregates the FIRST's output — the corpus is scanned
+    once, at the persisted per-doc bigram branch point); 'scoring' joins
+    doc-level bigram TYPES (not tokens) back to the two count tables — the
+    same train-then-score join shape as tfidf_keywords. Stopword-bigram skew
+    on the join keys is left to AQE; no all-pairs work anywhere.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    big = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
+        " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )
+    doc_big = (
+        toks.select(id_col, F.explode(F.expr(big)).alias("e"))
+        .select(id_col, "e.a", "e.b")
+    )
+    # per-doc bigram-type multiplicities: the 2-consumer branch point
+    # (corpus counts derive from it; the score join reads it again)
+    m = (
+        doc_big.groupBy(id_col, "a", "b").agg(F.count("*").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c_ab = m.groupBy("a", "b").agg(F.sum("m").alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    scored = (
+        m.join(c_ab, ["a", "b"])
+        .join(c_a, "a")
+        .withColumn("p", F.col("c_ab").cast("double") / F.col("c_a"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.sum(F.col("m") * F.col("p")) / F.sum("m")).alias("avg_p"),
+        (
+            F.sum(F.when(F.col("c_ab") >= hit_min, F.col("m")).otherwise(F.lit(0)))
+            .cast("double") / F.sum("m")
+        ).alias("hit_rate"),
+    )

@@ -1061,3 +1061,137 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "vec_id", "embedding")
+
+
+@register(
+    "textrank_keywords",
+    oracle="""
+        WITH t AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), pr AS (
+            SELECT unnest(flatten([
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i + 1] || ' ' || toks[i])
+                     ELSE [] END])) AS pair
+            FROM t
+        ), dir AS (
+            SELECT split_part(pair, ' ', 1) AS src, split_part(pair, ' ', 2) AS dst
+            FROM pr
+            WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+        ), w AS (
+            SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM dir GROUP BY 1, 2
+        ), ow AS (
+            SELECT src, sum(w) AS tw FROM w GROUP BY 1
+        ), trans AS (
+            SELECT w.src, w.dst, w.w / ow.tw AS p FROM w JOIN ow USING (src)
+        ), nodes AS (
+            SELECT DISTINCT src FROM trans
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), r0 AS (
+            SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+        ), r1 AS (
+            SELECT trans.dst AS node,
+                   (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(trans.p * r0.r) AS r
+            FROM trans JOIN r0 ON trans.src = r0.node GROUP BY trans.dst
+        ), r2 AS (
+            SELECT trans.dst AS node,
+                   (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(trans.p * r1.r) AS r
+            FROM trans JOIN r1 ON trans.src = r1.node GROUP BY trans.dst
+        ), r3 AS (
+            SELECT trans.dst AS node,
+                   (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(trans.p * r2.r) AS r
+            FROM trans JOIN r2 ON trans.src = r2.node GROUP BY trans.dst
+        ), r4 AS (
+            SELECT trans.dst AS node,
+                   (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(trans.p * r3.r) AS r
+            FROM trans JOIN r3 ON trans.src = r3.node GROUP BY trans.dst
+        ), r5 AS (
+            SELECT trans.dst AS node,
+                   (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(trans.p * r4.r) AS r
+            FROM trans JOIN r4 ON trans.src = r4.node GROUP BY trans.dst
+        )
+        SELECT node AS word,
+               round(r * (SELECT n FROM nn), 4) AS rank_n_r
+        FROM r5
+    """,
+    doc="TextRank keyword weighting: 5 fixed-point PageRank iterations over "
+        "the symmetrized word-adjacency graph (the iterative-algorithm "
+        "companion to connected components — same Pregel-lite shape, "
+        "rank-vector state instead of labels). Oracle = the SAME 5 "
+        "iterations unrolled as chained CTEs; transition probabilities are "
+        "integer-count ratios (bit-identical), only iteration sums carry "
+        "float noise, absorbed by 4-dp rounding of the mean-normalized "
+        "rank. Spark side: transition table repartitioned by src + "
+        "persisted once; each iteration moves only the vocabulary-sized "
+        "rank vector.",
+    tags=("text", "graph"),
+)
+def textrank_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import textrank_words
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = textrank_words(docs, "text", damping=0.85, iters=5)
+    return out.select("word", F.round(F.col("rank_n"), 4).alias("rank_n_r"))
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), pr AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2
+                               THEN list_transform(generate_series(1, len(toks) - 1),
+                                                   i -> toks[i] || ' ' || toks[i + 1])
+                               ELSE [] END) AS big
+            FROM t
+        ), m AS (
+            SELECT doc_id, big, count(*) AS m FROM pr GROUP BY 1, 2
+        ), cab AS (
+            SELECT big, sum(m) AS c_ab FROM m GROUP BY 1
+        ), ca AS (
+            SELECT split_part(big, ' ', 1) AS a, sum(c_ab) AS c_a FROM cab GROUP BY 1
+        ), sc AS (
+            SELECT m.doc_id, m.m, cab.c_ab,
+                   CAST(cab.c_ab AS DOUBLE) / ca.c_a AS p
+            FROM m JOIN cab USING (big)
+            JOIN ca ON split_part(m.big, ' ', 1) = ca.a
+        )
+        SELECT doc_id,
+               CAST(sum(m) AS BIGINT) AS n_bigrams,
+               round(sum(m * p) / sum(m), 4) AS avg_p_r,
+               round(CAST(sum(CASE WHEN c_ab >= 3 THEN m ELSE 0 END) AS DOUBLE)
+                     / sum(m), 4) AS hit_rate_r
+        FROM sc GROUP BY doc_id
+    """,
+    doc="Self-trained bigram LM quality scoring (CCNet-style perplexity "
+        "filter, log-free): per-doc mean conditional probability under the "
+        "corpus MLE + common-bigram hit rate. Train and score in ONE plan: "
+        "corpus counts are aggs OF the persisted per-doc bigram-type table "
+        "(single corpus scan), score is a type-keyed join back — the "
+        "train-then-score shape of tfidf_keywords. p = c(a,b)/c(a·) is an "
+        "exact integer-ratio division; only the per-doc mean is rounded.",
+    tags=("text", "curation"),
+)
+def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import bigram_lm_score
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = bigram_lm_score(docs, "doc_id", "text", hit_min=3)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("avg_p"), 4).alias("avg_p_r"),
+        F.round(F.col("hit_rate"), 4).alias("hit_rate_r"),
+    )

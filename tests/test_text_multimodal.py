@@ -149,3 +149,48 @@ def test_cooccurrence_lift_hand_example(spark, tmp_path):
     for r in rows.values():
         assert r["c_pair"] == 5 and r["c_a"] == 3 and r["c_b"] == 3
         assert r["lift_r"] == 3.0
+
+
+def test_textrank_hub_word_ranks_highest(spark):
+    """Star-graph corpus: 'hub' is adjacent to every spoke, so PageRank
+    concentrates on it; normalized ranks average exactly 1.0 (mass
+    conservation — the symmetric graph has no dangling nodes)."""
+    from quatrain_mapreduce_spark.operators.text import textrank_words
+
+    df = spark.createDataFrame(
+        [("hub aa",), ("hub bb",), ("hub cc",), ("hub dd",)], "text string"
+    )
+    rows = {r["word"]: r["rank_n"] for r in textrank_words(df, "text").collect()}
+    assert set(rows) == {"hub", "aa", "bb", "cc", "dd"}
+    assert rows["hub"] == max(rows.values())
+    assert all(rows["hub"] > rows[w] for w in ("aa", "bb", "cc", "dd"))
+    assert abs(sum(rows.values()) / len(rows) - 1.0) < 1e-9
+
+
+def test_textrank_empty_and_single_token_docs(spark):
+    """No adjacency edges at all -> empty result, no division by zero."""
+    from quatrain_mapreduce_spark.operators.text import textrank_words
+
+    df = spark.createDataFrame([("solo",), ("",), ("xx xx",)], "text string")
+    # 'xx xx' is a self-loop (dropped); 'solo' has no neighbor
+    assert textrank_words(df, "text").collect() == []
+
+
+def test_bigram_lm_score_hand_example(spark):
+    """Hand-computed MLE: corpus c(a,b)=3, c(b,a)=1, c(b,c)=1 ->
+    p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5."""
+    from quatrain_mapreduce_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], round(r["avg_p"], 6), round(r["hit_rate"], 6))
+        for r in bigram_lm_score(df, "doc_id", "text", hit_min=3).collect()
+    }
+    # doc1: ab(m=2, p=1.0), ba(m=1, p=0.5) -> avg=(2+0.5)/3; hits: ab only -> 2/3
+    assert got[1] == (3, round(5 / 6, 6), round(2 / 3, 6))
+    # doc2: ab(1, p=1.0), bc(1, p=0.5) -> avg=0.75; hits: ab only -> 0.5
+    assert got[2] == (2, 0.75, 0.5)
+    # doc3 has no bigrams -> excluded
+    assert 3 not in got
