@@ -700,3 +700,69 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt", "sum_price",
         )
     )
+
+
+@register(
+    "bloom_join_pruned",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+    """,
+    doc="Runtime Bloom-filter semi-join reduction (Bloom 1970; the "
+        "classic distributed-join optimization the reference's "
+        "BloomMapFile, IO/BloomMapFile.java, applies to point reads): a "
+        "selective filter on the orders side is turned into a "
+        "bloom_filter_agg subquery whose might_contain() pre-filters the "
+        "fact-side scan BEFORE the join shuffle — at 100 TB this drops "
+        "~75% of lineitem rows from the exchange (only URGENT orders "
+        "survive). Both join sides are too big to broadcast at scale, so "
+        "the local plan forces the shuffle-join shape and asserts the "
+        "bloom filter is injected (tests/test_plans.py). Results are "
+        "byte-identical to the plain join — the filter is "
+        "false-positive-tolerant by construction.",
+    tags=("join", "optimizer"),
+)
+def bloom_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conf scope mirrors bucket_point_lookup: the runtime filter is
+    # injected when the plan is COMPILED, so compile inside the scope
+    # (QueryExecution caches it; the harness's later .collect() reuses
+    # it) and restore session defaults before returning. Broadcast is
+    # disabled because at real scale neither side fits — the bloom path
+    # only exists for shuffle joins; applicationSideScanSizeThreshold=0
+    # lifts the 10 GB floor that (correctly) gates the rewrite away on
+    # toy-sized local scans.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue_r"),
+            )
+        )
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

