@@ -117,9 +117,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # place of join_multiway (green r01-r05, unchanged — the join family
     # stays visible via tpch_q3_shape, salted_join_orders, tagged_join_shape).
     "pipes_wordcount",
-    # relational / analytics flagships
-    "groupby2_shape", "tpch_q3_shape",
-    "similarity_ivf_exact",
+    # TextRank (iterative PageRank, unrolled-CTE oracle), bigram-LM quality
+    # scoring, and the runtime Bloom-filter join (new r6, third batch);
+    # promoted in place of groupby2_shape, tpch_q3_shape and
+    # similarity_ivf_exact (all r05-or-earlier green, unchanged — the
+    # relational family keeps bloom_join_pruned, salted_join_orders,
+    # cube_agg and sketch_bounds in-window; similarity keeps semantic_dedup,
+    # and IVF exactness stays pytest-gated).
+    "textrank_keywords", "bigram_lm_score", "bloom_join_pruned",
     # JSONL round trip (new r6); promoted in place of
     # sketch_mergeable_rollup (r05-green, unchanged — analytics stays
     # visible via tpch_q3_shape, heavy_hitters_topk, tfidf_keywords).
