@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "range_frame_window",  # event-time RANGE frame, one window exchange
     "window_distribution", # rank-family window funcs, one exchange
     "repetition_filter",   # Gopher repetition gate: sort+run-length arrays
+    "textrank_keywords",   # iterative PageRank: 5 rank-vector-only shuffles
+    "bigram_lm_score",     # bigram LM trained + scored in one plan
+    "bloom_join_pruned",   # runtime bloom filter prunes fact side pre-shuffle
 ]
 
 
