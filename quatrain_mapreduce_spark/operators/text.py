@@ -293,3 +293,61 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
             .cast("double") / F.sum("m")
         ).alias("hit_rate"),
     )
+
+
+def doc_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                     block_col: str, threshold: float = 0.99) -> DataFrame:
+    """Pairwise document cosine similarity over sparse term-frequency
+    vectors via an inverted-index self-join — the canonical MapReduce
+    pairwise-similarity algorithm (Elsayed, Lin & Oard, ACL 2008): postings
+    keyed by term, per-term partial products, accumulate per pair.
+
+    Everything is integer arithmetic until the final division: dot(a,b) =
+    Σ tf_a·tf_b and ‖d‖² = Σ tf² are exact BIGINT sums (order-independent),
+    and IEEE sqrt/division are correctly rounded — so the cosine is
+    BIT-IDENTICAL across engines and the ≥ threshold cut has zero
+    float-boundary risk (unlike log/idf-weighted variants).
+
+    Scale shape: the postings join runs within `block_col` blocks (same
+    discipline as ngram_jaccard_pairs' lang blocking) and the pair
+    accumulation is a map-side-combinable hash agg. This is the exact
+    ground-truth formulation — quadratic within a block by construction;
+    at corpus scale the engine's LSH family (minhash / simhash /
+    embedding_neardup) generates candidates near-linearly and THIS
+    operator's math is what verifies them.
+
+    Returns (id_a, id_b, dot_ab, cos_r) for pairs with cosine ≥ threshold,
+    id_a < id_b, cos_r rounded to 4 dp.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"),
+        F.explode(tokenize(text_col)).alias("w"),
+    )
+    tf = (
+        toks.groupBy(id_col, "_blk", "w").agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = tf.select(F.col(id_col).alias("id_a"), F.col("_blk"),
+                  "w", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col(id_col).alias("id_b"), F.col("_blk"),
+                  "w", F.col("tf").alias("tf_b"))
+    dot = (
+        a.join(b, ["_blk", "w"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot_ab"))
+    )
+    na = nrm.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dot.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cos", F.col("dot_ab") / (F.col("nrm_a") * F.col("nrm_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "dot_ab",
+                F.round(F.col("cos"), 4).alias("cos_r"))
+    )

@@ -1195,3 +1195,49 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_p"), 4).alias("avg_p_r"),
         F.round(F.col("hit_rate"), 4).alias("hit_rate_r"),
     )
+
+
+@register(
+    "doc_similarity_pairs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, lang, w, count(*) AS tf FROM t GROUP BY 1, 2, 3
+        ), nrm AS (
+            SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm
+            FROM tf GROUP BY 1
+        ), dot AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot_ab
+            FROM tf a JOIN tf b
+              ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), cos AS (
+            SELECT id_a, id_b, dot_ab,
+                   dot_ab / (na.nrm * nb.nrm) AS c
+            FROM dot JOIN nrm na ON id_a = na.doc_id
+                     JOIN nrm nb ON id_b = nb.doc_id
+        )
+        SELECT id_a, id_b, dot_ab, round(c, 4) AS cos_r
+        FROM cos WHERE c >= 0.99
+    """,
+    doc="Pairwise document cosine similarity via inverted-index self-join — "
+        "the canonical MapReduce pairwise-similarity algorithm (Elsayed, "
+        "Lin & Oard, ACL 2008). Term-frequency vectors keep the whole "
+        "computation integer until the final division: dot products and "
+        "norms are exact BIGINT sums, sqrt/divide are correctly-rounded "
+        "IEEE ops, so the cosine is BIT-identical across engines and the "
+        "threshold cut has zero float-boundary risk. Postings join blocks "
+        "on lang (ngram_jaccard discipline); ground-truth quadratic within "
+        "a block — the LSH family is the scale path this math verifies.",
+    tags=("similarity", "text"),
+)
+def doc_similarity_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import doc_cosine_pairs
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return doc_cosine_pairs(docs, "doc_id", "text", "lang", threshold=0.99)

@@ -194,3 +194,22 @@ def test_bigram_lm_score_hand_example(spark):
     assert got[2] == (2, 0.75, 0.5)
     # doc3 has no bigrams -> excluded
     assert 3 not in got
+
+
+def test_doc_cosine_pairs_hand_example(spark):
+    """Identical multisets -> cos exactly 1.0 with integer dot; disjoint
+    vocab produces no pair row; cross-lang pairs are blocked."""
+    from quatrain_mapreduce_spark.operators.text import doc_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x x y", "en"), (2, "x y x", "en"), (3, "z z z", "en"),
+         (4, "x x y", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in doc_cosine_pairs(df, "doc_id", "text", "lang",
+                                      threshold=0.99).collect()}
+    # only (1,2): same tf multiset {x:2, y:1} -> dot=5, ||a||=||b||=sqrt(5)
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)]["dot_ab"] == 5
+    assert rows[(1, 2)]["cos_r"] == 1.0
