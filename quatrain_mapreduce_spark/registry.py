@@ -129,8 +129,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sketch_mergeable_rollup (r05-green, unchanged — analytics stays
     # visible via tpch_q3_shape, heavy_hitters_topk, tfidf_keywords).
     "jsonl_roundtrip",
-    # temporal joins + merge
-    "asof_join_events",
+    # pairwise doc cosine via inverted-index self-join (new r6, fourth
+    # batch); promoted in place of asof_join_events (green r05, unchanged —
+    # every temporal query already has a historical driver-green row and
+    # stays in the locally-checked tail).
+    "doc_similarity_pairs",
     # streaming ingestion-time curation (stateless gate+scrub per batch,
     # new r6); promoted in place of sql_partition_pruning (r05-green,
     # unchanged — the SQL-text path keeps 4 window rows: sql_union,
