@@ -518,3 +518,50 @@ def tokenize_ids(
             F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
         )
     )
+
+
+def adaptive_quality_filter(df: DataFrame, id_col: str, text_col: str,
+                            group_col: str) -> DataFrame:
+    """Per-group adaptive quality gate: keep documents whose quality score
+    reaches their group's (lower) median — the calibration step real
+    pipelines run per language so a fixed global cutoff doesn't starve
+    low-resource groups.
+
+    The median is computed by the distributed exact-median histogram trick,
+    NOT a per-group sort: (group, quality) value counts are one
+    map-side-combinable hash agg; the cumulative walk to the ceil(n/2)-th
+    value runs as a window over the DISTINCT-VALUE table (bounded by score
+    cardinality, tiny vs the corpus); thresholds join back broadcast. No
+    corpus-wide window, no per-group global sort — the skew trap a naive
+    percentile-over-partition formulation hits when one language dominates.
+    (At 100 TB an approx_percentile sketch is the drop-in alternative; the
+    exact histogram form is kept because quality scores are integer-ratio
+    doubles, making the threshold engine-portable.)
+
+    Lower-median rule: threshold = smallest value v with cum_count >=
+    ceil(n_group / 2); deterministic for any tie structure.
+
+    Returns kept rows: (id_col, group_col, quality_r, thr_r), 4-dp rounded.
+    """
+    q = df.select(
+        F.col(id_col), F.col(group_col),
+        quality_col(text_col).alias("quality"),
+    )
+    hist = q.groupBy(group_col, "quality").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy("quality") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)) \
+              .withColumn("n", F.sum("cnt").over(Window.partitionBy(group_col)))
+    thr = (
+        cum.where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .groupBy(group_col).agg(F.min("quality").alias("thr"))
+    )
+    return (
+        q.join(F.broadcast(thr), group_col)
+        .where(F.col("quality") >= F.col("thr"))
+        .select(
+            id_col, group_col,
+            F.round("quality", 4).alias("quality_r"),
+            F.round("thr", 4).alias("thr_r"),
+        )
+    )

@@ -654,3 +654,51 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
     )
     return pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)
+
+
+@register(
+    "adaptive_quality_filter",
+    oracle=f"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   0.3 * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+                               THEN len(list_filter(string_split(text, ' '), x -> x IN ('{_STOP}')))
+                                    / len(list_filter(string_split(text, ' '), x -> x <> ''))
+                               ELSE 0.0 END)
+                     + 0.7 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+                     AS quality
+            FROM documents
+        ), hist AS (
+            SELECT lang, quality, count(*) AS cnt FROM q GROUP BY 1, 2
+        ), cum AS (
+            SELECT lang, quality,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY quality
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM hist
+        ), thr AS (
+            SELECT lang, min(quality) AS thr FROM cum
+            WHERE cum >= ceil(n / 2.0) GROUP BY 1
+        )
+        SELECT q.doc_id, q.lang,
+               round(q.quality, 4) AS quality_r,
+               round(thr.thr, 4) AS thr_r
+        FROM q JOIN thr USING (lang)
+        WHERE q.quality >= thr.thr
+    """,
+    doc="Per-language adaptive quality gate: keep docs at or above their "
+        "language's lower median quality — the calibration real pipelines "
+        "run so one global cutoff doesn't starve low-resource languages. "
+        "Median via the distributed exact-median histogram trick: value "
+        "counts are a map-combinable agg; the cumulative walk runs over "
+        "the tiny distinct-value table; thresholds broadcast back. No "
+        "per-group corpus sort anywhere. Quality is integer-ratio "
+        "arithmetic, so thresholds and comparisons are bit-identical "
+        "across engines.",
+    tags=("curation",),
+)
+def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import adaptive_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adaptive_quality_filter(docs, "doc_id", "text", "lang")

@@ -305,3 +305,23 @@ def test_tokenize_ids_vocab_and_oov(spark):
         (1, 1): ("b", 2), (1, 2): ("a", 1), (1, 3): ("a", 1),
         (2, 1): ("a", 1), (2, 2): ("c", 0),
     }
+
+
+def test_adaptive_quality_filter_lower_median_per_group(spark):
+    """No stopwords -> quality = 0.7*min(n/100,1). en lengths 10/20/30 give
+    qualities .07/.14/.21; lower median (ceil(3/2)=2nd) = .14 -> the
+    10-token doc is dropped. Singleton group keeps its only doc."""
+    from quatrain_mapreduce_spark.operators.curation import adaptive_quality_filter
+
+    rows = [
+        (1, " ".join(["w"] * 10), "en"),
+        (2, " ".join(["w"] * 20), "en"),
+        (3, " ".join(["w"] * 30), "en"),
+        (4, " ".join(["w"] * 5), "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           adaptive_quality_filter(df, "doc_id", "text", "lang").collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["thr_r"] == round(0.7 * 0.2, 4)
+    assert got[4]["thr_r"] == got[4]["quality_r"] == round(0.7 * 0.05, 4)
