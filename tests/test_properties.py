@@ -156,3 +156,98 @@ def test_zorder_by_edge_inputs(spark):
     out = zorder_by(withz, "a", "b", n_files=2)
     assert out.columns == ["a", "b", "_z"]
     assert {(r["a"], r["b"], r["_z"]) for r in out.collect()} == {(1, 2, 99), (3, 4, 88)}
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="pq rs", min_size=0, max_size=30),
+        min_size=1, max_size=12,
+    ),
+)
+def test_textrank_matches_python_power_iteration(spark, texts):
+    """textrank_words == a pure-Python 5-step power iteration on the same
+    symmetrized adjacency-count graph (mass conservation falls out)."""
+    from quatrain_mapreduce_spark.operators.text import textrank_words
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["rank_n"] for r in textrank_words(df, "text").collect()}
+
+    # python model
+    from collections import Counter, defaultdict
+    w = Counter()
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    if not w:
+        assert got == {}
+        return
+    out = defaultdict(float)
+    for (a, _b), c in w.items():
+        out[a] += c
+    nodes = sorted(out)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        nxt = {v: 0.0 for v in nodes}
+        for (a, b), c in w.items():
+            nxt[b] += (c / out[a]) * r[a]
+        r = {v: (1.0 - 0.85) / n + 0.85 * m for v, m in nxt.items()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v] * n) < 1e-6, (v, got[v], r[v] * n)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="pq rs", min_size=0, max_size=30),
+        min_size=1, max_size=12,
+    ),
+)
+def test_bigram_lm_score_invariants(spark, texts):
+    """avg_p in (0,1], hit_rate in [0,1], n_bigrams = per-doc token count - 1
+    for docs with >= 2 tokens (and absent otherwise)."""
+    from quatrain_mapreduce_spark.operators.text import bigram_lm_score
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_lm_score(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        toks = [x for x in t.split(" ") if x]
+        if len(toks) >= 2:
+            assert got[i]["n_bigrams"] == len(toks) - 1
+            assert 0.0 < got[i]["avg_p"] <= 1.0
+            assert 0.0 <= got[i]["hit_rate"] <= 1.0
+        else:
+            assert i not in got
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="pq rs", min_size=1, max_size=20),
+        min_size=2, max_size=10,
+    ),
+)
+def test_doc_cosine_pairs_bounds_and_self_similarity(spark, texts):
+    """cos <= 1 for every emitted pair; a duplicated doc always pairs with
+    its twin at exactly 1.0 (when both have tokens)."""
+    from quatrain_mapreduce_spark.operators.text import doc_cosine_pairs
+
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    # append an exact duplicate of doc 0
+    rows.append((len(rows), texts[0], "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = doc_cosine_pairs(df, "doc_id", "text", "lang", threshold=0.0).collect()
+    for r in out:
+        assert r["cos_r"] <= 1.0 + 1e-9
+    toks0 = [x for x in texts[0].split(" ") if x]
+    if toks0:
+        twin = [r for r in out
+                if r["id_a"] == 0 and r["id_b"] == len(rows) - 1]
+        assert len(twin) == 1 and twin[0]["cos_r"] == 1.0
