@@ -565,3 +565,69 @@ def adaptive_quality_filter(df: DataFrame, id_col: str, text_col: str,
             F.round("thr", 4).alias("thr_r"),
         )
     )
+
+
+def contamination_score(
+    df: DataFrame, id_col: str, text_col: str, eval_ids: DataFrame, n: int = 4,
+) -> DataFrame:
+    """Graded benchmark contamination: per training document, the fraction
+    of its DISTINCT word n-grams that appear anywhere in the eval set — the
+    reporting companion to ``decontaminate``'s binary drop rule (real
+    pipelines triage by overlap degree before deciding what to drop).
+
+    Plan shape is decontaminate's: eval grams are a distinct explode of the
+    (small) eval slice, broadcast when they fit; train-doc grams LEFT-join
+    them on the gram string and aggregate per doc. The corpus is scanned
+    once per side and never self-joined; counts are exact integers, the
+    fraction one exact IEEE division (bit-identical across engines).
+
+    Returns (id_col, n_grams, n_hit, frac_r) for train docs with >= 1 gram.
+    """
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    grams = lambda frame: (  # noqa: E731
+        spread(frame.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
+    )
+    eval_grams = grams(df.join(eval_ids, id_col, "semi")).select("ng").distinct()
+    train_grams = grams(df.join(eval_ids, id_col, "anti"))
+    hit = train_grams.join(
+        eval_grams.withColumn("_hit", F.lit(1)), "ng", "left"
+    )
+    return hit.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count("*"), 4,
+        ).alias("frac_r"),
+    )
+
+
+def corpus_diff(v1: DataFrame, v2: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-versioning
+    primitive (DistCp -update's change detection, content-addressed): rows
+    are compared by md5 content fingerprint over normalized text, and each
+    differing id is labeled added / removed / changed; unchanged rows are
+    dropped from the output.
+
+    One full-outer hash join on the id; fingerprints are scan-local column
+    expressions, so at 100 TB the cost is exactly one co-partitioned
+    exchange per side — no text ever moves, only (id, 16-byte fp).
+    """
+    from quatrain_mapreduce_spark.operators.dedup import normalized_text
+
+    f1 = v1.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp1"))
+    f2 = v2.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp2"))
+    j = f1.join(f2, id_col, "full")
+    return (
+        j.select(
+            id_col,
+            F.when(F.col("fp1").isNull(), F.lit("added"))
+            .when(F.col("fp2").isNull(), F.lit("removed"))
+            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+            .alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )

@@ -702,3 +702,103 @@ def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return adaptive_quality_filter(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "contamination_score",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_H} AS h,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, h,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 4
+                            THEN list_transform(generate_series(1, len(toks) - 3),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                      toks[i+2] || ' ' || toks[i+3])
+                            ELSE [] END) AS g
+            FROM t
+        ), ev AS (
+            SELECT DISTINCT unnest(g) AS ng FROM sh WHERE h % 10 = 0
+        ), tg AS (
+            SELECT doc_id, unnest(g) AS ng FROM sh WHERE h % 10 <> 0
+        ), j AS (
+            SELECT tg.doc_id,
+                   CASE WHEN ev.ng IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM tg LEFT JOIN ev ON tg.ng = ev.ng
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(hit) AS BIGINT) AS n_hit,
+               round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS frac_r
+        FROM j GROUP BY doc_id
+    """,
+    doc="Graded benchmark contamination: per train doc, the fraction of its "
+        "distinct word 4-grams found in the deterministic 10% eval slice — "
+        "the triage report behind decontaminate's binary rule. Same plan "
+        "discipline: eval grams broadcast, train corpus scanned once, "
+        "never self-joined; integer counts + one exact division.",
+    tags=("curation",),
+)
+def contamination_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import contamination_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ids = docs.where(h16("doc_id") % 10 == 0).select("doc_id")
+    return contamination_score(docs, "doc_id", "text", eval_ids, n=4)
+
+
+@register(
+    "corpus_diff",
+    oracle="""
+        WITH v1 AS (
+            SELECT doc_id, text FROM documents
+        ), v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2edit' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' new'
+            FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.text <> v2.text THEN 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text)
+    """,
+    doc="Corpus snapshot diff (dataset-versioning primitive; DistCp -update "
+        "change detection, content-addressed): v2 is derived from v1 by "
+        "deterministic drop/edit/append rules, then diffed by md5 "
+        "fingerprint over normalized text — added / removed / changed per "
+        "id, unchanged dropped. One full-outer hash join on the id; only "
+        "(id, 16-byte fp) ever moves, never text. The oracle diffs the raw "
+        "texts directly — equivalent because the edit rules change "
+        "normalized content exactly when they change text.",
+    tags=("curation", "versioning"),
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2edit")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            ).select(*docs.columns)
+        )
+    )
+    return corpus_diff(docs, v2, "doc_id", "text")

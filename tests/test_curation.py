@@ -325,3 +325,42 @@ def test_adaptive_quality_filter_lower_median_per_group(spark):
     assert set(got) == {2, 3, 4}
     assert got[2]["thr_r"] == round(0.7 * 0.2, 4)
     assert got[4]["thr_r"] == got[4]["quality_r"] == round(0.7 * 0.05, 4)
+
+
+def test_contamination_score_hand_example(spark):
+    """Eval doc 'a b c d e' -> grams {abcd, bcde}. Train doc sharing one of
+    its two grams scores 0.5; a disjoint doc scores 0.0."""
+    from quatrain_mapreduce_spark.operators.curation import contamination_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"),            # eval
+         (2, "a b c d x y z w"),      # grams: abcd(hit), bcdx, cdxy, dxyz, xyzw -> 1/5
+         (3, "p q r s t")],           # disjoint -> 0/2
+        "doc_id long, text string",
+    )
+    eval_ids = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r["doc_id"]: r for r in
+           contamination_score(df, "doc_id", "text", eval_ids, n=4).collect()}
+    assert set(got) == {2, 3}
+    assert (got[2]["n_grams"], got[2]["n_hit"], got[2]["frac_r"]) == (5, 1, 0.2)
+    assert (got[3]["n_grams"], got[3]["n_hit"], got[3]["frac_r"]) == (2, 0, 0.0)
+
+
+def test_corpus_diff_statuses(spark):
+    """added / removed / changed labeled correctly; unchanged dropped;
+    whitespace-only edits are NOT changes (normalized fingerprint)."""
+    from quatrain_mapreduce_spark.operators.curation import corpus_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "ws   edit")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "ws edit")],  # only whitespace collapsed -> same fingerprint
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(v1, v2, "doc_id", "text").collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
