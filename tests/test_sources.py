@@ -316,3 +316,46 @@ def test_har_pack_unpack_and_indexed_point_read(spark, tmp_path):
             assert a.read() == b.read(), f
     want = {(r["n_nationkey"], r["n_name"]) for r in n.collect()}
     assert {(r["n_nationkey"], r["n_name"]) for r in spark.read.parquet(out).collect()} == want
+
+
+def test_split_sizing_controls_scan_parallelism(spark, tmp_path):
+    """NLineInputFormat / CombineFileInputFormat parity
+    (MR/lib/NLineInputFormat.java:59 — bound records per split;
+    MultiFileInputFormat — pack many small files per split): Spark expresses
+    both as scan sizing confs, not operators. One big file splits into many
+    partitions under a small maxPartitionBytes cap; many small files combine
+    into few partitions under the same cap + openCostInBytes. Row counts are
+    invariant either way."""
+    big = tmp_path / "big"
+    big.mkdir()
+    line = ("x" * 99) + "\n"
+    (big / "part-0.txt").write_text(line * 20000)  # ~2 MB single file
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(20):
+        (many / f"f{i}.txt").write_text(line * 50)  # 20 tiny files
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # NLine shape: cap split size -> one big file fans out to many tasks
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        df_big = spark.read.text(str(big))
+        assert df_big.rdd.getNumPartitions() >= 8
+        assert df_big.count() == 20000
+        # MultiFile shape: 20 tiny files pack into few splits once the
+        # per-file open cost stops padding each 5 KB file past the cap
+        # (openCostInBytes IS the packing knob — its 4 MB default models
+        # seek cost and deliberately keeps one small file per task)
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1024))
+        # minPartitionNum=1 stops the bytes-per-core floor from re-splitting
+        # a tiny dataset across all 32 local cores — the combine decision
+        # should follow data size, as it would on a real cluster
+        spark.conf.set("spark.sql.files.minPartitionNum", "1")
+        df_many = spark.read.text(str(many))
+        assert df_many.rdd.getNumPartitions() <= 4
+        assert df_many.count() == 20 * 50
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+        spark.conf.unset("spark.sql.files.minPartitionNum")
