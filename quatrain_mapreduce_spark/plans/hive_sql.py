@@ -359,3 +359,78 @@ def sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 'cat' AS (k STRING, nm STRING)
         FROM nation
     """)
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE tok <> '' GROUP BY tok
+    """,
+    doc="LATERAL VIEW explode() — Hive's UDTF-in-SQL surface "
+        "(ql/parse/Hive.g lateralView; udtf_explode.q): the row→rows "
+        "generator runs inside the SQL text path, not the DataFrame API. "
+        "Catalyst plans it as Generate inside the scan stage — zero extra "
+        "shuffle before the count agg.",
+    tags=("sql", "hive", "udtf"),
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE tok <> '' GROUP BY tok
+    """)
+
+
+@register(
+    "sql_mapjoin_hint",
+    oracle="""
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(c.c_acctbal), 2) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="MAPJOIN hint parity (ql/exec/MapJoinOperator.java; the /*+ "
+        "MAPJOIN(t) */ comment hint in Hive.g): Spark accepts the SAME "
+        "hint name as a broadcast-join alias, turning the reference's "
+        "hash-table-in-mapper join into a BroadcastHashJoin "
+        "(plan-asserted in tests/test_plans.py). Result-identical to the "
+        "unhinted join — the hint is a physical-strategy pin only.",
+    tags=("sql", "hive", "join"),
+)
+def sql_mapjoin_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql("""
+        SELECT /*+ MAPJOIN(n) */ n.n_name, CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(c.c_acctbal), 2) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
+
+
+@register(
+    "sql_distribute_sort_by",
+    oracle="""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+    """,
+    doc="DISTRIBUTE BY + SORT BY (Hive.g distributeByClause/sortByClause; "
+        "the reference's reducer-keyed partial sort, distinct from global "
+        "ORDER BY): rows hash to reducers by o_custkey and sort only "
+        "WITHIN each reducer — Exchange hashpartitioning + Sort "
+        "[global=false], no single-reducer total order (plan-asserted). "
+        "The oracle is the bare projection: partial sort permutes, never "
+        "changes, the row multiset.",
+    tags=("sql", "hive", "sort"),
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+    """)

@@ -249,3 +249,27 @@ def test_bloom_join_runtime_filter_injected_and_confs_restored(spark, sf_dir):
     assert after == before
     # and the result is still the plain-join answer
     assert df.count() > 0
+
+
+def test_mapjoin_hint_plans_broadcast_hash_join(spark, sf_dir):
+    """/*+ MAPJOIN(n) */ must pin a BroadcastHashJoin (the reference's
+    hash-table-in-mapper join), not a shuffle join."""
+    from quatrain_mapreduce_spark.plans.hive_sql import sql_mapjoin_hint
+
+    plan = sql_mapjoin_hint(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_distribute_sort_by_is_partial_sort(spark, sf_dir):
+    """DISTRIBUTE BY + SORT BY must hash-partition on the key and sort
+    within partitions only — no global (single-ordering) sort."""
+    from quatrain_mapreduce_spark.plans.hive_sql import sql_distribute_sort_by
+
+    plan = sql_distribute_sort_by(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning(o_custkey" in plan
+    # Sort's second argument is the global flag: partial sort prints false
+    assert "], false, 0" in plan or "], false\n" in plan or ", false," in plan
+    assert "rangepartitioning" not in plan
