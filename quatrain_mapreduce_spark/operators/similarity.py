@@ -404,3 +404,63 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.array_max(F.transform(F.col("__q"), lambda v: F.abs(v))).alias("q_max_abs"),
         F.round(err, 9).alias("max_err"),
     )
+
+
+def activity_profile_knn(events: DataFrame, user_col: str, ts_col: str,
+                         k: int = 3) -> DataFrame:
+    """Behavioral k-NN over time-series activity profiles: each user's
+    24-bin hour-of-day event histogram is a sparse integer vector, and the
+    k nearest users by cosine are found with the same inverted-index join
+    discipline as doc_cosine_pairs (time-series similarity search over a
+    distributed dataflow — the streaming/trajectory-similarity literature's
+    batch core).
+
+    Hour buckets come from epoch-microsecond integer arithmetic
+    (unix_micros ↔ epoch_us), never calendar hour() — timezone-proof by
+    construction (the r5 NTZ lesson). Dot products and norms are exact
+    integer sums, so cosines are bit-identical across engines and the
+    per-user top-k ordering (cos desc, neighbor id asc) is deterministic.
+
+    Scale shape: profile building is ONE map-side-combinable agg over the
+    event stream (the corpus-linear term — 24·|users| rows out); the
+    pairwise stage joins profiles on the hour bucket (≤ 24 postings lists)
+    and is quadratic in users by construction — ground truth; at real
+    scale the ANN family (lsh_topk / ivf_topk over the same profile
+    vectors) generates candidates and this math verifies them. The final
+    top-k is a bounded per-user window, the topk_per_group shape.
+
+    Returns (id_a, id_b, dot_ab, cos_r, rk), rk = 1..k.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    # integer `div`, not `/` + cast: double division of an ~1e15 epoch can
+    # land a boundary instant at n - 1ulp and floor into the wrong bucket
+    hb = F.expr(f"(unix_micros({ts_col}) div 3600000000) % 24")
+    prof = (
+        events.select(F.col(user_col).alias("u"), hb.alias("hb"))
+        .groupBy("u", "hb").agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = prof.groupBy("u").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    a = prof.select(F.col("u").alias("id_a"), "hb", F.col("c").alias("ca"))
+    b = prof.select(F.col("u").alias("id_b"), "hb", F.col("c").alias("cb"))
+    dot = (
+        a.join(b, "hb")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot_ab"))
+    )
+    na = nrm.select(F.col("u").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("u").alias("id_b"), F.col("nrm").alias("nb"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        dot.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cos", F.col("dot_ab") / (F.col("na") * F.col("nb")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("id_a", "id_b", "dot_ab",
+                F.round(F.col("cos"), 4).alias("cos_r"), "rk")
+    )

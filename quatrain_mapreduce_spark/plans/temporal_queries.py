@@ -161,3 +161,46 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("valid_from_us"),
         F.col("valid_to").alias("valid_to_us"),
     )
+
+
+@register(
+    "user_similarity_knn",
+    oracle="""
+        WITH prof AS (
+            SELECT user_id AS u, (epoch_us(ts) // 3600000000) % 24 AS hb,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), nrm AS (
+            SELECT u, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+            FROM prof GROUP BY 1
+        ), dot AS (
+            SELECT a.u AS id_a, b.u AS id_b,
+                   CAST(sum(a.c * b.c) AS BIGINT) AS dot_ab
+            FROM prof a JOIN prof b ON a.hb = b.hb AND a.u <> b.u
+            GROUP BY 1, 2
+        ), cos AS (
+            SELECT id_a, id_b, dot_ab, dot_ab / (na.nrm * nb.nrm) AS c
+            FROM dot JOIN nrm na ON id_a = na.u JOIN nrm nb ON id_b = nb.u
+        )
+        SELECT id_a, id_b, dot_ab, round(c, 4) AS cos_r,
+               CAST(row_number() OVER (PARTITION BY id_a
+                                       ORDER BY c DESC, id_b) AS INTEGER) AS rk
+        FROM cos
+        QUALIFY rk <= 3
+    """,
+    doc="Time-series similarity search (the REPOSE/streaming-similarity "
+        "literature's batch core): per-user 24-bin hour-of-day activity "
+        "histograms from epoch-microsecond integer arithmetic (never "
+        "calendar hour() — timezone-proof), then k=3 nearest users by "
+        "cosine via the inverted-index join. Integer dot/norm sums make "
+        "cosines bit-identical across engines, so the per-user top-k "
+        "ordering (unrounded cos desc, id asc) is deterministic. Profile "
+        "agg is the corpus-linear term; the pairwise stage is ground "
+        "truth — the ANN family over the same vectors is the scale path.",
+    tags=("temporal", "similarity"),
+)
+def user_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import activity_profile_knn
+
+    ev = load_table(spark, sf_dir, "events")
+    return activity_profile_knn(ev, "user_id", "ts", k=3)

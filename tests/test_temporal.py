@@ -159,3 +159,25 @@ def test_merge_upsert_update_insert_passthrough(spark):
     assert rows[2]["name"] == "B" and rows[2]["__merged"] == 1  # updated
     assert rows[4]["v"] == 40.0 and rows[4]["__merged"] == 1    # inserted
     assert rows[1]["name"] == "a" and rows[1]["__merged"] == 0  # untouched
+
+
+def test_activity_profile_knn_hand_example(spark):
+    """Users 1 and 2 share the same single-hour profile (cos=1.0); user 3
+    is active in a disjoint hour (no shared bucket -> no pair row)."""
+    from datetime import datetime
+
+    from quatrain_mapreduce_spark.operators.similarity import activity_profile_knn
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 5)), (1, datetime(2024, 1, 2, 9, 30)),
+        (2, datetime(2024, 1, 1, 9, 59)),
+        (3, datetime(2024, 1, 1, 15, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in activity_profile_knn(df, "user_id", "ts", k=3).collect()}
+    # both directions for the 1<->2 pair, nothing involving 3
+    assert set(got) == {(1, 2), (2, 1)}
+    assert got[(1, 2)]["dot_ab"] == 2          # (2 events)·(1 event) in hour 9
+    assert got[(1, 2)]["cos_r"] == 1.0
+    assert got[(1, 2)]["rk"] == 1
