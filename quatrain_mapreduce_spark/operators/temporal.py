@@ -141,3 +141,92 @@ def scd2_from_events(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def funnel_counts(events: DataFrame, user_col: str, ts_col: str,
+                  type_col: str, stages: list[str]) -> DataFrame:
+    """Ordered funnel analysis: how many users complete stage₀ → stage₁ →
+    … in strict timestamp order (each stage's event must come AFTER the
+    user's earliest completion of the previous stage — the standard
+    min-chain funnel semantics of event-analytics engines).
+
+    Plan: one filtered min-agg per stage, each JOINed to the previous
+    stage's (user, t) frame — stage k is a hash join + map-combinable min
+    on the user key over a type-pruned scan (the type filter reaches the
+    parquet scan). Per-user state is ONE timestamp per stage; no
+    collect_list of a user's whole history, which a power user with
+    millions of events would blow up. Counts union into one frame — a
+    single plan, no driver-side scalars.
+
+    Returns (stage_idx, stage, n_users) with n_users monotonically
+    non-increasing down the funnel.
+    """
+    counts = []
+    prev = None
+    for i, s in enumerate(stages):
+        ev_s = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev_s.groupBy("u").agg(F.min("t").alias("pt"))
+        else:
+            cur = (
+                ev_s.join(prev, "u")
+                .where(F.col("t") > F.col("pt"))
+                .groupBy("u").agg(F.min("t").alias("mt"))
+                .select("u", F.col("mt").alias("pt"))
+            )
+        counts.append(
+            cur.agg(F.count("*").alias("n_users")).select(
+                F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"), "n_users"
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(events: DataFrame, user_col: str, ts_col: str,
+                     type_col: str, anchor_type: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the epoch-week of
+    their first ``anchor_type`` event, and each later week of ANY activity
+    marks them retained at that offset — the classic triangle retention
+    table.
+
+    Weeks are integer epoch arithmetic (epoch_us div one week), never
+    calendar weekofyear() — timezone- and locale-proof. Plan: anchor
+    cohorting is one filtered min-agg; activity weeks are one DISTINCT over
+    (user, week); one hash join on the user key relates them; the final
+    count and the cohort-size join are group-key-bounded. Ratios are exact
+    integer divisions.
+
+    Returns (cohort_week, week_offset, n_active, cohort_size, ret_r).
+    """
+    wk = f"(unix_micros({ts_col}) div 604800000000)"
+    anchor = (
+        events.where(F.col(type_col) == anchor_type)
+        .select(F.col(user_col).alias("u"), F.expr(wk).alias("w"))
+        .groupBy("u").agg(F.min("w").alias("cw"))
+    )
+    active = events.select(
+        F.col(user_col).alias("u"), F.expr(wk).alias("w")
+    ).distinct()
+    ret = (
+        active.join(anchor, "u")
+        .where(F.col("w") >= F.col("cw"))
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    size = anchor.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    return (
+        ret.join(size, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("off").alias("week_offset"),
+            "n_active", "cohort_size",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 4)
+            .alias("ret_r"),
+        )
+    )

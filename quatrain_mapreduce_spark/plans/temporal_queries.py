@@ -204,3 +204,80 @@ def user_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return activity_profile_knn(ev, "user_id", "ts", k=3)
+
+
+@register(
+    "funnel_analysis",
+    oracle="""
+        WITH s0 AS (
+            SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), s1 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t
+            FROM events e JOIN s0 ON e.user_id = s0.u
+            WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.u
+            WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+        )
+        SELECT 0 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s0
+        UNION ALL
+        SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    """,
+    doc="Ordered funnel (view → click → purchase), strict min-chain "
+        "semantics: each stage's event must follow the user's earliest "
+        "completion of the previous stage. One type-pruned filtered "
+        "min-agg + user-keyed hash join per stage; per-user state is one "
+        "timestamp per stage — never a collected event history. Counts "
+        "union into a single plan.",
+    tags=("temporal", "analytics"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.temporal import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH anchor AS (
+            SELECT user_id AS u,
+                   min(epoch_us(ts) // 604800000000) AS cw
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ), active AS (
+            SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // 604800000000 AS w
+            FROM events
+        ), ret AS (
+            SELECT anchor.cw, active.w - anchor.cw AS off,
+                   count(*) AS n_active
+            FROM active JOIN anchor ON active.u = anchor.u
+            WHERE active.w >= anchor.cw
+            GROUP BY 1, 2
+        ), size AS (
+            SELECT cw, count(*) AS cohort_size FROM anchor GROUP BY 1
+        )
+        SELECT ret.cw AS cohort_week, ret.off AS week_offset,
+               CAST(ret.n_active AS BIGINT) AS n_active,
+               CAST(size.cohort_size AS BIGINT) AS cohort_size,
+               round(CAST(ret.n_active AS DOUBLE) / size.cohort_size, 4) AS ret_r
+        FROM ret JOIN size ON ret.cw = size.cw
+    """,
+    doc="Weekly cohort retention triangle: cohort = epoch-week of first "
+        "signup (integer epoch arithmetic, never weekofyear() — timezone/"
+        "locale-proof), retained = any activity in a later week. One "
+        "filtered min-agg, one DISTINCT, one user-keyed join; ratios are "
+        "exact integer divisions.",
+    tags=("temporal", "analytics"),
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", "event_type", "signup")

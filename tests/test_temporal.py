@@ -181,3 +181,43 @@ def test_activity_profile_knn_hand_example(spark):
     assert got[(1, 2)]["dot_ab"] == 2          # (2 events)·(1 event) in hour 9
     assert got[(1, 2)]["cos_r"] == 1.0
     assert got[(1, 2)]["rk"] == 1
+
+
+def test_funnel_counts_strict_order(spark):
+    """User 1 completes view->click->purchase in order; user 2 clicks
+    BEFORE viewing (click doesn't count) and never purchases; user 3 only
+    views. Counts must be monotone down the funnel."""
+    from datetime import datetime as dt
+
+    from quatrain_mapreduce_spark.operators.temporal import funnel_counts
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), "view"), (1, dt(2024, 1, 1, 10), "click"),
+        (1, dt(2024, 1, 1, 11), "purchase"),
+        (2, dt(2024, 1, 1, 8), "click"), (2, dt(2024, 1, 1, 9), "view"),
+        (3, dt(2024, 1, 1, 9), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in
+           funnel_counts(df, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    """Two users sign up in week W; one is active in W+1. Offsets and
+    ratios follow."""
+    from datetime import datetime as dt
+
+    from quatrain_mapreduce_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, dt(2024, 1, 1), "signup"), (2, dt(2024, 1, 2), "signup"),
+        (1, dt(2024, 1, 9), "click"),   # next epoch-week
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["week_offset"]: r for r in
+           cohort_retention(df, "user_id", "ts", "event_type", "signup").collect()}
+    assert got[0]["n_active"] == 2 and got[0]["cohort_size"] == 2
+    assert got[0]["ret_r"] == 1.0
+    assert got[1]["n_active"] == 1 and got[1]["ret_r"] == 0.5
