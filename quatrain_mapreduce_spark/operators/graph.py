@@ -1,0 +1,89 @@
+"""Distributed triangle counting — the classic "beyond two-way join" MapReduce
+graph workload (Suri & Vassilvitskii, WWW'11 node-iterator++; Cohen's
+MapReduce graph-algorithms suite).
+
+Engine extension tier: the reference's join machinery
+(contrib/data_join, Hive common join) is strictly binary/equi-key; a
+triangle is the smallest query that needs a JOIN OF A JOIN back against the
+edge set. The companion to operators/components.py (connectivity) — this is
+the local-clustering / cohesion primitive.
+
+Scale design (the part that matters at 100 TB):
+- Edges are deduped and canonicalized (src < dst) first — one hash shuffle.
+- Each edge is then ORIENTED from its lower-(degree, id) endpoint to its
+  higher-(degree, id) endpoint. Wedge enumeration joins oriented edges on
+  their source, so each vertex v contributes C(outdeg(v), 2) wedges and the
+  orientation bounds outdeg by O(sqrt(m)) on any graph (arboricity bound) —
+  the star-vertex blowup of naive id-ordering (a celebrity node with 10^6
+  neighbors => 5*10^11 wedges) cannot happen.
+- The closing check is one more hash join of wedges against oriented edges.
+  Total: 3 shuffles, all equi-key, no driver state, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts.
+
+    ``edges`` is an undirected edge list (self-loops and duplicate /
+    reversed pairs tolerated — canonicalized here). Returns
+    ``(vertex, n_triangles)`` for every vertex in at least one triangle;
+    the global triangle count is ``sum(n_triangles) / 3``.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    undirected = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+
+    deg = (
+        undirected.select(F.col("a").alias("v"))
+        .unionAll(undirected.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+
+    # Orient a->b iff (deg(a), a) < (deg(b), b): total order, so every
+    # undirected edge appears exactly once, pointing at the "heavier" end.
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        undirected.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("d")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
+    )
+
+    # Wedges: two oriented edges out of the same source; (x, y) ordered so
+    # the closing edge can be probed in canonical (min, max) form.
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).where(
+        F.col("e1.d") < F.col("e2.d")
+    ).select(
+        F.col("e1.s").alias("apex"),
+        F.col("e1.d").alias("x"),
+        F.col("e2.d").alias("y"),
+    )
+
+    closing = undirected.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    triangles = wedges.join(closing, ["x", "y"])
+
+    return (
+        triangles.select(
+            F.explode(F.array(F.col("apex"), F.col("x"), F.col("y"))).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -17,6 +17,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cdc_apply(
+    log: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a CDC change log (Debezium-style I/U/D row images) into the
+    current snapshot: per key, the highest-``seq_col`` row wins; keys whose
+    final operation is ``delete_op`` vanish.
+
+    ``seq_col`` must be unique per key (CDC logs guarantee this — LSN /
+    binlog position); ties would make the winner nondeterministic.
+
+    Scale shape: ONE aggregation via ``max_by(struct(payload), seq)`` with
+    a partial (map-side) phase — each executor pre-compacts its partitions
+    (plan-asserted: partial_max_by below the exchange), so the shuffle
+    moves at most one row per (partition, key). The
+    window-function formulation (row_number over key ORDER BY seq DESC)
+    computes the same answer but shuffles the ENTIRE log and sorts it:
+    at 100 TB of accumulated changes the partial-agg form is the only one
+    that works. Deletes are filtered AFTER compaction, so a delete
+    correctly tombstones every earlier image of its key.
+    """
+    winner = log.groupBy(key).agg(
+        F.max(F.col(seq_col)).alias(seq_col),
+        F.max_by(F.struct(op_col, *payload_cols), F.col(seq_col)).alias("_w"),
+    )
+    return winner.where(F.col(f"_w.{op_col}") != delete_op).select(
+        key,
+        *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
+        F.col(seq_col).alias("last_seq"),
+    )
+
+
 def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *.
 

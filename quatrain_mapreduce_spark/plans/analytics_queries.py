@@ -489,3 +489,66 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.select("item", "cnt", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM b x JOIN b y ON x.item = y.item AND x.u < y.u
+        ), tri AS (
+            SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        ), verts AS (
+            SELECT v1 AS vertex FROM tri
+            UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri
+        )
+        SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM verts GROUP BY vertex
+    """,
+    doc="Distributed triangle counting (operators/graph.triangle_counts) "
+        "over the co-purchase graph: users are adjacent when they purchased "
+        "the same (k, epoch-day) item. Suri-Vassilvitskii node-iterator++: "
+        "edges oriented low->high (degree, id) so wedge fan-out is bounded "
+        "by O(sqrt(m)) per vertex regardless of celebrity-node skew — the "
+        "naive id-ordered oracle formulation (used by DuckDB here, fine at "
+        "oracle scale) blows up quadratically on a high-degree vertex. "
+        "3 equi-key shuffles, no iteration, no driver state. The smallest "
+        "query needing a join-of-a-join back on the edge set — beyond the "
+        "reference's strictly binary join machinery (contrib/data_join).",
+    tags=("graph", "analytics"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            # integer `div`, not `/` + cast — double division of an ~1e15
+            # epoch loses ulps exactly at day boundaries
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr(
+                    "CAST(unix_micros(ts) div 86400000000 AS INT) % 30"
+                )
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges, "src", "dst")

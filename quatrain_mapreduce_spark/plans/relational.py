@@ -666,6 +666,90 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_orders",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey, 0 AS seq, 'I' AS op, o_custkey,
+                   round(o_totalprice, 2) AS price,
+                   o_orderstatus AS status
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 1, 'U', o_custkey,
+                   floor(round(o_totalprice, 2) * 1.1 * 100 + 0.5) / 100,
+                   'U'
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 2, 'D', o_custkey,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'I', o_custkey, 2.0, 'R'
+            FROM orders WHERE o_orderkey % 35 = 0
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT o_orderkey, o_custkey, price, status,
+               CAST(seq AS INT) AS last_seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC log compaction (operators/merge.cdc_apply): a Debezium-style "
+        "I/U/D change log — full snapshot at seq 0, price updates at seq 1 "
+        "(10% of keys), deletes at seq 2 (keys %7), re-inserts at seq 3 "
+        "(keys %35) — compacted to the current snapshot. Spark side is one "
+        "map-combinable max_by(struct, seq) aggregation (partial-agg "
+        "pre-compaction on every executor); the oracle deliberately uses "
+        "the independent row_number-window formulation. Complements "
+        "merge_upsert_orders (two-table MERGE) with the log-replay half "
+        "of the lakehouse write path; no UPDATE/DELETE existed in the "
+        "reference's Hive (QL/parse/SemanticAnalyzer.java:1991).",
+    tags=("merge", "cdc"),
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.merge import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        "o_custkey",
+        (F.floor(F.round("o_totalprice", 2) * 1.1 * 100 + 0.5) / 100).alias("price"),
+        F.lit("U").alias("status"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        "o_custkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    reinserts = orders.where(F.col("o_orderkey") % 35 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit(2.0).alias("price"),
+        F.lit("R").alias("status"),
+    )
+    log = base.unionByName(updates).unionByName(deletes).unionByName(reinserts)
+    return cdc_apply(
+        log, key="o_orderkey", seq_col="seq", op_col="op",
+        payload_cols=["o_custkey", "price", "status"],
+    )
+
+
+@register(
     "cube_agg",
     oracle="""
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
