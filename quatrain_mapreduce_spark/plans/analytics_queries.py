@@ -552,3 +552,147 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges, "src", "dst")
+
+
+@register(
+    "session_path_mining",
+    oracle="""
+        WITH o AS (
+            SELECT user_id AS u, event_type AS et, epoch_us(ts) AS e,
+                   event_id,
+                   lag(epoch_us(ts)) OVER w AS pe
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), f AS (
+            SELECT *, CASE WHEN pe IS NULL OR e - pe > 28800000000
+                           THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ), s AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY u
+                                       ORDER BY e, event_id) AS sid
+            FROM f
+        ), t AS (
+            SELECT et || '>' || lead(et, 1) OVER w2
+                      || '>' || lead(et, 2) OVER w2 AS path
+            FROM s WINDOW w2 AS (PARTITION BY u, sid ORDER BY e, event_id)
+        ), c AS (
+            SELECT path, count(*) AS cnt FROM t
+            WHERE path IS NOT NULL GROUP BY path
+        )
+        SELECT path, CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, path) AS INT) AS rank
+        FROM c QUALIFY rank <= 20
+    """,
+    doc="Sequential-pattern mining lite: top-20 within-session event-type "
+        "trigram paths (8h gap sessions). Spark side uses ONE window "
+        "(partitionBy user, orderBy ts,event_id) computing the new-session "
+        "flag AND both leads — a trigram is valid iff neither of the next "
+        "two events starts a new session, so the per-session window (and "
+        "its second exchange on (user, session_id)) is never materialized. "
+        "The oracle deliberately uses the independent two-window "
+        "session_id formulation. One exchange + one sort + one "
+        "map-combined count; the final rank window is single-partition "
+        "but its input is the count table, bounded by |event_types|^3 "
+        "path vocabulary — never the corpus.",
+    tags=("analytics", "sessions", "sequence"),
+)
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros("ts")
+    gap_us = 8 * 3600 * 1_000_000
+    new_s = F.when(
+        F.lag(ep).over(w).isNull() | ((ep - F.lag(ep).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = ev.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("et")
+    ).withColumn("new_s", new_s)
+    trigram = flagged.select(
+        F.concat_ws(
+            ">", "et", F.lead("et", 1).over(w), F.lead("et", 2).over(w)
+        ).alias("path"),
+        F.lead("new_s", 1).over(w).alias("n1"),
+        F.lead("new_s", 2).over(w).alias("n2"),
+    ).where((F.col("n1") == 0) & (F.col("n2") == 0))
+    counts = trigram.groupBy("path").agg(F.count("*").alias("cnt"))
+    rank_w = Window.orderBy(F.desc("cnt"), "path")
+    return counts.select(
+        "path", "cnt", F.row_number().over(rank_w).alias("rank")
+    ).where(F.col("rank") <= 20)
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), med AS (
+            SELECT event_type,
+                   CAST(2 * median(cents) AS BIGINT) AS med2x
+            FROM c GROUP BY event_type
+        ), dev AS (
+            SELECT c.event_type, c.event_id,
+                   abs(2 * c.cents - med.med2x) AS dev2x
+            FROM c JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type,
+                   CAST(2 * median(dev2x) AS BIGINT) AS mad4x
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               min(med.med2x) AS med2x,
+               min(mad.mad4x) AS mad4x,
+               CAST(count(*) FILTER (WHERE 2 * dev2x > 5 * mad4x) AS BIGINT)
+                 AS n_outliers,
+               CAST(coalesce(sum(event_id)
+                             FILTER (WHERE 2 * dev2x > 5 * mad4x), 0)
+                    AS BIGINT) AS outlier_id_sum,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM dev JOIN med USING (event_type) JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+    """,
+    doc="Robust anomaly detection: per event_type, flag |value - median| > "
+        "5 * MAD. ALL arithmetic is exact: values become integer cents at "
+        "the scan, medians live in doubled-integer space (2x median of "
+        "ints is always an integer, even for even-count interpolation), "
+        "and the flag test 2*dev2x > 5*mad4x is a pure integer comparison "
+        "— zero float-boundary risk, so outlier MEMBERSHIP (pinned by "
+        "outlier_id_sum) hashes identically across engines. Spark's "
+        "percentile() is the exact interpolating aggregate matching "
+        "DuckDB's median(); at 100 TB swap both median passes for the "
+        "merge-able histogram trick (adaptive_quality_filter) or "
+        "approx_percentile — the two medians per group are the only "
+        "non-sketchable state here. Two group-aggs + two broadcast-sized "
+        "joins back; the corpus is scanned once.",
+    tags=("analytics", "anomaly", "robust-stats"),
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2x")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "med2x",
+        F.abs(2 * F.col("cents") - F.col("med2x")).alias("dev2x"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(dev2x, 0.5)")).cast("bigint").alias("mad4x")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (2 * F.col("dev2x")) > (5 * F.col("mad4x"))
+    return flagged.groupBy("event_type").agg(
+        F.min("med2x").alias("med2x"),
+        F.min("mad4x").alias("mad4x"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.coalesce(
+            F.sum(F.when(is_out, F.col("event_id"))), F.lit(0)
+        ).cast("bigint").alias("outlier_id_sum"),
+        F.count("*").alias("n_total"),
+    )

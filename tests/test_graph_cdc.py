@@ -58,3 +58,38 @@ def test_cdc_apply_is_partial_agg_not_window(spark):
     exchange = plan.index("Exchange")
     assert exchange < partial  # plan prints top-down: partial is upstream
     assert "Window" not in plan
+
+
+def test_session_path_trigram_respects_session_boundary(spark, tmp_path):
+    # u1: A,B,C tight (one trigram) then after a 9h gap D,E,F (one more);
+    # the cross-boundary windows (B,C,D) and (C,D,E) must NOT count.
+    h = 3600 * 1_000_000
+    rows = [
+        (1, "u", 0 * h, "A"), (2, "u", 1 * h, "B"), (3, "u", 2 * h, "C"),
+        (4, "u", 11 * h, "D"), (5, "u", 12 * h, "E"), (6, "u", 13 * h, "F"),
+    ]
+    import pyspark.sql.functions as SF
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, us long, event_type string"
+    ).select("event_id", "user_id",
+             SF.timestamp_micros("us").alias("ts"), "event_type")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["path"]: r["cnt"]
+           for r in all_queries()["session_path_mining"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {"A>B>C": 1, "D>E>F": 1}
+
+
+def test_anomaly_mad_hand_example(spark, tmp_path):
+    # type X: values 1.00 x4 and one 100.00 -> median=1.00 (med2x=200),
+    # devs2x = 0,0,0,0,198*... dev2x = |2*cents-200| = 0x4, 19800;
+    # MAD: median(dev2x)=0 -> mad4x=0 -> outlier iff dev2x>0: the 100.00 row.
+    rows = [(i, "X", 1.00) for i in range(4)] + [(99, "X", 100.00)]
+    import pyspark.sql.functions as SF
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    r = all_queries()["anomaly_mad"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["med2x"], r["mad4x"], r["n_outliers"],
+            r["outlier_id_sum"], r["n_total"]) == (200, 0, 1, 99, 5)
