@@ -1,0 +1,90 @@
+"""Single-pass table profiling — the data-quality ANALYZE tool every
+ingest pipeline runs before trusting a new drop.
+
+Parity anchor: the reference era profiled tables with one ad-hoc job per
+column (a TextInputFormat scan + LongSumReducer each — src/mapred job-per-
+question); Hive 2009 had no ANALYZE TABLE ... COMPUTE STATISTICS FOR
+COLUMNS. Here the whole profile — null count, exact distinct, numeric
+min/max, lexical min/max — for EVERY column is ONE aggregate over ONE scan,
+then an unpivot (explode of struct literals) to the long (column_name,
+stats) form: the inverse of pivot_wide.
+
+Scale notes:
+- Null/min/max are map-combinable; the multiple exact COUNT(DISTINCT)
+  aggregates plan through Catalyst's Expand (k row-replicas pre-shuffle,
+  still one scan). At 100 TB swap count_distinct for
+  approx_count_distinct (HLL, fully map-combinable, no Expand) — the
+  documented drop-in, same shape as the sketch tier.
+- The unpivot is driver-free: the wide 1-row aggregate explodes into
+  k struct rows executor-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: all) in one scan.
+
+    Returns one row per column: (column_name, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str). Numeric columns fill
+    min_num/max_num (2dp doubles); timestamps fill min_num/max_num as
+    exact epoch MICROSECONDS (integer-valued doubles — never rendered
+    as strings, whose format is session-timezone-dependent); string
+    columns fill min_str/max_str; the other pair is NULL.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    names = cols if cols is not None else [f.name for f in df.schema.fields]
+
+    aggs, null_d, null_s = [], F.lit(None).cast("double"), F.lit(None).cast("string")
+    for c in names:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.round(F.min(c).cast("double"), 2).alias(f"{c}__mn"))
+            aggs.append(F.round(F.max(c).cast("double"), 2).alias(f"{c}__mx"))
+        elif isinstance(fields[c], (T.TimestampType, T.TimestampNTZType)):
+            # NTZ has no unix_micros; timestampdiff from the NTZ epoch is
+            # the session-timezone-independent equivalent (a cast through
+            # TIMESTAMP would re-interpret the naive value in local time)
+            if isinstance(fields[c], T.TimestampNTZType):
+                def _ep(agg_col):
+                    return F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {agg_col})"
+                    )
+                aggs.append(_ep(f"min({c})").cast("double").alias(f"{c}__mn"))
+                aggs.append(_ep(f"max({c})").cast("double").alias(f"{c}__mx"))
+            else:
+                aggs.append(F.unix_micros(F.min(c)).cast("double").alias(f"{c}__mn"))
+                aggs.append(F.unix_micros(F.max(c)).cast("double").alias(f"{c}__mx"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__mns"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__mxs"))
+    wide = df.agg(*aggs)
+
+    structs = []
+    for c in names:
+        numeric = isinstance(
+            fields[c], _NUMERIC + (T.TimestampType, T.TimestampNTZType)
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.coalesce(F.col(f"{c}__nulls"), F.lit(0)).alias("n_nulls"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                (F.col(f"{c}__mn") if numeric else null_d).alias("min_num"),
+                (F.col(f"{c}__mx") if numeric else null_d).alias("max_num"),
+                (null_s if numeric else F.col(f"{c}__mns")).alias("min_str"),
+                (null_s if numeric else F.col(f"{c}__mxs")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

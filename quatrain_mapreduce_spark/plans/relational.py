@@ -850,3 +850,65 @@ def bloom_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@register(
+    "profile_orders",
+    oracle="""
+        SELECT 'o_orderkey' AS column_name,
+               CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               round(CAST(min(o_orderkey) AS DOUBLE), 2) AS min_num,
+               round(CAST(max(o_orderkey) AS DOUBLE), 2) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+               CAST(count(DISTINCT o_custkey) AS BIGINT),
+               round(CAST(min(o_custkey) AS DOUBLE), 2),
+               round(CAST(max(o_custkey) AS DOUBLE), 2), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               round(CAST(min(o_totalprice) AS DOUBLE), 2),
+               round(CAST(max(o_totalprice) AS DOUBLE), 2), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+               CAST(epoch_us(max(o_orderdate)) AS DOUBLE), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+    doc="Single-pass table profiling (operators/profiling.profile_table): "
+        "null count, exact distinct, and typed min/max for EVERY column of "
+        "orders in ONE aggregate over ONE scan, unpivoted executor-side to "
+        "the long form — the inverse of pivot_wide, and the ANALYZE "
+        "TABLE ... FOR COLUMNS the reference's Hive lacked (its era ran "
+        "one scan job per column-question). Timestamp bounds are exact "
+        "epoch-micros doubles, never strings (string rendering is session-"
+        "timezone-dependent — the r5 lesson). The oracle is the "
+        "independent per-column UNION ALL formulation. The exact "
+        "multi-COUNT(DISTINCT) plans through Expand (one scan, k "
+        "row-replicas); approx_count_distinct is the documented 100 TB "
+        "drop-in.",
+    tags=("profiling", "analytics"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.profiling import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
