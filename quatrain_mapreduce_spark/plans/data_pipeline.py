@@ -1241,3 +1241,56 @@ def doc_similarity_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return doc_cosine_pairs(docs, "doc_id", "text", "lang", threshold=0.99)
+
+
+@register(
+    "record_linkage_fuzzy",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+        )
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Record linkage / entity resolution: customer-name pairs within "
+        "edit distance 2, blocked by nation. The structured-record twin of "
+        "the text dedup family: the quadratic Levenshtein DP runs ONLY "
+        "inside blocks (25x pair reduction here), behind a free "
+        "length-difference pre-filter (|len diff| > d implies dist > d, "
+        "so the DP is skipped without running it). Levenshtein is exact "
+        "integer DP — bit-identical across engines, no float boundary. "
+        "At 100 TB blocks come from phonetic/LSH keys exactly like "
+        "dedup_minhash_lsh's banding; the blocked-verify shape is "
+        "identical.",
+    tags=("dedup", "linkage", "fuzzy"),
+)
+def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(
+            (
+                F.abs(
+                    F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))
+                ) <= 2
+            )
+            & (dist <= 2)
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -32,3 +32,23 @@ def test_profile_table_is_one_scan(spark):
     )
     # multi-distinct plans through Expand over ONE source scan
     assert plan.count("Range (0, 10") == 1
+
+
+def test_record_linkage_fuzzy_planted_pair(spark, tmp_path):
+    rows = [
+        (1, "Customer#000000001", 5),
+        (2, "Customer#000000002", 5),   # dist 1 from id 1
+        (3, "Customer#000000012", 5),   # dist 2 from id 1, dist 1 from id 2
+        (4, "Customer#000000001", 9),   # identical name, different block
+        (5, "Totally#Different!!", 5),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in all_queries()["record_linkage_fuzzy"].fn(
+               spark, str(tmp_path)).collect()}
+    # cross-block identical pair (1,4) must NOT appear: blocking is a
+    # recall tradeoff by design
+    assert out == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
