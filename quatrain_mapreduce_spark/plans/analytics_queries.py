@@ -696,3 +696,63 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("outlier_id_sum"),
         F.count("*").alias("n_total"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    doc="Incremental rollup maintenance — the exact-aggregate twin of "
+        "sketch_mergeable_rollup's HLL tiering: a staged 'nightly' rollup "
+        "(events before day 20, aggregated once and persisted as parquet) "
+        "is MERGED with the fresh-delta aggregate (events at/after the "
+        "cutoff) by summing the partial counts/sums — history is never "
+        "rescanned. The oracle recomputes the whole aggregate flat from "
+        "the raw table, proving merge == rescan. Sums are exact integer "
+        "cents. At 100 TB the staged side is date-partitioned and the "
+        "serving query touches yesterday's rollup + today's partition "
+        "only; count/sum/min/max are the mergeable-exact aggregates, "
+        "avg derives from (sum, count), distinct-count needs the HLL "
+        "sketch tier.",
+    tags=("analytics", "rollup", "incremental"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    cutoff_us = 19743 * 86_400_000_000  # 2024-01-21 00:00 UTC, day 20 of 30
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+
+    def agg_slice(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    d = stage_dir(sf_dir, "rollup20")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        agg_slice(ev.where(F.unix_micros("ts") < cutoff_us)).write.mode(
+            "overwrite"
+        ).parquet(d)
+    history = spark.read.parquet(d)
+    delta = agg_slice(
+        load_table(spark, sf_dir, "events").where(
+            F.unix_micros("ts") >= cutoff_us
+        )
+    )
+    return (
+        history.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )

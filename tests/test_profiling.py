@@ -52,3 +52,18 @@ def test_record_linkage_fuzzy_planted_pair(spark, tmp_path):
     # cross-block identical pair (1,4) must NOT appear: blocking is a
     # recall tradeoff by design
     assert out == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
+
+
+def test_incremental_rollup_reuses_staged_history(spark):
+    import os
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()["incremental_rollup_merge"].fn
+    q(spark, sf).count()
+    d = stage_dir(sf, "rollup20")
+    stamp = os.path.getmtime(os.path.join(d, "_SUCCESS"))
+    n = q(spark, sf).count()  # second serve: history parquet reused as-is
+    assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == stamp
+    assert n > 0
