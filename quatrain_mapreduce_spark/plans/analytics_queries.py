@@ -756,3 +756,75 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_cents").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "missing_hours",
+    oracle="""
+        WITH hrs AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS h
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(h) AS lo, max(h) AS hi FROM hrs
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+        ), missing AS (
+            SELECT g.event_type, g.h
+            FROM grid g LEFT JOIN hrs ON g.event_type = hrs.event_type
+                                     AND g.h = hrs.h
+            WHERE hrs.h IS NULL
+        )
+        SELECT t.event_type,
+               CAST(coalesce(m.n_missing, 0) AS BIGINT) AS n_missing,
+               CAST(coalesce(m.missing_hour_sum, 0) AS BIGINT)
+                 AS missing_hour_sum,
+               CAST((SELECT hi - lo + 1 FROM bounds) AS BIGINT) AS n_expected
+        FROM (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN (SELECT event_type, count(*) AS n_missing,
+                          sum(h) AS missing_hour_sum
+                   FROM missing GROUP BY 1) m
+          ON t.event_type = m.event_type
+    """,
+    doc="Heartbeat / missing-data detection over event time: for every "
+        "event_type, which hour buckets inside the global observed span "
+        "saw ZERO events. The hour grid is GENERATED distributed "
+        "(sequence + explode of the 1-row bounds aggregate cross-joined "
+        "with the tiny distinct-type table — never a driver loop), then "
+        "anti-joined against observed (type, hour) pairs; "
+        "missing_hour_sum pins exactly WHICH hours are absent, not just "
+        "how many. Integer epoch-hour arithmetic throughout "
+        "(timezone-proof). The observed side is a map-combined DISTINCT "
+        "of (type, hour) — corpus-linear, collapses before any join; the "
+        "grid side is O(types x hours), independent of corpus size.",
+    tags=("analytics", "quality", "temporal"),
+)
+def missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr("unix_micros(ts) div 3600000000")
+    hrs = ev.select("event_type", h.alias("h")).distinct()
+    bounds = hrs.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(
+        bounds.select(
+            F.explode(F.sequence("lo", "hi")).alias("h"), "lo", "hi"
+        )
+    )
+    missing = grid.join(hrs, ["event_type", "h"], "left_anti")
+    per_type = missing.groupBy("event_type").agg(
+        F.count("*").alias("n_missing"),
+        F.sum("h").alias("missing_hour_sum"),
+    )
+    span = bounds.select((F.col("hi") - F.col("lo") + 1).alias("n_expected"))
+    return (
+        types.join(per_type, "event_type", "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.coalesce("n_missing", F.lit(0)).cast("bigint").alias("n_missing"),
+            F.coalesce("missing_hour_sum", F.lit(0)).cast("bigint")
+              .alias("missing_hour_sum"),
+            F.col("n_expected").cast("bigint"),
+        )
+    )

@@ -67,3 +67,52 @@ def test_incremental_rollup_reuses_staged_history(spark):
     n = q(spark, sf).count()  # second serve: history parquet reused as-is
     assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == stamp
     assert n > 0
+
+
+def test_integrity_report_planted_violations(spark, tmp_path):
+    import pyspark.sql.functions as F
+    # orders: duplicate PK (1 twice), FK orphan (custkey 99), negative price
+    spark.createDataFrame(
+        [(1, 10, "O", 5.0, 0, "x"), (1, 10, "O", 6.0, 0, "x"),
+         (2, 99, "F", -1.0, 0, "x"), (3, 11, "F", 7.0, 0, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, us long, o_orderpriority string",
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             F.timestamp_micros("us").alias("o_orderdate"),
+             "o_orderpriority").write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "Customer#10", 0), (11, "Customer#11", 0)],
+        "c_custkey long, c_name string, c_nationkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    # lineitem: one orphan orderkey (7), one discount out of range
+    spark.createDataFrame(
+        [(1, 1.0, 0.05), (7, 1.0, 0.05), (3, 1.0, 1.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["constraint_name"]: r["n_violations"]
+           for r in all_queries()["integrity_report"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {"orders_pk_dup": 1, "orders_fk_customer": 1,
+                   "lineitem_fk_orders": 1, "orders_price_nonneg": 1,
+                   "lineitem_disc_range": 1}
+
+
+def test_missing_hours_hand_gaps(spark, tmp_path):
+    import pyspark.sql.functions as F
+    h = 3600 * 1_000_000
+    # span hours 0..3; type A present 0,3 (missing 1,2); type B present 1
+    # (missing 0,2,3)
+    rows = [(1, "A", 0), (2, "A", 3 * h), (3, "B", 1 * h)]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, us long"
+    ).select("event_id", "event_type",
+             F.timestamp_micros("us").alias("ts")).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["event_type"]: (r["n_missing"], r["missing_hour_sum"],
+                             r["n_expected"])
+           for r in all_queries()["missing_hours"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {"A": (2, 3, 4), "B": (3, 5, 4)}
