@@ -828,3 +828,78 @@ def missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_expected").cast("bigint"),
         )
     )
+
+
+@register(
+    "chi_square_type_hour",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hb,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), rows_t AS (
+            SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n
+            FROM cells GROUP BY 1
+        ), cols_t AS (
+            SELECT hb, CAST(sum(o) AS BIGINT) AS col_n FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+        )
+        SELECT c.event_type,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum(
+                   (CAST(c.o AS DOUBLE)
+                    - CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+                      / CAST(t.n AS DOUBLE))
+                   * (CAST(c.o AS DOUBLE)
+                      - CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+                        / CAST(t.n AS DOUBLE))
+                   / (CAST(r.row_n AS DOUBLE) * CAST(k.col_n AS DOUBLE)
+                      / CAST(t.n AS DOUBLE))
+               ), 4) AS chi2_contrib
+        FROM cells c
+        JOIN rows_t r USING (event_type)
+        JOIN cols_t k USING (hb)
+        CROSS JOIN tot t
+        GROUP BY c.event_type
+    """,
+    doc="Chi-square independence test, event_type x hour-of-day: per-type "
+        "contribution to the chi2 statistic over the 5x24 contingency "
+        "table (sum = the test statistic; df = (r-1)(c-1)). The corpus "
+        "term is ONE map-combined (type, hour) count — everything after "
+        "(marginals, expected counts, the (o-e)^2/e sum) runs on the "
+        "|types|x|hours|-row cell table, broadcast-joined. Expected "
+        "counts are the identical double expression tree on both "
+        "engines (integer marginals -> same IEEE ops), rounded 4dp at "
+        "the end only. Integer epoch-hour bucketing, timezone-proof.",
+    tags=("analytics", "statistics"),
+)
+def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hb"),
+        )
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols_t = cells.groupBy("hb").agg(F.sum("o").alias("col_n"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    joined = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "hb")
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.col("o").cast("double") - e
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum(d * d / e), 4).alias("chi2_contrib"),
+    )

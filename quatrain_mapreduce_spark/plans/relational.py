@@ -997,3 +997,69 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk_dup.unionByName(fk_cust).unionByName(fk_ord)
         .unionByName(price_ok).unionByName(disc_ok)
     )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderdate_us, o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING-filtered "
+        "semi-join of the fact table against its own aggregate, then the "
+        "3-way join + top-100. Plan discipline: the 'big orders' set is "
+        "produced by ONE map-combined agg of lineitem and semi-joined "
+        "back (Catalyst turns the IN into LeftSemi and broadcasts the "
+        "tiny qualifying-key set — at any SF the HAVING threshold keeps "
+        "it small); customer joins AFTER the filter so only qualifying "
+        "orders reach the wide join. LIMIT rides a total order with "
+        "unique o_orderkey tie-break -> TakeOrderedAndProject. "
+        "o_orderdate emitted as epoch micros (timezone-proof compare). "
+        "Completes the TPC-H trio with q1 (scan-agg) and q3 (join-agg-"
+        "topk).",
+    tags=("hive", "join", "aggregate", "tpch"),
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    # NTZ-safe epoch: o_orderdate is parquet NTZ; timestampdiff from the
+    # NTZ epoch is session-timezone-independent (catalog normalizes only
+    # events.ts)
+    od_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate)"
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            od_us.alias("o_orderdate_us"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate_us", "o_orderkey")
+        .limit(100)
+    )

@@ -116,3 +116,11 @@ def test_missing_hours_hand_gaps(spark, tmp_path):
            for r in all_queries()["missing_hours"].fn(
                spark, str(tmp_path)).collect()}
     assert out == {"A": (2, 3, 4), "B": (3, 5, 4)}
+
+
+def test_tpch_q18_plan_semi_join_and_top100(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    df = all_queries()["tpch_q18_shape"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
