@@ -434,3 +434,45 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
     """)
+
+
+@register(
+    "sql_window_over",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY round(o_totalprice, 2) DESC,
+                                          o_orderkey) AS INT) AS rnk,
+               round(sum(round(o_totalprice, 2))
+                     OVER (PARTITION BY o_custkey), 2) AS cust_total,
+               round(round(o_totalprice, 2)
+                     / sum(round(o_totalprice, 2))
+                       OVER (PARTITION BY o_custkey), 4) AS share
+        FROM orders
+    """,
+    doc="Window functions through the SQL TEXT path (rank, partition sum, "
+        "ratio-to-report share) — the dialect twin of the DataFrame-API "
+        "window_funcs: Hive 2009 had no OVER clause at all (Hive.g has no "
+        "window production; users hand-rolled rank with reduce-side "
+        "scripts), so this pins the superset's SQL grammar, not just its "
+        "API. One hash exchange on o_custkey serves all three windows; "
+        "share is an exact division of the 2dp-rounded operands, rounded "
+        "4dp.",
+    tags=("sql", "window", "superset"),
+)
+def sql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY round(o_totalprice, 2) DESC,
+                                          o_orderkey) AS INT) AS rnk,
+               round(sum(round(o_totalprice, 2))
+                     OVER (PARTITION BY o_custkey), 2) AS cust_total,
+               round(round(o_totalprice, 2)
+                     / sum(round(o_totalprice, 2))
+                       OVER (PARTITION BY o_custkey), 4) AS share
+        FROM orders
+    """)

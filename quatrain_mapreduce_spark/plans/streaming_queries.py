@@ -614,3 +614,148 @@ def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"qms_stream_curation_{next(_stream_counter)}"
     return drain_to_parquet(scrubbed, name, output_mode="append")
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey, 0 AS seq, 'I' AS op, o_custkey,
+                   round(o_totalprice, 2) AS price,
+                   o_orderstatus AS status
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 1, 'U', o_custkey,
+                   floor(round(o_totalprice, 2) * 1.1 * 100 + 0.5) / 100,
+                   'U'
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, 2, 'D', o_custkey,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'I', o_custkey, 2.0, 'R'
+            FROM orders WHERE o_orderkey % 35 = 0
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT o_orderkey, o_custkey, price, status,
+               CAST(seq AS INT) AS last_seq
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Streaming CDC materialization — the continuous form of "
+        "cdc_apply_orders: the same I/U/D change log replayed as a "
+        "4-file stream in sequence order (mtime-ordered, "
+        "maxFilesPerTrigger=1), foreachBatch-merged into a versioned "
+        "parquet target (each micro-batch compacts prev-snapshot UNION "
+        "batch via the same partial-agg max_by; tombstones RETAINED in "
+        "the target so a late lower-seq image can never resurrect a "
+        "deleted key, filtered only at read). Final snapshot is held to "
+        "the SAME batch oracle — streaming replay == batch compaction. "
+        "Per-batch work is snapshot + delta, never the full log; the "
+        "versioned-dir write is the poor-man's ACID commit a lakehouse "
+        "table format provides natively.",
+    tags=("streaming", "cdc", "merge", "no-sql-plan"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    log_d = stage_dir(sf_dir, "cdclog")
+    if not os.path.exists(os.path.join(log_d, "_STAGED")):
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            "o_orderkey", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+            "o_custkey", F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            "o_custkey",
+            (F.floor(F.round("o_totalprice", 2) * 1.1 * 100 + 0.5) / 100)
+              .alias("price"),
+            F.lit("U").alias("status"),
+        )
+        deletes = orders.where(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+            "o_custkey", F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("string").alias("status"),
+        )
+        reinserts = orders.where(F.col("o_orderkey") % 35 == 0).select(
+            "o_orderkey", F.lit(3).alias("seq"), F.lit("I").alias("op"),
+            "o_custkey", F.lit(2.0).alias("price"),
+            F.lit("R").alias("status"),
+        )
+        os.makedirs(log_d, exist_ok=True)
+        for i, sl in enumerate((base, updates, deletes, reinserts)):
+            tmp = os.path.join(log_d, f"_tmp{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(log_d, f"seq{i}.parquet"))
+            shutil.rmtree(tmp)
+        t0 = _time.time() - 3600
+        for i in range(4):
+            os.utime(os.path.join(log_d, f"seq{i}.parquet"),
+                     (t0 + i * 10, t0 + i * 10))
+        open(os.path.join(log_d, "_STAGED"), "w").close()
+
+    work = stage_dir(sf_dir, "cdctarget")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(work):
+            shutil.rmtree(work)
+        os.makedirs(work)
+        ckpt = os.path.join(work, "ckpt")
+        schema = spark.read.parquet(os.path.join(log_d, "seq0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(log_d)
+        )
+
+        def apply_batch(batch, bid: int) -> None:
+            vers = sorted(glob.glob(os.path.join(work, "v*")))
+            log = batch
+            if vers:
+                prev = batch.sparkSession.read.parquet(vers[-1])
+                log = prev.unionByName(batch)
+            compacted = (
+                log.groupBy("o_orderkey")
+                .agg(
+                    F.max("seq").alias("seq"),
+                    F.max_by(
+                        F.struct("op", "o_custkey", "price", "status"),
+                        F.col("seq"),
+                    ).alias("_w"),
+                )
+                .select(
+                    "o_orderkey", "seq",
+                    F.col("_w.op").alias("op"),
+                    F.col("_w.o_custkey").alias("o_custkey"),
+                    F.col("_w.price").alias("price"),
+                    F.col("_w.status").alias("status"),
+                )
+            )
+            compacted.write.mode("overwrite").parquet(
+                os.path.join(work, f"v{bid:04d}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+
+    vers = sorted(glob.glob(os.path.join(work, "v*")))
+    snap = spark.read.parquet(vers[-1])
+    return snap.where(F.col("op") != "D").select(
+        "o_orderkey", "o_custkey", "price", "status",
+        F.col("seq").cast("int").alias("last_seq"),
+    )

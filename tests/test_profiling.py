@@ -124,3 +124,23 @@ def test_tpch_q18_plan_semi_join_and_top100(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi" in plan
+
+
+def test_stream_cdc_apply_matches_batch_compaction(spark):
+    import glob
+    import os
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    stream_rows = sorted(
+        tuple(r) for r in qs["stream_cdc_apply"].fn(spark, sf).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in qs["cdc_apply_orders"].fn(spark, sf).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+    # incremental evidence: one versioned snapshot per micro-batch
+    vers = sorted(glob.glob(os.path.join(stage_dir(sf, "cdctarget"), "v*")))
+    assert len(vers) == 4
