@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "textrank_keywords",   # iterative PageRank: 5 rank-vector-only shuffles
     "bigram_lm_score",     # bigram LM trained + scored in one plan
     "bloom_join_pruned",   # runtime bloom filter prunes fact side pre-shuffle
+    "cdc_apply_orders",    # CDC log compaction: partial-agg max_by (new r6)
+    "profile_orders",      # single-pass ANALYZE-style profiling (new r6)
+    "record_linkage_fuzzy",  # capped-band fuzzy matching + exact verify (new r6)
 ]
 
 

@@ -87,3 +87,44 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("vertex")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source_expr,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS: (vertex, dist) for every vertex within ``max_hops``
+    of the source. ``source_expr`` is a 1-row 1-column DataFrame holding the
+    source vertex (data-derived sources stay inside the plan — no collect).
+
+    Frontier-style iteration, unrolled ``max_hops`` times (fixed depth =
+    deterministic plan; convergence-driven iteration with checkpointing is
+    operators/components.py's job): each hop joins the CURRENT FRONTIER
+    ONLY (never the full visited set) against the symmetrized edge list,
+    anti-joins out already-visited vertices, and persists the small
+    frontier/visited frames — per-hop cost is O(frontier-adjacent edges),
+    the textbook BFS work bound.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+
+    source = source_expr.toDF("vertex").select(
+        "vertex", F.lit(0).alias("dist")
+    )
+    visited = source.persist()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.vertex == sym.a)
+            .select(F.col("b").alias("vertex"))
+            .distinct()
+            .join(visited, "vertex", "left_anti")
+            .select("vertex", F.lit(hop).alias("dist"))
+        )
+        visited = visited.unionAll(nxt).persist()
+        frontier = nxt
+    return visited

@@ -903,3 +903,66 @@ def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cells"),
         F.round(F.sum(d * d / e), 4).alias("chi2_contrib"),
     )
+
+
+@register(
+    "graph_bfs_reach",
+    oracle="""
+        WITH RECURSIVE b AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM b x JOIN b y ON x.item = y.item AND x.u < y.u
+        ), s AS (
+            SELECT min(a) AS sv FROM e
+        ), walk AS (
+            SELECT sv AS v, 0 AS d FROM s
+            UNION
+            SELECT CASE WHEN e.a = walk.v THEN e.b ELSE e.a END,
+                   walk.d + 1
+            FROM walk JOIN e ON e.a = walk.v OR e.b = walk.v
+            WHERE walk.d < 3
+        )
+        SELECT v AS vertex, CAST(min(d) AS INT) AS dist
+        FROM walk GROUP BY v
+    """,
+    doc="Bounded-hop BFS (operators/graph.bfs_distances) from the "
+        "minimum-id vertex of the co-purchase graph: every user within 3 "
+        "hops with their shortest-path distance. Frontier iteration "
+        "unrolled 3x — each hop joins the CURRENT FRONTIER only against "
+        "the edge list and anti-joins the visited set, so per-hop cost is "
+        "frontier-adjacent edges (the BFS work bound), with "
+        "frontier/visited persisted between hops; the data-derived source "
+        "vertex stays inside the plan (no collect). The oracle is "
+        "DuckDB's recursive CTE, the same independent formulation the "
+        "dedup_components family is held to. Completes the graph tier: "
+        "connectivity (components), cohesion (triangles), centrality "
+        "(textrank), reachability (this).",
+    tags=("graph", "analytics"),
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import bfs_distances
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    source = edges.agg(F.min("src"))
+    return bfs_distances(edges, source, max_hops=3)

@@ -281,3 +281,88 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts", "event_type", "signup")
+
+
+@register(
+    "resample_ffill",
+    oracle="""
+        WITH obs AS (
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id,
+                                      epoch_us(ts) // 3600000000
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ), hourly AS (
+            SELECT user_id, hb, cents FROM obs WHERE rn = 1
+        ), bounds AS (
+            SELECT user_id, min(hb) AS lo,
+                   least(max(hb), min(hb) + 167) AS hi
+            FROM hourly GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(lo, hi)) AS hb
+            FROM bounds
+        )
+        SELECT g.user_id, g.hb,
+               last_value(h.cents IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.hb
+                       ROWS UNBOUNDED PRECEDING) AS filled_cents,
+               CAST(h.cents IS NOT NULL AS INT) AS is_observed
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hb = h.hb
+    """,
+    doc="Time-series resampling with forward fill: per user, the click "
+        "value series regularized onto an hourly grid over the user's "
+        "first observed week, gaps carrying the last observation forward "
+        "(last_value IGNORE NULLS over one user-keyed window). The grid "
+        "is generated DISTRIBUTED — sequence+explode of each user's "
+        "1-row bounds aggregate, never a driver loop — and every grid "
+        "starts at an observed hour so the fill is total. Values ride "
+        "as exact integer cents; the per-hour representative is the "
+        "deterministic last event by (ts, event_id). One exchange on "
+        "user_id serves the dedup window, the grid join and the fill "
+        "window. The resample-then-fill idiom every downstream "
+        "fixed-frequency model (and gap-tolerant dashboard) needs.",
+    tags=("temporal", "timeseries", "resample"),
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    hb = F.expr("unix_micros(ts) div 3600000000")
+    w_dedup = Window.partitionBy("user_id", "hb").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.select(
+            "user_id", hb.alias("hb"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+            "ts", "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hb", "cents")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hb").alias("lo"),
+        F.least(F.max("hb"), F.min("hb") + 167).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hb"], "left")
+        .select(
+            "user_id", "hb",
+            F.last("cents", ignorenulls=True).over(w_fill)
+              .alias("filled_cents"),
+            F.col("cents").isNotNull().cast("int").alias("is_observed"),
+        )
+    )

@@ -93,3 +93,32 @@ def test_anomaly_mad_hand_example(spark, tmp_path):
     r = all_queries()["anomaly_mad"].fn(spark, str(tmp_path)).collect()[0]
     assert (r["med2x"], r["mad4x"], r["n_outliers"],
             r["outlier_id_sum"], r["n_total"]) == (200, 0, 1, 99, 5)
+
+
+def test_bfs_distances_hand_graph(spark):
+    from quatrain_mapreduce_spark.operators.graph import bfs_distances
+    # path 1-2-3-4-5 plus offshoot 2-6; source=1, max_hops=3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)], "src long, dst long"
+    )
+    src = edges.agg(F.min("src"))
+    out = {r["vertex"]: r["dist"]
+           for r in bfs_distances(edges, src, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}  # 5 is 4 hops: excluded
+
+
+def test_resample_ffill_gap_semantics(spark, tmp_path):
+    h = 3600 * 1_000_000
+    # one user, clicks at hours 0 (1.00) and 3 (2.00): hours 1,2 carry 100
+    rows = [(1, 7, 0, "click", 1.00), (2, 7, 3 * h, "click", 2.00),
+            (3, 7, 1 * h, "view", 9.99)]  # other types ignored
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, value double"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+             "event_type", "value")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["hb"]: (r["filled_cents"], r["is_observed"])
+           for r in all_queries()["resample_ffill"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {0: (100, 1), 1: (100, 0), 2: (100, 0), 3: (200, 1)}
