@@ -966,3 +966,67 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = edges.agg(F.min("src"))
     return bfs_distances(edges, source, max_hops=3)
+
+
+@register(
+    "trend_slope",
+    oracle="""
+        WITH p AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000
+                     - (SELECT min(epoch_us(ts) // 3600000000) FROM events)
+                     AS x,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+            FROM events
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM p GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                 AS slope_cents_per_hour
+        FROM s
+    """,
+    doc="Per-type least-squares trend of value over time — regression as "
+        "an EXACT-integer-sums aggregate: slope = (nΣxy − ΣxΣy)/(nΣxx − "
+        "ΣxΣx) where x is the hour offset from the global min (keeps all "
+        "products within BIGINT range) and y is integer cents; the only "
+        "float operation is ONE final division of identical BIGINT "
+        "operands, so results are bit-identical across engines before "
+        "the cosmetic 6dp round. Spark's built-in regr_slope would "
+        "accumulate FLOAT covariance partials in partition order — "
+        "correct but ulp-nondeterministic; the integer-moments "
+        "formulation is the map-combinable, order-independent form, and "
+        "is exactly how a 100 TB regression should be sharded (five "
+        "BIGINT partials per group, one merge).",
+    tags=("analytics", "statistics", "regression"),
+)
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        F.min(F.expr("unix_micros(ts) div 3600000000")).alias("h0")
+    )
+    p = ev.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") - F.col("h0")).alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type", "n",
+        F.round(num / den, 6).alias("slope_cents_per_hour"),
+    )

@@ -144,3 +144,22 @@ def test_stream_cdc_apply_matches_batch_compaction(spark):
     # incremental evidence: one versioned snapshot per micro-batch
     vers = sorted(glob.glob(os.path.join(stage_dir(sf, "cdctarget"), "v*")))
     assert len(vers) == 4
+
+
+def test_trend_slope_exact_line(spark, tmp_path):
+    import pyspark.sql.functions as F
+    h = 3600 * 1_000_000
+    # type L: value = 2.00 * hour -> slope exactly 200 cents/hour;
+    # type C: constant -> slope exactly 0
+    rows = [(1, "L", 0, 0.0), (2, "L", 1 * h, 2.0), (3, "L", 2 * h, 4.0),
+            (4, "C", 0, 5.0), (5, "C", 2 * h, 5.0)]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, us long, value double"
+    ).select("event_id", "event_type",
+             F.timestamp_micros("us").alias("ts"), "value").write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["event_type"]: r["slope_cents_per_hour"]
+           for r in all_queries()["trend_slope"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {"L": 200.0, "C": 0.0}
