@@ -435,3 +435,88 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. ICDE'06; Bayardo et al. WWW'07 "all-pairs"): all document pairs
+    with shingle-set Jaccard >= t_num/t_den, with NO approximation.
+
+    Completeness argument (why the oracle can be the plain all-pairs
+    filter): sort each doc's shingles by a global canonical order
+    (ascending document frequency, i.e. rarest first) and keep only the
+    first |x| - ceil(t*|x|) + 1 as its PREFIX; two sets with J >= t must
+    overlap in > (1-t)*|x| elements, so they cannot disagree on all
+    prefix positions — every qualifying pair shares >= 1 prefix token.
+    Candidates therefore come from an equi-join on prefix tokens only,
+    and rarest-first ordering makes those join buckets the SMALLEST ones
+    (the PPJoin insight): frequent shingles never enter short prefixes,
+    so no stop-shingle bucket blowup. The threshold is carried as an
+    integer fraction — ceil(t*|x|) = (t_num*|x| + t_den - 1) div t_den —
+    because float ceil(0.8*n) rounds UP spuriously (0.8*5 -> 4.0000...2
+    -> ceil 5) and a too-short prefix silently LOSES pairs.
+
+    Exact-Jaccard verify runs on candidates only; shingles ride as
+    xxhash64 longs (the ngram_jaccard convention — integer joins beat
+    string joins ~2.4x).
+    """
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("tok"),
+    ).distinct().persist()
+
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    prefix = (
+        sh.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
+            + 1
+        )
+        .select("id", "tok")
+    )
+    p1, p2 = prefix.alias("p1"), prefix.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.tok") == F.col("p2.tok"))
+            & (F.col("p1.id") < F.col("p2.id")),
+        )
+        .select(F.col("p1.id").alias("a_id"), F.col("p2.id").alias("b_id"))
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    overlap = (
+        cand.join(x, F.col("x.id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.id") == F.col("b_id"))
+            & (F.col("y.tok") == F.col("x.tok")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        overlap.join(sa, "a_id").join(sb, "b_id")
+        .where(jac * t_den >= t_num)
+        .select("a_id", "b_id", jac.alias("jac"))
+    )

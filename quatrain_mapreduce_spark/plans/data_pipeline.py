@@ -1327,3 +1327,50 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(dist <= 2).select(
         "id_a", "id_b", dist.cast("int").alias("dist")
     )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END) AS sh
+            FROM t
+        ), nz AS (
+            SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh))
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, jac FROM pairs WHERE jac * 5 >= 4
+    """,
+    doc="EXACT set-similarity self-join via prefix filtering "
+        "(operators/dedup.jaccard_prefix_pairs — Chaudhuri ICDE'06 / "
+        "Bayardo WWW'07): every pair with bigram-shingle Jaccard >= 4/5, "
+        "ZERO approximation, which is why the oracle is the plain "
+        "ALL-PAIRS filter with no blocking mirrored — prefix filtering "
+        "is lossless by the pigeonhole bound. Third member of the "
+        "Jaccard-join family: length-banded (dedup_ngram_jaccard, "
+        "complete but heuristic-blocked), LSH (probabilistic, "
+        "recall-gated), and this (exact algorithmic pruning). "
+        "Rarest-first canonical order keeps prefix-token join buckets "
+        "the smallest ones; the threshold rides as an integer fraction "
+        "because float ceil(0.8*n) over-rounds and silently drops pairs.",
+    tags=("dedup", "similarity"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=2, t_num=4, t_den=5,
+    )

@@ -140,3 +140,25 @@ def test_incremental_lsh_reads_index_not_corpus(spark):
         if r["a_id"] % 5 == 0 or r["b_id"] % 5 == 0
     }
     assert inc == want
+
+
+def test_jaccard_prefix_exact_boundary_and_planted(spark):
+    from quatrain_mapreduce_spark.operators.dedup import jaccard_prefix_pairs
+
+    # doc1/doc2: 5 bigrams each ("a b","b c","c d","d e","e f" vs 4 shared
+    # + "e zz") -> inter=4, union=6, J=2/3 < 0.8: excluded.
+    # doc3/doc4 identical -> J=1: included.
+    # doc5/doc6: 9 bigrams, 8 shared -> J=8/10=0.8 exactly: INCLUSIVE keep.
+    w10 = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    w10_mut = "t0 t1 t2 t3 t4 t5 t6 t7 t8 zz"  # last bigram differs
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e zz"),
+         (3, "x y z w v"), (4, "x y z w v"),
+         (5, w10), (6, w10_mut)],
+        "doc_id long, text string",
+    )
+    out = {(r["a_id"], r["b_id"]): r["jac"]
+           for r in jaccard_prefix_pairs(docs, "doc_id", "text").collect()}
+    assert (3, 4) in out and out[(3, 4)] == 1.0
+    assert (5, 6) in out and abs(out[(5, 6)] - 0.8) < 1e-12
+    assert (1, 2) not in out
