@@ -491,12 +491,17 @@ def jaccard_prefix_pairs(
         )
         .select("id", "tok")
     )
-    p1, p2 = prefix.alias("p1"), prefix.alias("p2")
+    psz = prefix.join(sizes, "id")
+    p1, p2 = psz.alias("p1"), psz.alias("p2")
+    # PPJoin length filter: J >= t forces min(|a|,|b|) >= t*max(|a|,|b|)
+    # — prunes cross-size candidates before the pair even materializes
     cand = (
         p1.join(
             p2,
             (F.col("p1.tok") == F.col("p2.tok"))
-            & (F.col("p1.id") < F.col("p2.id")),
+            & (F.col("p1.id") < F.col("p2.id"))
+            & (F.least(F.col("p1.sz"), F.col("p2.sz")) * t_den
+               >= F.greatest(F.col("p1.sz"), F.col("p2.sz")) * t_num),
         )
         .select(F.col("p1.id").alias("a_id"), F.col("p2.id").alias("b_id"))
         .distinct()

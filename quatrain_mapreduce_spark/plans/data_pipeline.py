@@ -1338,9 +1338,10 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sh AS (
             SELECT doc_id,
                    list_distinct(
-                       CASE WHEN len(toks) >= 2
-                            THEN list_transform(generate_series(1, len(toks) - 1),
-                                                i -> toks[i] || ' ' || toks[i + 1])
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(generate_series(1, len(toks) - 2),
+                                                i -> toks[i] || ' ' || toks[i + 1]
+                                                     || ' ' || toks[i + 2])
                             ELSE [] END) AS sh
             FROM t
         ), nz AS (
@@ -1355,7 +1356,7 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="EXACT set-similarity self-join via prefix filtering "
         "(operators/dedup.jaccard_prefix_pairs — Chaudhuri ICDE'06 / "
-        "Bayardo WWW'07): every pair with bigram-shingle Jaccard >= 4/5, "
+        "Bayardo WWW'07): every pair with TRIGRAM-shingle Jaccard >= 4/5, "
         "ZERO approximation, which is why the oracle is the plain "
         "ALL-PAIRS filter with no blocking mirrored — prefix filtering "
         "is lossless by the pigeonhole bound. Third member of the "
@@ -1372,5 +1373,5 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
-        n=2, t_num=4, t_den=5,
+        n=3, t_num=4, t_den=5,
     )
