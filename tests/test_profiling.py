@@ -163,3 +163,27 @@ def test_trend_slope_exact_line(spark, tmp_path):
            for r in all_queries()["trend_slope"].fn(
                spark, str(tmp_path)).collect()}
     assert out == {"L": 200.0, "C": 0.0}
+
+
+def test_analyze_table_stats_reach_catalyst(spark, tmp_path):
+    # ANALYZE TABLE row counts must land in the optimizer's Statistics —
+    # the CBO input that drives join reordering / broadcast choice at scale
+    spark.sql("CREATE DATABASE IF NOT EXISTS qms_statdb")
+    spark.range(1234).write.mode("overwrite").saveAsTable(
+        "qms_statdb.stats_demo"
+    )
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.sql("ANALYZE TABLE qms_statdb.stats_demo COMPUTE STATISTICS")
+        # rowCount propagates into plan Statistics only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table("qms_statdb.stats_demo")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 1234
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS qms_statdb.stats_demo")
+        spark.sql("DROP DATABASE IF EXISTS qms_statdb")
