@@ -476,3 +476,67 @@ def sql_window_over(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OVER (PARTITION BY o_custkey), 4) AS share
         FROM orders
     """)
+
+
+@register(
+    "sql_intersect_except",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="INTERSECT / EXCEPT through the SQL text path — set-operation "
+        "breadth beyond the reference's UNION-ALL-only grammar "
+        "(Hive.g:unionClause is its ONLY set operator): customers with "
+        "both final and open orders, minus any with pending ones. "
+        "Catalyst plans both as aggregated semi/anti joins (DISTINCT "
+        "set semantics), so the cost is two hash joins on the key — "
+        "no sort-based set machinery.",
+    tags=("sql", "set", "superset"),
+)
+def sql_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """)
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS sum_k,
+               CAST(count(*) FILTER (
+                   WHERE json_extract_string(props, '$.k') IS NULL
+               ) AS BIGINT) AS n_unparsed,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="Schema-ful JSON parsing: from_json(props, 'k INT') gives a TYPED "
+        "struct column — one parse per row at the scan, then pure "
+        "columnar access — vs get_json_object's per-path re-parse "
+        "(json_field_extract covers that dialect form; Hive 2009 had "
+        "only the UDF-based path access). Malformed/missing keys "
+        "surface as NULLs and are COUNTED, not dropped — the corrupt-"
+        "record discipline skip_bad_records established, applied to "
+        "semi-structured columns.",
+    tags=("sql", "json"),
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_unparsed"),
+        F.count("*").alias("n"),
+    )
