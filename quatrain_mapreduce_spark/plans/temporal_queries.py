@@ -366,3 +366,69 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").isNotNull().cast("int").alias("is_observed"),
         )
     )
+
+
+@register(
+    "scd2_pit_join",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), c AS (
+            SELECT user_id, event_type AS state, ts_us, event_id
+            FROM o WHERE prev IS NULL OR prev <> event_type
+        ), dim AS (
+            SELECT user_id, state,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS valid_to_us
+            FROM c
+        ), facts AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id, f.ts_us, d.state
+        FROM facts f JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.ts_us >= d.valid_from_us
+         AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+    """,
+    doc="Point-in-time join — the CONSUMER half of the SCD-2 loop "
+        "(scd2_user_state builds the dimension; this joins facts against "
+        "it): each purchase picks up the user's state valid AT that "
+        "moment. Implemented as asof_join on the dimension's change "
+        "POINTS (state at t = last change at-or-before t, since validity "
+        "intervals partition time per user) — ONE user-keyed shuffle, no "
+        "inequality join anywhere in the Spark plan. The oracle is the "
+        "independent interval-containment formulation "
+        "(from <= t < to) over the full SCD-2 build, so the "
+        "change-point equivalence itself is what gets checked.",
+    tags=("temporal", "scd2", "join"),
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.temporal import scd2_from_events
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    dim = scd2_from_events(
+        base, key="user_id", ts_col="ts_us", attr_col="event_type",
+        tie_col="event_id",
+    ).select("user_id", F.col("valid_from").alias("ts_us"), "state")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    joined = asof_join(
+        facts,
+        dim,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["state"],
+        right_tie="state",
+        prefix="",
+    )
+    return joined.select("event_id", "user_id", "ts_us", "state")
