@@ -1030,3 +1030,65 @@ def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.round(num / den, 6).alias("slope_cents_per_hour"),
     )
+
+
+@register(
+    "trimmed_mean",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), b AS (
+            SELECT event_type,
+                   quantile_cont(cents, 0.1) AS lo,
+                   quantile_cont(cents, 0.9) AS hi
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(count(*) FILTER (WHERE cents >= lo AND cents <= hi)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*) AS BIGINT) AS n_total,
+               round(CAST(sum(cents) FILTER (WHERE cents >= lo
+                                             AND cents <= hi) AS DOUBLE)
+                     / count(*) FILTER (WHERE cents >= lo AND cents <= hi)
+                     / 100, 4) AS trimmed_mean
+        FROM c JOIN b USING (event_type)
+        GROUP BY c.event_type
+    """,
+    doc="10% trimmed mean per event_type — the robust-location companion "
+        "to anomaly_mad's robust-scale: values inside [p10, p90] averaged, "
+        "tails discarded. Integer-cents arithmetic end to end; the "
+        "interpolated decile bounds are identical double expressions on "
+        "both engines (Spark percentile == DuckDB quantile_cont on the "
+        "same integers), so boundary MEMBERSHIP — the usual float trap "
+        "in trimmed statistics — is deterministic; the mean is one exact "
+        "integer-ratio division rounded 4dp. Two group passes (bounds, "
+        "then filtered sum), both map-combinable, bounds broadcast back.",
+    tags=("analytics", "robust-stats"),
+)
+def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.1)").alias("lo"),
+        F.expr("percentile(cents, 0.9)").alias("hi"),
+    )
+    inside = (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi"))
+    return (
+        c.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(inside, 1)).alias("n_kept"),
+            F.count("*").alias("n_total"),
+            F.round(
+                F.sum(F.when(inside, F.col("cents"))).cast("double")
+                / F.count(F.when(inside, 1))
+                / 100,
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
