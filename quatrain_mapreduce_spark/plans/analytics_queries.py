@@ -1092,3 +1092,88 @@ def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_mean"),
         )
     )
+
+
+def _edge_h16_sql() -> str:
+    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+    # portable hash of the canonical edge key (a < b, ids < ~1e6)
+    return portable_h16_sql("(a * 1000000 + b)")
+
+
+from quatrain_mapreduce_spark.operators.curation import portable_h16_sql as _p16
+
+
+@register(
+    "triangle_count_sampled",
+    oracle=f"""
+        WITH bi AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM bi x JOIN bi y ON x.item = y.item AND x.u < y.u
+        ), s AS (
+            SELECT a, b FROM e
+            WHERE {_p16("(a * 1000000 + b)")} % 4 = 0
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM s e1 JOIN s e2 ON e1.b = e2.a
+                      JOIN s e3 ON e1.a = e3.a AND e2.b = e3.b
+        )
+        SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled_edges,
+               CAST(t AS BIGINT) AS tri_sampled,
+               CAST(t * 64 AS BIGINT) AS tri_estimate
+        FROM tri
+    """,
+    doc="DOULION sampled triangle counting (Tsourakakis KDD'09): count "
+        "triangles on a p=1/4 edge sample, scale by 1/p^3 = 64 — the "
+        "approximate SCALE PATH for exact triangle_count, whose wedge "
+        "work is infeasible on the densified sf1 graph (SCALING.md). "
+        "Sampling is the portable md5-nibble hash of the canonical edge "
+        "key — deterministic and engine-identical, so unlike classic "
+        "randomized DOULION the sampled subgraph (and hence the exact "
+        "count ON the sample) is fully oracle-checkable; the estimate "
+        "is a deterministic transform of it. Same degree-oriented "
+        "counting kernel on the sample; sampling cuts wedge work by "
+        "~1/p^2 and the estimator is unbiased with variance shrinking "
+        "as triangles grow — the standard trade at 100 TB graph scale.",
+    tags=("graph", "analytics", "approx"),
+)
+def triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    bi = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bi.alias("x"), bi.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+        .distinct()
+    )
+    sampled = edges.where(F.expr(_edge_h16_sql() + " % 4 = 0")).persist()
+    per_vertex = triangle_counts(
+        sampled.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    tri = per_vertex.agg(
+        F.coalesce(F.floor(F.sum("n_triangles") / 3), F.lit(0))
+        .cast("bigint").alias("t")
+    )
+    n_edges = sampled.agg(F.count("*").alias("n"))
+    return n_edges.crossJoin(tri).select(
+        F.col("n").cast("bigint").alias("n_sampled_edges"),
+        F.col("t").alias("tri_sampled"),
+        (F.col("t") * 64).cast("bigint").alias("tri_estimate"),
+    )

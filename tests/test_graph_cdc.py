@@ -122,3 +122,13 @@ def test_resample_ffill_gap_semantics(spark, tmp_path):
            for r in all_queries()["resample_ffill"].fn(
                spark, str(tmp_path)).collect()}
     assert out == {0: (100, 1), 1: (100, 0), 2: (100, 0), 3: (200, 1)}
+
+
+def test_triangle_sampling_invariants(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    sf = "/root/testdata/sf0.01"
+    r = all_queries()["triangle_count_sampled"].fn(spark, sf).collect()[0]
+    # deterministic estimator transform
+    assert r["tri_estimate"] == 64 * r["tri_sampled"]
+    # portable-hash sampling keeps ~1/4 of edges (597 at sf0.01)
+    assert 597 // 8 <= r["n_sampled_edges"] <= 597 // 2
