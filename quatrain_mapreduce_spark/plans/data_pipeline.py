@@ -1375,3 +1375,97 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, t_num=4, t_den=5,
     )
+
+
+@register(
+    "bm25_search",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents
+        ), stats AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS dl,
+                   CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT)
+                     AS tf_hash,
+                   CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT)
+                     AS tf_join
+            FROM d
+        ), corpus AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   CAST(count(*) FILTER (WHERE tf_hash > 0) AS BIGINT)
+                     AS df_hash,
+                   CAST(count(*) FILTER (WHERE tf_join > 0) AS BIGINT)
+                     AS df_join
+            FROM stats
+        ), scored AS (
+            SELECT doc_id, dl, tf_hash, tf_join,
+                   (n - df_hash + 0.5) / (df_hash + 0.5)
+                     * (tf_hash * 2.2)
+                     / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + (n - df_join + 0.5) / (df_join + 0.5)
+                     * (tf_join * 2.2)
+                     / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     AS score
+            FROM stats CROSS JOIN corpus
+        )
+        SELECT doc_id, dl, tf_hash, tf_join, round(score, 4) AS score_r,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank
+        FROM scored
+        QUALIFY rank <= 20
+    """,
+    doc="BM25 document ranking for the query {hash, join} (k1=1.2, "
+        "b=0.75) — the IR-scoring member of the text tier beside "
+        "tfidf_keywords, using the same raw-IDF convention "
+        "((N-df+0.5)/(df+0.5), rank-monotone) because ln() ulp-diverges "
+        "between engines and can flip near-tied ranks. tf/dl are "
+        "scan-local array expressions (zero Python); corpus stats are "
+        "one broadcast-sized aggregate; every score is the identical "
+        "rational expression of integers on both engines, so the FULL "
+        "ranking (not just rounded scores) hashes identically. Top-20 "
+        "ordered by (unrounded score, doc_id).",
+    tags=("text", "search", "ranking"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == F.lit("hash")))
+          .cast("bigint").alias("tf_hash"),
+        F.size(F.filter(toks, lambda x: x == F.lit("join")))
+          .cast("bigint").alias("tf_join"),
+    )
+    corpus = stats.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count(F.when(F.col("tf_hash") > 0, 1)).alias("df_hash"),
+        F.count(F.when(F.col("tf_join") > 0, 1)).alias("df_join"),
+    )
+
+    def part(tf, df):
+        rawidf = (F.col("n") - df + 0.5) / (df + 0.5)
+        norm = tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return rawidf * (tf * 2.2) / norm
+
+    scored = stats.crossJoin(F.broadcast(corpus)).select(
+        "doc_id", "dl", "tf_hash", "tf_join",
+        (
+            part(F.col("tf_hash"), F.col("df_hash"))
+            + part(F.col("tf_join"), F.col("df_join"))
+        ).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        "doc_id", "dl", "tf_hash", "tf_join",
+        F.round("score", 4).alias("score_r"),
+        F.row_number().over(w).alias("rank"),
+    )
