@@ -251,3 +251,108 @@ def test_doc_cosine_pairs_bounds_and_self_similarity(spark, texts):
         twin = [r for r in out
                 if r["id_a"] == 0 and r["id_b"] == len(rows) - 1]
         assert len(twin) == 1 and twin[0]["cos_r"] == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(1, 5),            # key
+            st.integers(0, 30),           # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(-100, 100),       # payload
+        ),
+        min_size=1, max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # seq unique per key (CDC contract)
+    ),
+)
+def test_cdc_apply_matches_python_model(spark, log):
+    """cdc_apply == per-key max-seq winner, tombstoned keys absent."""
+    from quatrain_mapreduce_spark.operators.merge import cdc_apply
+
+    df = spark.createDataFrame(log, "k long, seq int, op string, v long")
+    got = {
+        r["k"]: (r["v"], r["last_seq"])
+        for r in cdc_apply(df, "k", "seq", "op", ["v"]).collect()
+    }
+    model = {}
+    for k, seq, op, v in log:
+        if k not in model or seq > model[k][0]:
+            model[k] = (seq, op, v)
+    want = {k: (v, seq) for k, (seq, op, v) in model.items() if op != "D"}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user
+            st.integers(0, 10**7),                  # ts micros
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1, max_size=50,
+    ),
+)
+def test_funnel_counts_match_python_model(spark, events):
+    """funnel_counts == the strict min-chain model; counts non-increasing."""
+    from quatrain_mapreduce_spark.operators.temporal import funnel_counts
+
+    rows = [(i, u, ts, et) for i, (u, ts, et) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+             "event_type")
+    got = {r["stage"]: r["n_users"]
+           for r in funnel_counts(df, "user_id", "ts", "event_type",
+                                  ["view", "click", "purchase"]).collect()}
+    stages = ["view", "click", "purchase"]
+    users = {u for u, _, _ in events}
+    model = {}
+    for s_i, stage in enumerate(stages):
+        passed = {}
+        for u in users:
+            t_prev = 0 if s_i == 0 else model[stages[s_i - 1]].get(u)
+            if s_i > 0 and t_prev is None:
+                continue
+            ts_c = [ts for (uu, ts, et) in events
+                    if uu == u and et == stage
+                    and (s_i == 0 or ts > t_prev)]
+            if ts_c:
+                passed[u] = min(ts_c)
+        model[stage] = passed
+    for s_i, stage in enumerate(stages):
+        assert got[stage] == len(model[stage])
+    assert got["view"] >= got["click"] >= got["purchase"]
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_bfs_distances_match_python_model(spark, edges):
+    """bfs_distances == plain Python BFS from the min endpoint, 3 hops."""
+    from quatrain_mapreduce_spark.operators.graph import bfs_distances
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "src long, dst long")
+    src_df = df.agg(F.min(F.least("src", "dst")))
+    got = {r["vertex"]: r["dist"]
+           for r in bfs_distances(df, src_df, max_hops=3).collect()}
+    adj = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    source = min(min(a, b) for a, b in clean)
+    want, frontier = {source: 0}, {source}
+    for hop in (1, 2, 3):
+        nxt = {v for u in frontier for v in adj[u]} - set(want)
+        for v in nxt:
+            want[v] = hop
+        frontier = nxt
+    assert got == want
