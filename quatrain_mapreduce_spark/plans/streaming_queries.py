@@ -759,3 +759,72 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "price", "status",
         F.col("seq").cast("int").alias("last_seq"),
     )
+
+
+@register(
+    "sessionize_incremental",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, epoch_us(ts) AS ep,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ep,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ep) AS session_start_us,
+               max(ep) - min(ep) AS session_dur_us
+        FROM s GROUP BY user_id, session_id
+    """,
+    doc="Incremental sessionization against a stored session table — the "
+        "continuous-corpus contract (dedup_incremental_lsh's shape) "
+        "applied to sessions: a staged 'nightly' session table (events "
+        "before day 27) is updated with the new-day increment by "
+        "recomputing ONLY users present in the increment (an increment "
+        "event can extend a session or open one; a LATE/out-of-order "
+        "increment can even BRIDGE two stored sessions into one — "
+        "re-sessionizing affected users' history handles all three, "
+        "where an append-merge would corrupt the bridge case: pinned by "
+        "test_incremental_sessionize_handles_bridging_late_event) "
+        "and anti-join-carrying "
+        "everyone else forward untouched. Per-user session ids are "
+        "independent across users, so merged output == the full "
+        "recompute, which is exactly what the oracle computes. "
+        "Per-increment work ∝ affected users' history (at 100 TB the "
+        "user-bucketed session store makes both the semi and anti side "
+        "key-pruned scans), never the corpus.",
+    tags=("streaming", "session", "incremental"),
+)
+def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.streaming.hop import sessionize
+
+    cutoff_us = 19750 * 86_400_000_000  # day 27 of the 30-day range
+    ev = load_table(spark, sf_dir, "events")
+
+    d = stage_dir(sf_dir, "sess27")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        sessionize(
+            ev.where(F.unix_micros("ts") < cutoff_us), "user_id", "ts",
+            gap_minutes=30,
+        ).write.mode("overwrite").parquet(d)
+    stored = spark.read.parquet(d)
+
+    inc_users = (
+        ev.where(F.unix_micros("ts") >= cutoff_us)
+        .select("user_id").distinct()
+    )
+    updated = sessionize(
+        ev.join(F.broadcast(inc_users), "user_id", "left_semi"),
+        "user_id", "ts", gap_minutes=30,
+    )
+    untouched = stored.join(F.broadcast(inc_users), "user_id", "left_anti")
+    return untouched.unionByName(updated)

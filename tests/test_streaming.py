@@ -444,3 +444,38 @@ def test_late_data_is_genuinely_dropped(spark, sf_dir):
     )
     got = spark.table("qms_test_late").agg(F.sum("n_events")).first()[0]
     assert got == expected
+
+
+def test_incremental_sessionize_handles_bridging_late_event(spark):
+    """A late increment event BETWEEN two stored sessions must merge them —
+    recompute-affected-users handles it where append-merge could not."""
+    import pyspark.sql.functions as SF
+    from quatrain_mapreduce_spark.streaming.hop import sessionize
+
+    m = 60 * 1_000_000
+    rows = [  # u1: two 30-min-gap-separated stored events, late bridge at 25m
+        (0, "u1", 0 * m), (1, "u1", 50 * m),
+        (2, "u2", 0 * m),
+        (3, "u1", 25 * m),  # the late increment event
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, us long"
+    ).select("event_id", "user_id", SF.timestamp_micros("us").alias("ts"))
+
+    stored = sessionize(ev.where("event_id < 3"), "user_id", "ts")
+    assert stored.where("user_id = 'u1'").count() == 2  # two sessions stored
+
+    inc_users = ev.where("event_id >= 3").select("user_id").distinct()
+    updated = sessionize(
+        ev.join(SF.broadcast(inc_users), "user_id", "left_semi"),
+        "user_id", "ts",
+    )
+    merged = stored.join(
+        SF.broadcast(inc_users), "user_id", "left_anti"
+    ).unionByName(updated)
+
+    full = sessionize(ev, "user_id", "ts")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert merged.where("user_id = 'u1'").count() == 1  # bridged into one
