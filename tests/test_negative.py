@@ -208,3 +208,23 @@ def test_duplicate_create_table_fails(spark, tmp_path):
             spark.sql("CREATE TABLE qms_neg_dup (k BIGINT) USING parquet")
     finally:
         spark.sql("DROP TABLE IF EXISTS qms_neg_dup")
+
+
+def test_intersect_column_count_mismatch_fails(spark):
+    """Set operations require matching column counts — clean analysis error,
+    not silent padding (union.q negative family, extended to INTERSECT)."""
+    spark.range(3).createOrReplaceTempView("qms_neg_i1")
+    spark.range(3).select("id", F.lit(1).alias("x")) \
+        .createOrReplaceTempView("qms_neg_i2")
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT id FROM qms_neg_i1 INTERSECT SELECT id, x FROM qms_neg_i2"
+        ).collect()
+
+
+def test_from_json_malformed_schema_fails(spark):
+    """from_json with an unparseable schema string is a clean error at
+    analysis time, not a runtime surprise."""
+    df = spark.createDataFrame([("{}",)], "j string")
+    with pytest.raises(Exception):
+        df.select(F.from_json("j", "k INT,, broken !!")).collect()
