@@ -802,3 +802,53 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, v2, "doc_id", "text")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+        WITH cls AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(count(*) FILTER (WHERE n < 5) AS BIGINT)
+                 AS n_violating_classes,
+               CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(min(n) AS BIGINT) AS min_class_size
+        FROM cls
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+        "(nation, account-balance band) — the QUANTITATIVE privacy "
+        "check beside pii_scrub's redaction: how many equivalence "
+        "classes are smaller than k, and how many rows sit in them "
+        "(re-identification risk). ONE map-combined group count plus a "
+        "4-value summary agg; exact integer arithmetic throughout; "
+        "floor() on the band is toward -inf on both engines (negative "
+        "balances land consistently). At 100 TB this is the audit run "
+        "before any quasi-identifier column set is released — "
+        "generalization/suppression loops just re-run it with coarser "
+        "bands.",
+    tags=("curation", "privacy"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cls = (
+        cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(F.count("*").alias("n"))
+    )
+    risk = F.col("n") < 5
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.count(F.when(risk, 1)).alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(risk, F.col("n"))), F.lit(0))
+          .cast("bigint").alias("n_rows_at_risk"),
+        F.min("n").alias("min_class_size"),
+    )
