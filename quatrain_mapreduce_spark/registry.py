@@ -165,7 +165,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 # r7 rotation queue (computed for next round; all are post-window-freeze
 # r6 registrations, each locally green on the engine AND the
-# driver-mirroring vanilla session — see COVERAGE.md): promote these 33 in
+# driver-mirroring vanilla session — see COVERAGE.md): promote these 34 in
 # place of r6-green unchanged rows, most-module-starved first:
 # adaptive_quality_filter, contamination_score, corpus_diff,
 # sql_lateral_view, sql_mapjoin_hint, sql_distribute_sort_by,
@@ -176,7 +176,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sql_window_over, stream_cdc_apply, resample_ffill, graph_bfs_reach,
 # trend_slope, dedup_jaccard_prefix, sql_intersect_except,
 # json_struct_parse, scd2_pit_join, trimmed_mean, triangle_count_sampled,
-# bm25_search, sessionize_incremental
+# bm25_search, sessionize_incremental, k_anonymity_audit
 
 
 def all_queries() -> dict[str, Query]:
