@@ -63,105 +63,47 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # tail (checked locally by tools/check_oracle.py) holds redundant shape
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- r6 rotation rule: EVERY oracled query that has never had a
-    # driver-green row (26 of them, computed from CORRECTNESS_r01..r05 by
-    # tools/coverage_rotation.py) is promoted this round, so that by end of
-    # r6 the whole oracled registry has >=1 historical driver-green row
-    # (tracked in COVERAGE.md). r5-green unchanged rows are demoted to the
-    # locally-checked tail to make room.
-    # never-green: streaming / online-agg family
-    "sessionize_events",      # oracle CAST fixed this round (r04/r05 red)
-    "stream_sessionize", "stream_stream_join", "cq_tumbling_window",
-    "cq_sliding_window", "cq_moving_avg", "online_agg_topk",
-    # never-green: relational / SQL surface
-    "salted_join_orders", "cube_agg", "sketch_bounds", "sql_union",
-    "sql_grouping_sets", "sql_case_sensitivity", "sql_cast1",
-    # never-green: sources / formats
-    "kv_text_roundtrip", "seqfilter_scan", "multiple_inputs_union",
-    "tagged_join_shape", "xml_roundtrip", "orc_roundtrip",
-    # never-green: UDF surface + analytics + curation tail
-    "chain_map_wordcount", "counters_observe", "heavy_hitters_topk",
-    "multimodal_features", "dedup_spans", "sequence_pack",
-    # new this round (codec selection round-trip, SURVEY §1.5; LSH-fed
-    # components — the scale path, same oracle as dedup_components; the
-    # component-keyed leakage-safe train/val split; DistCp parity; the
-    # streaming JDBC serving-layer sink)
-    "codec_roundtrip", "dedup_components_lsh", "leakage_safe_split",
-    "distcp_roundtrip", "stream_jdbc_serving", "dedup_incremental_lsh",
-    # new this round, second batch (training-pipeline tier): SemDeDup
-    # clustering dedup, temperature-flattened language sampling, BPE
-    # merge-pair statistics — fully oracled, promoted in place of three
-    # unchanged r05-green representatives (order_by_limit,
-    # sql_ddl_roundtrip, merge_upsert_orders -> locally-checked tail;
-    # their modules stay visible via tpch_q3_shape/groupby2_shape,
-    # sql_partition_pruning, asof_join_events).
-    "semantic_dedup", "temperature_sample", "bpe_pair_counts",
-    # HadoopArchives parity (pack/unpack + footer-indexed point read);
-    # promoted in place of stream_dedup (r05-green, unchanged — streaming
-    # stays visible via 8 other window rows).
-    "har_roundtrip",
-    # tf-idf keyword extraction (raw-IDF exact arithmetic); promoted in
-    # place of zorder_box_query (r05-green, unchanged — analytics stays
-    # visible via range_frame_window/sketch_mergeable_rollup/
-    # heavy_hitters_topk/similarity_ivf_exact).
-    "tfidf_keywords",
-    # context-window chunking + token-id export (training-export tier);
-    # promoted in place of range_frame_window and cq_moving_avg_stream
-    # (both r05-green, unchanged — their modules keep 4+ window rows each).
-    "chunk_documents", "tokenize_ids",
-    # --- 20 representatives keeping every module driver-visible (all green
-    # in r05 or earlier; chosen for distinct plan features). Everything else
-    # (83 queries, all r05-or-earlier driver-green or rows-only-by-design)
-    # is in the locally-checked tail via tools/check_oracle.py.
-    # Hadoop Pipes parity — compiled native map task (new r6); promoted in
-    # place of join_multiway (green r01-r05, unchanged — the join family
-    # stays visible via tpch_q3_shape, salted_join_orders, tagged_join_shape).
-    "pipes_wordcount",
-    # TextRank (iterative PageRank, unrolled-CTE oracle), bigram-LM quality
-    # scoring, and the runtime Bloom-filter join (new r6, third batch);
-    # promoted in place of groupby2_shape, tpch_q3_shape and
-    # similarity_ivf_exact (all r05-or-earlier green, unchanged — the
-    # relational family keeps bloom_join_pruned, salted_join_orders,
-    # cube_agg and sketch_bounds in-window; similarity keeps semantic_dedup,
-    # and IVF exactness stays pytest-gated).
-    "textrank_keywords", "bigram_lm_score", "bloom_join_pruned",
-    # JSONL round trip (new r6); promoted in place of
-    # sketch_mergeable_rollup (r05-green, unchanged — analytics stays
-    # visible via tpch_q3_shape, heavy_hitters_topk, tfidf_keywords).
-    "jsonl_roundtrip",
-    # pairwise doc cosine via inverted-index self-join (new r6, fourth
-    # batch); promoted in place of asof_join_events (green r05, unchanged —
-    # every temporal query already has a historical driver-green row and
-    # stays in the locally-checked tail).
-    "doc_similarity_pairs",
-    # streaming ingestion-time curation (stateless gate+scrub per batch,
-    # new r6); promoted in place of sql_partition_pruning (r05-green,
-    # unchanged — the SQL-text path keeps 4 window rows: sql_union,
-    # sql_grouping_sets, sql_case_sensitivity, sql_cast1).
-    "stream_curation",
-    # source-weighted mixture w/ fractional epochs (GPT-3/Pile data mixing,
-    # new r6); promoted in place of bucketed_join (r05-green, unchanged —
-    # sources/storage stays visible via kv_text_roundtrip, seqfilter_scan,
-    # xml_roundtrip, orc_roundtrip, codec_roundtrip, har_roundtrip,
-    # distcp_roundtrip; bucketed scans stay pytest-asserted)
-    "source_mixture",
-    # end-to-end training export (mixture -> deterministic order -> packing
-    # prefix sum, one plan; new r6); promoted in place of stream_late_data
-    # (r05-green, unchanged — streaming stays visible via the 7 promoted
-    # never-green stream/cq rows plus stream_jdbc_serving).
-    "training_export",
-    # mrlib + data pipeline + curation (dedup_components family visible via
-    # dedup_components_lsh above, which shares its oracle; decontaminate to
-    # the tail this round — r04/r05-green, unchanged, plan-asserted)
-    # co-occurrence 'pairs' pattern with lift ranking (new r6); promoted in
-    # place of wordcount (green r01-r05, unchanged — the token-counting
-    # family stays visible via chain_map_wordcount above).
-    "cooccurrence_lift",
-    # canonical-doc-per-cluster selection by quality (new r6); promoted in
-    # place of dedup_lsh_recall (r05-green, unchanged — the LSH family
-    # stays visible via dedup_components_lsh and dedup_incremental_lsh,
-    # and recall stays pytest-gated).
-    "dedup_keep_best",
+    # --- r7 rotation rule (VERDICT r6 directive #1): ALL 34 oracled queries
+    # that have never had a driver-green row (computed from
+    # CORRECTNESS_r01..r06 by tools/coverage_rotation.py; every one a
+    # post-window-freeze r6 registration, each locally green on the engine
+    # AND the driver-mirroring vanilla session) are promoted this round.
+    # A green CORRECTNESS_r07 row for each makes lifetime driver-green
+    # coverage 178/178 oracled queries. r6-green unchanged rows are demoted
+    # to the locally-checked tail (tools/check_oracle.py) to make room.
+    # never-green: SQL-text surface (hive_sql)
+    "sql_lateral_view", "sql_mapjoin_hint", "sql_distribute_sort_by",
+    "sql_window_over", "sql_intersect_except", "json_struct_parse",
+    # never-green: relational / profiling / integrity
+    "tpch_q18_shape", "trimmed_mean", "integrity_report", "profile_orders",
+    # never-green: analytics (graph / funnel / cohort / robust stats)
+    "triangle_count", "triangle_count_sampled", "graph_bfs_reach",
+    "funnel_analysis", "cohort_retention", "session_path_mining",
+    "anomaly_mad", "trend_slope", "chi_square_type_hour", "missing_hours",
+    # never-green: temporal
+    "resample_ffill", "scd2_pit_join", "cdc_apply_orders",
+    # never-green: streaming / incremental
+    "stream_cdc_apply", "sessionize_incremental", "incremental_rollup_merge",
+    # never-green: curation
+    "adaptive_quality_filter", "contamination_score", "corpus_diff",
+    "k_anonymity_audit",
+    # never-green: data pipeline (linkage / dedup / retrieval / similarity)
+    "record_linkage_fuzzy", "dedup_jaccard_prefix", "bm25_search",
+    "user_similarity_knn",
+    # --- 16 representatives keeping every module driver-visible (all
+    # r06-or-earlier driver-green; codec_roundtrip is re-validated here
+    # because r7 extends it with bzip2/lz4 rows). Everything else is in the
+    # locally-checked tail via tools/check_oracle.py.
+    "wordcount", "grep",                      # mrlib
+    "chain_map_wordcount", "counters_observe", # udf_surface
+    "codec_roundtrip", "orc_roundtrip",        # sources_queries
+    "sessionize_events", "stream_curation",    # streaming_queries
+    "dedup_components_lsh", "semantic_dedup",  # data_pipeline
+    "tpch_q3_shape", "heavy_hitters_topk",     # analytics_queries
+    "sql_groupby2",                            # hive_sql
+    "training_export",                         # curation_queries
+    "asof_join_events",                        # temporal_queries
+    "salted_join_orders",                      # relational
 )
 # r7 rotation queue (computed for next round; all are post-window-freeze
 # r6 registrations, each locally green on the engine AND the
