@@ -168,7 +168,7 @@ def main() -> None:
         times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(json.dumps({
+    summary = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
@@ -177,7 +177,22 @@ def main() -> None:
         "cold_total": round(sum(t for t in cold.values() if t >= 0), 3),
         "prestaged_dirs": prestaged,
         "sf": sf,
-    }))
+    }
+    # The driver captures bench stdout with a bounded TAIL, and BENCH_r06's
+    # warm dict lost its first ~9 entries to that bound (VERDICT r6 §wrong#2).
+    # Two defenses: (a) persist the full summary to BENCH_SUMMARY.json at the
+    # repo root so per-query numbers always survive capture; (b) emit the
+    # stdout line compact (no spaces) and LAST, after flushing stderr, so the
+    # tail window starts as close to the JSON as possible.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SUMMARY.json"), "w") as fh:
+            json.dump(summary, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_SUMMARY.json: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

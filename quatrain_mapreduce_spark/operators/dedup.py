@@ -519,9 +519,16 @@ def jaccard_prefix_pairs(
     )
     sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("na"))
     sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("nb"))
+    # Threshold check stays in INTEGER arithmetic (inter*t_den >=
+    # union*t_num) — jac is a double and a boundary pair with
+    # inter*t_den == union*t_num could be dropped by double rounding if the
+    # filter rode on jac itself (ADVICE r6). jac is computed only as output.
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         overlap.join(sa, "a_id").join(sb, "b_id")
-        .where(jac * t_den >= t_num)
+        .where(
+            F.col("inter") * t_den
+            >= (F.col("na") + F.col("nb") - F.col("inter")) * t_num
+        )
         .select("a_id", "b_id", jac.alias("jac"))
     )

@@ -88,3 +88,63 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_table_approx(df: DataFrame, cols: list[str] | None = None,
+                         rsd: float = 0.02) -> DataFrame:
+    """The 100 TB profile: null count + HLL distinct (approx_count_distinct,
+    relative sd ``rsd``) per column — ONE aggregate over ONE scan with NO
+    Expand. Exact multi-COUNT(DISTINCT) replicates every row k times before
+    the shuffle (Catalyst's Expand); HLL keeps one 2^p-register sketch per
+    (column) as fully map-combinable partial state, so the shuffle carries
+    k sketches instead of k row-replicas of the table.
+
+    Returns (column_name, n_nulls, n_distinct_approx).
+    """
+    names = cols if cols is not None else [f.name for f in df.schema.fields]
+    aggs = []
+    for c in names:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__adist"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.coalesce(F.col(f"{c}__nulls"), F.lit(0)).alias("n_nulls"),
+            F.col(f"{c}__adist").alias("n_distinct_approx"),
+        )
+        for c in names
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_distinct_gated(df: DataFrame, cols: list[str] | None = None,
+                           rsd: float = 0.02, tol: float = 0.05) -> DataFrame:
+    """Acceptance harness for ``profile_table_approx``: exact COUNT(DISTINCT)
+    and the HLL estimate side by side in ONE aggregate, unpivoted to
+    (column_name, n_nulls, n_distinct, dist_ok) where dist_ok asserts the
+    estimate is within ``tol`` of exact. Exists to GATE the approx swap at
+    test scale (the oracle pins dist_ok to 1); production at 100 TB runs
+    ``profile_table_approx`` alone, which has no Expand.
+    """
+    names = cols if cols is not None else [f.name for f in df.schema.fields]
+    aggs = []
+    for c in names:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__adist"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.coalesce(F.col(f"{c}__nulls"), F.lit(0)).alias("n_nulls"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            (
+                F.abs(F.col(f"{c}__adist") - F.col(f"{c}__dist"))
+                / F.greatest(F.col(f"{c}__dist"), F.lit(1))
+                <= tol
+            ).cast("int").alias("dist_ok"),
+        )
+        for c in names
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

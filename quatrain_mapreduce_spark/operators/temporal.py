@@ -119,6 +119,7 @@ def scd2_from_events(
     attr_col: str,
     tie_col: str,
     out_attr: str = "state",
+    keep_tie: bool = False,
 ) -> DataFrame:
     """Collapse an event stream into SCD-2 validity intervals: one row per
     (key, run of equal ``attr_col``), with ``valid_from``/``valid_to`` event
@@ -129,6 +130,13 @@ def scd2_from_events(
     change-filter between the two window passes shrinks rows before the
     lead. The natural consumer is ``asof_join`` (align a fact stream
     against the interval table) or ``range_join_binned``.
+
+    ``keep_tie=True`` carries the change row's ``tie_col`` out as
+    ``change_tie`` so a downstream as-of consumer can break same-timestamp
+    change ties by EVENT ORDER — the same resolution the interval
+    formulation reaches by excluding zero-length intervals. Tie-breaking on
+    a payload column (e.g. the state string) instead would diverge from the
+    build whenever two changes share a microsecond (ADVICE r6).
     """
     w = Window.partitionBy(key).orderBy(ts_col, tie_col)
     changed = df.withColumn("__prev", F.lag(attr_col).over(w)).where(
@@ -140,6 +148,7 @@ def scd2_from_events(
         F.col(attr_col).alias(out_attr),
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
+        *([F.col(tie_col).alias("change_tie")] if keep_tie else []),
     )
 
 

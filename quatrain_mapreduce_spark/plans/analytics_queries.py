@@ -699,6 +699,78 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_mad_approx",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), med AS (
+            SELECT event_type,
+                   CAST(2 * median(cents) AS BIGINT) AS med2x,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM c GROUP BY event_type
+        ), dev AS (
+            SELECT c.event_type,
+                   abs(2 * c.cents - med.med2x) AS dev2x
+            FROM c JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type,
+                   CAST(2 * median(dev2x) AS BIGINT) AS mad4x
+            FROM dev GROUP BY event_type
+        )
+        SELECT med.event_type, med.med2x, mad.mad4x, med.n_total,
+               1 AS med_ok, 1 AS mad_ok
+        FROM med JOIN mad USING (event_type)
+    """,
+    doc="The DEMONSTRATED 100 TB swap for anomaly_mad (VERDICT r6 "
+        "directive #2): both median passes replaced by percentile_approx "
+        "(KLL-style mergeable quantile sketch, accuracy=10000) — "
+        "single-pass map-combinable partial state, where exact "
+        "percentile() must materialize every group's full value list at "
+        "one reducer. The registered query is the acceptance harness: the "
+        "exact and sketch pipelines run side by side (sketch deviations "
+        "measured against the SKETCH median, so the whole approx pipeline "
+        "is end-to-end), the oracle pins med_ok/mad_ok to 1, and a sketch "
+        "median drifting past 5% (MAD: 10%, compounded error) turns the "
+        "driver row red. Production runs the sketch half alone; slope vs "
+        "exact in SCALING.md.",
+    tags=("analytics", "anomaly", "robust-stats", "approx", "sketch"),
+)
+def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2x"),
+        (2 * F.percentile_approx("cents", 0.5, 10000)).alias("amed2x"),
+        F.count("*").alias("n_total"),
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("cents") - F.col("med2x")).alias("dev2x"),
+        F.abs(2 * F.col("cents") - F.col("amed2x")).alias("adev2x"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(dev2x, 0.5)")).cast("bigint").alias("mad4x"),
+        (2 * F.percentile_approx("adev2x", 0.5, 10000)).alias("amad4x"),
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "med2x", "mad4x", "n_total",
+        (
+            F.abs(F.col("amed2x") - F.col("med2x"))
+            <= 0.05 * F.abs(F.col("med2x")) + 4
+        ).cast("int").alias("med_ok"),
+        (
+            F.abs(F.col("amad4x") - F.col("mad4x"))
+            <= 0.10 * F.abs(F.col("mad4x")) + 8
+        ).cast("int").alias("mad_ok"),
+    )
+
+
+@register(
     "incremental_rollup_merge",
     oracle="""
         SELECT user_id, event_type,

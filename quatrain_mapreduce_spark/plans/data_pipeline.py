@@ -1348,11 +1348,13 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, sh FROM sh WHERE len(sh) > 0
         ), pairs AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   len(list_intersect(a.sh, b.sh))
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS uni
             FROM nz a JOIN nz b ON a.doc_id < b.doc_id
         )
-        SELECT a_id, b_id, jac FROM pairs WHERE jac * 5 >= 4
+        SELECT a_id, b_id, inter / uni AS jac
+        FROM pairs WHERE inter * 5 >= uni * 4
     """,
     doc="EXACT set-similarity self-join via prefix filtering "
         "(operators/dedup.jaccard_prefix_pairs — Chaudhuri ICDE'06 / "

@@ -416,11 +416,17 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = scd2_from_events(
         base, key="user_id", ts_col="ts_us", attr_col="event_type",
-        tie_col="event_id",
-    ).select("user_id", F.col("valid_from").alias("ts_us"), "state")
+        tie_col="event_id", keep_tie=True,
+    ).select(
+        "user_id", F.col("valid_from").alias("ts_us"), "state", "change_tie"
+    )
     facts = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
     )
+    # Tie-break same-microsecond change points by EVENT ORDER (change_tie =
+    # the change row's event_id), matching the oracle's zero-length-interval
+    # exclusion; tie-breaking on the state string would be data-dependently
+    # wrong (ADVICE r6).
     joined = asof_join(
         facts,
         dim,
@@ -428,7 +434,7 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts_us",
         right_ts="ts_us",
         payload_cols=["state"],
-        right_tie="state",
+        right_tie="change_tie",
         prefix="",
     )
     return joined.select("event_id", "user_id", "ts_us", "state")

@@ -99,7 +99,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "codec_roundtrip", "orc_roundtrip",        # sources_queries
     "sessionize_events", "stream_curation",    # streaming_queries
     "dedup_components_lsh", "semantic_dedup",  # data_pipeline
-    "tpch_q3_shape", "heavy_hitters_topk",     # analytics_queries
+    # new r7 (VERDICT directive #2): the demonstrated 100 TB approx swaps,
+    # each an error-gated acceptance harness vs its exact twin; promoted in
+    # place of tpch_q3_shape and heavy_hitters_topk (green r05/r06,
+    # unchanged — analytics stays visible via the 10 promoted never-green
+    # rows above plus anomaly_mad_approx itself).
+    "profile_orders_approx", "anomaly_mad_approx",
     "sql_groupby2",                            # hive_sql
     "training_export",                         # curation_queries
     "asof_join_events",                        # temporal_queries

@@ -18,9 +18,14 @@ from __future__ import annotations
 
 from quatrain_mapreduce_spark.registry import all_queries
 
-# end-to-end streaming drains covered by dedicated tests (slow to compile
-# here because their fn() runs a real micro-batch stream before returning)
-_SKIP = {"stream_tumbling_count", "online_agg_events"}
+# Queries whose fn() performs heavy side effects before returning a frame —
+# real micro-batch streams or staged-directory writes — so "lint" here would
+# re-run them and only ever see the read-side plan anyway (ADVICE r6). Each
+# has a dedicated end-to-end test: test_streaming*, test_incremental*.
+_SKIP = {
+    "stream_tumbling_count", "online_agg_events",
+    "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
+}
 
 # Queries allowed to show BatchEvalPython, each with the reason the
 # row-oriented path is the semantic point, not an accident:

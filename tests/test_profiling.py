@@ -187,3 +187,40 @@ def test_analyze_table_stats_reach_catalyst(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS qms_statdb.stats_demo")
         spark.sql("DROP DATABASE IF EXISTS qms_statdb")
+
+
+def test_profile_table_approx_has_no_expand(spark):
+    # the point of the 100 TB swap: HLL distinct removes Catalyst's Expand
+    # (k row-replicas pre-shuffle) that exact multi-COUNT(DISTINCT) needs
+    from quatrain_mapreduce_spark.operators.profiling import (
+        profile_table, profile_table_approx,
+    )
+    df = spark.range(10).select(
+        F.col("id"), F.col("id").cast("string").alias("s")
+    )
+    exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_table_approx(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan        # the cost the swap removes
+    assert "Expand" not in approx_plan   # sketch partials, no row replicas
+    assert approx_plan.count("Range (0, 10") == 1  # still one scan
+
+
+def test_profile_distinct_gated_hand_example(spark):
+    from quatrain_mapreduce_spark.operators.profiling import (
+        profile_distinct_gated,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    out = {r["column_name"]: r for r in profile_distinct_gated(df).collect()}
+    assert (out["k"]["n_nulls"], out["k"]["n_distinct"], out["k"]["dist_ok"]) == (0, 2, 1)
+    assert (out["s"]["n_nulls"], out["s"]["n_distinct"], out["s"]["dist_ok"]) == (1, 2, 1)
+
+
+def test_anomaly_mad_approx_pipeline_matches_exact_at_test_scale(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    rows = all_queries()["anomaly_mad_approx"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    assert all(r["med_ok"] == 1 and r["mad_ok"] == 1 for r in rows)
