@@ -540,3 +540,312 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("p.k").isNull(), 1)).alias("n_unparsed"),
         F.count("*").alias("n"),
     )
+
+
+# --- sql_qcorpus family (VERDICT r6 directive #3): the remaining Hive
+# golden-corpus shapes (HIVE/ql/src/test/queries/clientpositive/*.q) replayed
+# compactly — several reference shapes per registered query, each shape
+# executed in full in BOTH engines and collapsed to count/checksum
+# fingerprint rows so one frame attests the whole family. Shapes already
+# attested elsewhere are NOT repeated: join2 (sql_join2), groupby1/2
+# (sql_groupby2), union (sql_union), join9 + input_part1/2's partition
+# pruning (sql_partition_pruning, sql_insert_overwrite_partition), the
+# multi-insert of groupby7/8 + input_part2 (multi_insert_shared_scan),
+# sample1's whole-table bucket (sample_bucket), input_testxpath* (complex
+# types — complex_types), inputddl* (sql_ddl_roundtrip).
+
+_QCORPUS_JOINS = """
+    WITH base AS (
+        SELECT o_orderkey % 100 AS key, o_orderpriority AS value FROM orders
+    ), b20k AS (
+        SELECT o_orderkey % 20000 AS key, o_orderpriority AS value FROM orders
+    ), a AS (
+        SELECT key AS c1, value AS c2 FROM base WHERE key > 10 AND key < 20
+    ), b AS (
+        SELECT key AS c3, value AS c4 FROM base WHERE key > 15 AND key < 25
+    ), c AS (
+        SELECT key AS c5, value AS c6 FROM base WHERE key > 20 AND key < 25
+    ), j3 AS (
+        SELECT s1.key AS c1, s3.value AS c4
+        FROM b20k s1 JOIN b20k s2 ON s1.key = s2.key
+                     JOIN b20k s3 ON s1.key = s3.key
+    ), j4 AS (
+        SELECT a.c1, a.c2, b.c3, b.c4 FROM a LEFT OUTER JOIN b ON a.c1 = b.c3
+    ), j5 AS (
+        SELECT a.c1, a.c2, b.c3, b.c4 FROM a RIGHT OUTER JOIN b ON a.c1 = b.c3
+    ), j6 AS (
+        SELECT a.c1, a.c2, b.c3, b.c4 FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+    ), j7 AS (
+        SELECT a.c1, b.c3, c.c5
+        FROM a FULL OUTER JOIN b ON a.c1 = b.c3
+               LEFT OUTER JOIN c ON a.c1 = c.c5
+    ), j8 AS (
+        SELECT c1, c3 FROM j4 WHERE c3 IS NULL AND c1 IS NOT NULL
+    )
+    SELECT 'join3' AS shape, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c1) AS BIGINT) AS ksum,
+           CAST(count(c1) AS BIGINT) AS nl, CAST(count(c4) AS BIGINT) AS nr
+    FROM j3
+    UNION ALL
+    SELECT 'join4', CAST(count(*) AS BIGINT),
+           CAST(sum(coalesce(c1, 0) + coalesce(c3, 0)) AS BIGINT),
+           CAST(count(c1) AS BIGINT), CAST(count(c3) AS BIGINT) FROM j4
+    UNION ALL
+    SELECT 'join5', CAST(count(*) AS BIGINT),
+           CAST(sum(coalesce(c1, 0) + coalesce(c3, 0)) AS BIGINT),
+           CAST(count(c1) AS BIGINT), CAST(count(c3) AS BIGINT) FROM j5
+    UNION ALL
+    SELECT 'join6', CAST(count(*) AS BIGINT),
+           CAST(sum(coalesce(c1, 0) + coalesce(c3, 0)) AS BIGINT),
+           CAST(count(c1) AS BIGINT), CAST(count(c3) AS BIGINT) FROM j6
+    UNION ALL
+    SELECT 'join7', CAST(count(*) AS BIGINT),
+           CAST(sum(coalesce(c1, 0) + coalesce(c3, 0) + coalesce(c5, 0))
+                AS BIGINT),
+           CAST(count(c1) AS BIGINT), CAST(count(c5) AS BIGINT) FROM j7
+    UNION ALL
+    SELECT 'join8', CAST(count(*) AS BIGINT), CAST(sum(c1) AS BIGINT),
+           CAST(count(c1) AS BIGINT), CAST(count(c3) AS BIGINT) FROM j8
+"""
+
+
+@register(
+    "sql_qcorpus_joins",
+    oracle=_QCORPUS_JOINS,
+    doc="clientpositive join3-8.q replay (identical SQL text both engines): "
+        "join3's 3-way self equi-join selecting the THIRD alias's value; "
+        "join4/5/6's LEFT/RIGHT/FULL OUTER between two range-filtered "
+        "subqueries with half-overlapping ranges; join7's FULL OUTER "
+        "chained into a LEFT OUTER against a third non-overlapping "
+        "subquery (NULL-extension through a second join); join8's "
+        "NULL-probe anti pattern (c3 IS NULL AND c1 IS NOT NULL over the "
+        "left join). Each shape runs in full and is fingerprinted to "
+        "(count, key checksum, per-side non-null counts) — null extension "
+        "errors, dropped dup-key fanout, or wrong join sides all shift a "
+        "fingerprint. join3 keys are % 20000 so self-join fanout stays "
+        "~1x at test SF; the d^3 dup-key blowup is inherent to the "
+        "reference shape, not the engine (join2's expression-key variant "
+        "is attested in sql_join2). join9's partitioned probe side is "
+        "attested by sql_partition_pruning.",
+    tags=("sql", "hive", "qcorpus", "join"),
+)
+def sql_qcorpus_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_QCORPUS_JOINS)
+
+
+_QCORPUS_GROUPBY = """
+    WITH src AS (
+        SELECT c_nationkey AS key,
+               CAST(substr(c_name, 10) AS INT) AS num,
+               substr(c_name, 13, 1) AS d1
+        FROM customer
+    ), g3 AS (
+        SELECT CAST(sum(num) AS BIGINT) AS s, round(avg(num), 4) AS a,
+               round(avg(DISTINCT num), 4) AS ad,
+               max(num) AS mx, min(num) AS mn
+        FROM src
+    ), g4 AS (
+        SELECT d1 FROM src GROUP BY d1
+    ), g5 AS (
+        SELECT key, CAST(sum(num) AS BIGINT) AS s FROM src GROUP BY key
+    ), g6 AS (
+        SELECT DISTINCT d1 FROM src
+    ), g8 AS (
+        SELECT key, CAST(count(DISTINCT d1) AS BIGINT) AS cd
+        FROM src GROUP BY key
+    )
+    SELECT 'groupby3' AS shape, CAST(1 AS BIGINT) AS n,
+           CAST(s + mx + mn AS DOUBLE) AS v1, a + ad AS v2 FROM g3
+    UNION ALL
+    SELECT 'groupby4', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(d1 AS INT)) AS DOUBLE), 0.0 FROM g4
+    UNION ALL
+    SELECT 'groupby5', CAST(count(*) AS BIGINT),
+           CAST(sum(key * s) AS DOUBLE), round(avg(s), 4) FROM g5
+    UNION ALL
+    SELECT 'groupby6', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(d1 AS INT)) AS DOUBLE), 0.0 FROM g6
+    UNION ALL
+    SELECT 'groupby8', CAST(count(*) AS BIGINT),
+           CAST(sum(key * cd) AS DOUBLE), 0.0 FROM g8
+"""
+
+
+@register(
+    "sql_qcorpus_groupby",
+    oracle=_QCORPUS_GROUPBY,
+    doc="clientpositive groupby3-8.q replay (identical SQL text both "
+        "engines), with customer names as the src.value analog "
+        "(substr(c_name, 10) is the numeric tail, exactly groupby3's "
+        "substr(src.value, 4)): groupby3's global "
+        "sum/avg/avg(DISTINCT)/max/min over a computed column; groupby4's "
+        "GROUP BY on a substr expression; groupby5's keyed sum of a "
+        "computed column; groupby6's SELECT DISTINCT substr; groupby8's "
+        "count(DISTINCT expr) per key. Group results are fingerprinted "
+        "with key-weighted checksums (sum(key*s)) so a wrong group "
+        "assignment shifts the value even when totals agree. groupby7/8's "
+        "double-INSERT form is attested by multi_insert_shared_scan; "
+        "groupby1/2 by sql_groupby2; the *_limit variants by "
+        "sql_qcorpus_input's LIMIT subquery.",
+    tags=("sql", "hive", "qcorpus", "groupby"),
+)
+def sql_qcorpus_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_QCORPUS_GROUPBY)
+
+
+def _qcorpus_scalar_sql(rlike: str, re_replace_tail: str, backref: str) -> str:
+    """udf1-4.q shapes; parameterized only where the two dialects spell the
+    same semantics differently: RLIKE vs regexp_matches, Spark's global
+    regexp_replace vs DuckDB's explicit 'g' flag, $1 vs \\1 backrefs."""
+    return f"""
+    SELECT
+      'a'  LIKE '%a%' AS l1, 'b' LIKE '%a%' AS l2, 'ab' LIKE '%a%' AS l3,
+      'ab' LIKE '%a_' AS l4,
+      '%_' LIKE '!%!_' ESCAPE '!' AS l5, 'ab' LIKE '!%!_' ESCAPE '!' AS l6,
+      'ab' LIKE '_a%' AS l7, 'ab' LIKE 'a' AS l8,
+      {rlike.format(s="''", p="'.*'")} AS r1,
+      {rlike.format(s="'a'", p="'[ab]'")} AS r2,
+      {rlike.format(s="''", p="'[ab]'")} AS r3,
+      {rlike.format(s="'hadoop'", p="'[a-z]*'")} AS r4,
+      {rlike.format(s="'hadoop'", p="'o*'")} AS r5,
+      regexp_replace('abc', 'b', 'c'{re_replace_tail}) AS rr1,
+      regexp_replace('abc', 'z', 'a'{re_replace_tail}) AS rr2,
+      regexp_replace('abbbb', 'bb', 'b'{re_replace_tail}) AS rr3,
+      regexp_replace('hadoop', '(.)[a-z]*', '{backref}ive'{re_replace_tail}) AS rr4,
+      trim('  abc  ') AS t1, rtrim('  abc  ') AS t2, ltrim('  abc  ') AS t3,
+      CAST(round(1.5) AS BIGINT) AS m1, CAST(round(-1.5) AS BIGINT) AS m2,
+      CAST(floor(1.5) AS BIGINT) AS m3, CAST(floor(-1.5) AS BIGINT) AS m4,
+      CAST(ceil(1.5) AS BIGINT) AS m5, CAST(ceil(-1.5) AS BIGINT) AS m6,
+      CAST(ceiling(1.0) AS BIGINT) AS m7,
+      +3 AS u1, -3 AS u2, 1 + -2 AS u3, ~1 AS u4,
+      ag.agg_c, ag.agg_s, ag.agg_a,
+      c_custkey AS key
+    FROM customer, (
+        SELECT CAST(count(try_cast('' AS INT)) AS BIGINT) AS agg_c,
+               CAST(sum(try_cast('' AS INT)) AS BIGINT) AS agg_s,
+               avg(try_cast('' AS INT)) AS agg_a
+        FROM customer
+    ) ag
+    WHERE c_custkey = 86
+    """
+
+
+@register(
+    "sql_qcorpus_scalar",
+    oracle=_qcorpus_scalar_sql(
+        rlike="regexp_matches({s}, {p})", re_replace_tail=", 'g'",
+        backref="\\1",
+    ),
+    doc="clientpositive udf1-4.q replay: the LIKE pattern matrix including "
+        "explicit-ESCAPE metacharacter literals (udf1 uses backslash "
+        "escapes, spelled ESCAPE '!' here because default-escape rules "
+        "differ across dialects while the ESCAPE clause is portable), the "
+        "RLIKE/regexp family (empty-string and zero-width '*' matches), "
+        "regexp_replace incl. non-overlapping global replacement "
+        "('abbbb'->'abb', which DuckDB needs the 'g' flag for) and "
+        "capture-group backrefs ($1 vs \\\\1), trim/rtrim/ltrim (udf2), "
+        "aggregates over all-NULL try_cast('' AS INT) input — count=0, "
+        "sum/avg NULL (udf3; Hive-2009 CAST semantics via try_cast since "
+        "Spark 4 and DuckDB both make bare CAST('') an error), and udf4's "
+        "rounding/unary matrix: round/floor/ceil at +-1.5, unary +/-, "
+        "1 + -2, bitwise ~1. All constant-foldable on purpose — the shapes "
+        "attest DIALECT semantics; the row context (WHERE c_custkey = 86, "
+        "udf1's WHERE src.key = 86) proves they evaluate in a real scan.",
+    tags=("sql", "hive", "qcorpus", "functions"),
+)
+def sql_qcorpus_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_qcorpus_scalar_sql(
+        rlike="{s} RLIKE {p}", re_replace_tail="", backref="$1",
+    ))
+
+
+_QCORPUS_SAMPLE = """
+    SELECT 'bucket_1_of_2' AS shape, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS ksum
+    FROM lineitem WHERE l_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'bucket_1_of_5', CAST(count(*) AS BIGINT),
+           CAST(sum(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'bucket_1_of_4', CAST(count(*) AS BIGINT),
+           CAST(sum(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'bucket_1_of_4_pred', CAST(count(*) AS BIGINT),
+           CAST(sum(l_orderkey) AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 4 = 0 AND l_quantity > 25
+"""
+
+
+@register(
+    "sql_qcorpus_sample",
+    oracle=_QCORPUS_SAMPLE,
+    doc="clientpositive sample2/4/5/6/7.q replay (identical SQL text both "
+        "engines): TABLESAMPLE (BUCKET 1 OUT OF {2,5,4} ON key) as the "
+        "deterministic key-hash bucket predicate (key % y = x-1 — the "
+        "same modulo semantics sample_bucket/operators.bucket_sample "
+        "implement, and what SamplePruner.java:62 prunes to when the "
+        "table is bucketed on the sample column), plus sample7's extra "
+        "row predicate composed with the bucket filter. Spark's native "
+        "TABLESAMPLE(BUCKET x OUT OF y) SQL syntax is rand()-based "
+        "(non-deterministic), so the Hive ON-column semantics ride as the "
+        "explicit pushed-down predicate — at scale this prunes to 1/y of "
+        "buckets on a bucketed table instead of scanning.",
+    tags=("sql", "hive", "qcorpus", "sample"),
+)
+def sql_qcorpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_QCORPUS_SAMPLE)
+
+
+_QCORPUS_INPUT = """
+    WITH g AS (
+        SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_custkey
+    ), sq AS (
+        SELECT k, c FROM g WHERE k >= 90
+    ), lim AS (
+        SELECT o_orderkey, o_custkey
+        FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 10) t
+    ), nest AS (
+        SELECT k2 AS key FROM (
+            SELECT o_orderkey % 100 AS k2 FROM orders
+            WHERE o_orderkey % 100 < 50
+        ) x WHERE k2 > 10
+    )
+    SELECT 'subq2' AS shape, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k * c) AS BIGINT) AS ksum
+    FROM sq
+    UNION ALL
+    SELECT 'input11_limit', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey + o_custkey) AS BIGINT) FROM lim
+    UNION ALL
+    SELECT 'input4_nested', CAST(count(*) AS BIGINT),
+           CAST(sum(key) AS BIGINT) FROM nest
+"""
+
+
+@register(
+    "sql_qcorpus_input",
+    oracle=_QCORPUS_INPUT,
+    doc="clientpositive subq.q/subq2.q + input*-family replay (identical "
+        "SQL text both engines): subq2's outer filter over a grouped "
+        "subquery (predicate on the GROUP key pushes THROUGH the "
+        "aggregate to the scan under Catalyst), input11_limit's "
+        "LIMIT-inside-subquery (made deterministic with a total order on "
+        "the unique key, per the repo's LIMIT rule), and input4's "
+        "two-level nested FROM with filters at both levels (collapsed to "
+        "one scan predicate by the optimizer). The plain projection "
+        "input1-16 shapes are attested by field_selection/scalar_funcs; "
+        "input_part* partition pruning by sql_partition_pruning; "
+        "inputddl* by sql_ddl_roundtrip; input_testsequencefile by "
+        "seqfile_roundtrip.",
+    tags=("sql", "hive", "qcorpus", "subquery"),
+)
+def sql_qcorpus_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_QCORPUS_INPUT)

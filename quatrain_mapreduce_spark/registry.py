@@ -90,40 +90,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-green: data pipeline (linkage / dedup / retrieval / similarity)
     "record_linkage_fuzzy", "dedup_jaccard_prefix", "bm25_search",
     "user_similarity_knn",
-    # --- 16 representatives keeping every module driver-visible (all
-    # r06-or-earlier driver-green; codec_roundtrip is re-validated here
-    # because r7 extends it with bzip2/lz4 rows). Everything else is in the
-    # locally-checked tail via tools/check_oracle.py.
-    "wordcount", "grep",                      # mrlib
-    "chain_map_wordcount", "counters_observe", # udf_surface
-    "codec_roundtrip", "orc_roundtrip",        # sources_queries
+    # --- 16 remaining slots: 9 queries NEW in r7 (the approx swaps and the
+    # qcorpus family — in-window so they get a driver-green row the round
+    # they land) + 7 representatives keeping every module driver-visible
+    # (all r06-or-earlier driver-green; codec_roundtrip is re-validated
+    # here because r7 extends it with bzip2/lz4 rows). Everything else is
+    # in the locally-checked tail via tools/check_oracle.py.
+    "wordcount",                               # mrlib
+    "chain_map_wordcount",                     # udf_surface
+    "codec_roundtrip",                         # sources (extended r7: 4 codecs)
     "sessionize_events", "stream_curation",    # streaming_queries
-    "dedup_components_lsh", "semantic_dedup",  # data_pipeline
+    "dedup_components_lsh",                    # data_pipeline
     # new r7 (VERDICT directive #2): the demonstrated 100 TB approx swaps,
     # each an error-gated acceptance harness vs its exact twin; promoted in
     # place of tpch_q3_shape and heavy_hitters_topk (green r05/r06,
     # unchanged — analytics stays visible via the 10 promoted never-green
     # rows above plus anomaly_mad_approx itself).
     "profile_orders_approx", "anomaly_mad_approx",
-    "sql_groupby2",                            # hive_sql
+    # new r7 (VERDICT directive #3): the sql_qcorpus family — the remaining
+    # clientpositive golden shapes (join3-8, groupby3-8, udf1-4,
+    # sample2-7, subq/input nesting) replayed as fingerprinted rows;
+    # promoted in place of grep, counters_observe, orc_roundtrip,
+    # semantic_dedup and sql_groupby2 (all r06-or-earlier green, unchanged
+    # — their modules keep wordcount, chain_map_wordcount, codec_roundtrip,
+    # dedup_components_lsh and the 6 never-green hive_sql rows in-window).
+    "sql_qcorpus_joins", "sql_qcorpus_groupby", "sql_qcorpus_scalar",
+    "sql_qcorpus_sample", "sql_qcorpus_input",
     "training_export",                         # curation_queries
     "asof_join_events",                        # temporal_queries
     "salted_join_orders",                      # relational
 )
-# r7 rotation queue (computed for next round; all are post-window-freeze
-# r6 registrations, each locally green on the engine AND the
-# driver-mirroring vanilla session — see COVERAGE.md): promote these 34 in
-# place of r6-green unchanged rows, most-module-starved first:
-# adaptive_quality_filter, contamination_score, corpus_diff,
-# sql_lateral_view, sql_mapjoin_hint, sql_distribute_sort_by,
-# user_similarity_knn, funnel_analysis, cohort_retention,
-# cdc_apply_orders, triangle_count, session_path_mining, anomaly_mad,
-# record_linkage_fuzzy, profile_orders, incremental_rollup_merge,
-# integrity_report, missing_hours, chi_square_type_hour, tpch_q18_shape,
-# sql_window_over, stream_cdc_apply, resample_ffill, graph_bfs_reach,
-# trend_slope, dedup_jaccard_prefix, sql_intersect_except,
-# json_struct_parse, scd2_pit_join, trimmed_mean, triangle_count_sampled,
-# bm25_search, sessionize_incremental, k_anonymity_audit
+# The r6-staged rotation queue of 34 never-green queries was executed above
+# in full this round (r7). Next round's queue: the 9 queries REGISTERED in
+# r7 (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5 are
+# already in-window this round; anything registered after the r7 window
+# freeze goes to r8) — recompute with tools/coverage_rotation.py against
+# CORRECTNESS_r07.json once the driver writes it.
 
 
 def all_queries() -> dict[str, Query]:
