@@ -465,42 +465,64 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'gzip_csv' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
         FROM supplier
         UNION ALL
+        SELECT 'bzip2_csv' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        UNION ALL
         SELECT 'zstd_parquet' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        UNION ALL
+        SELECT 'lz4_parquet' AS fmt, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
         FROM supplier
     """,
     doc="Compression-codec selection round trip (SURVEY §1.5 — "
-        "IO/compress/{GzipCodec,BZip2Codec,...}.java; the reference's "
-        "codec registry picks a (de)compressor per file extension): the "
-        "supplier projection written as GZIP csv and ZSTD parquet, both "
-        "read back and unioned under a fmt tag — a codec that corrupts, "
-        "truncates, or reorders fails the doubled identity oracle. The "
-        "pytest twin asserts .csv.gz extensions and parquet footer codec "
-        "metadata, proving compression actually engaged (this oracle "
-        "alone would pass on an uncompressed write).",
+        "IO/compress/{GzipCodec,BZip2Codec,LzoCodec,...}.java; the "
+        "reference's codec registry picks a (de)compressor per file "
+        "extension): the supplier projection written as GZIP csv, BZIP2 "
+        "csv (the reference's splittable heavy codec), ZSTD parquet, and "
+        "LZ4 parquet (the modern LZO successor), all read back and "
+        "unioned under fmt tags — a codec that corrupts, truncates, or "
+        "reorders fails the quadrupled identity oracle. The pytest twin "
+        "asserts .csv.gz/.csv.bz2 extensions and parquet footer codec "
+        "metadata for zstd AND lz4, proving compression actually engaged "
+        "(this oracle alone would pass on an uncompressed write).",
     tags=("sources", "codec"),
 )
 def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d_csv = _stage_dir(sf_dir, "codecgz")
-    d_parq = _stage_dir(sf_dir, "codeczstd")
-    if not os.path.exists(os.path.join(d_csv, "_SUCCESS")):
-        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-        s.write.mode("overwrite").option("header", True) \
-            .option("compression", "gzip").csv(d_csv)
-    if not os.path.exists(os.path.join(d_parq, "_SUCCESS")):
-        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-        s.write.mode("overwrite").option("compression", "zstd").parquet(d_parq)
-    from_csv = (
-        spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double")
-        .option("header", True).csv(d_csv)
-        .select(F.lit("gzip_csv").alias("fmt"), "s_suppkey", "s_name",
-                F.round("s_acctbal", 2).alias("acctbal"))
+    csv_dirs = {"gzip": _stage_dir(sf_dir, "codecgz"),
+                "bzip2": _stage_dir(sf_dir, "codecbz2")}
+    # "lz4" alone would write the deprecated Hadoop-framed LZ4 that modern
+    # Arrow readers can't identify; lz4_raw is the standard LZ4_RAW format
+    parq_dirs = {"zstd": _stage_dir(sf_dir, "codeczstd"),
+                 "lz4_raw": _stage_dir(sf_dir, "codeclz4")}
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
     )
-    from_parq = (
-        spark.read.parquet(d_parq)
-        .select(F.lit("zstd_parquet").alias("fmt"), "s_suppkey", "s_name",
-                F.round("s_acctbal", 2).alias("acctbal"))
-    )
-    return from_csv.unionByName(from_parq)
+    for codec, d in csv_dirs.items():
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            s.write.mode("overwrite").option("header", True) \
+                .option("compression", codec).csv(d)
+    for codec, d in parq_dirs.items():
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            s.write.mode("overwrite").option("compression", codec).parquet(d)
+    parts = []
+    for codec, d in csv_dirs.items():
+        parts.append(
+            spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double")
+            .option("header", True).csv(d)
+            .select(F.lit(f"{codec}_csv").alias("fmt"), "s_suppkey", "s_name",
+                    F.round("s_acctbal", 2).alias("acctbal"))
+        )
+    for codec, d in parq_dirs.items():
+        fmt = codec.replace("_raw", "")
+        parts.append(
+            spark.read.parquet(d)
+            .select(F.lit(f"{fmt}_parquet").alias("fmt"), "s_suppkey",
+                    "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _smallfiles_src(spark: SparkSession, sf_dir: str) -> str:

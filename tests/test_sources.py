@@ -215,16 +215,22 @@ def test_codec_roundtrip_files_are_compressed(spark, sf_dir):
 
     gz_files = g.glob(stage_dir(sf_dir, "codecgz") + "/*.csv.gz")
     assert gz_files, "gzip csv route produced no .csv.gz part files"
+    bz_files = g.glob(stage_dir(sf_dir, "codecbz2") + "/*.csv.bz2")
+    assert bz_files, "bzip2 csv route produced no .csv.bz2 part files"
 
-    pq_files = g.glob(stage_dir(sf_dir, "codeczstd") + "/*.parquet")
-    assert pq_files, "zstd parquet route produced no parquet files"
-    meta = pq.ParquetFile(pq_files[0]).metadata
-    codecs = {
-        meta.row_group(rg).column(c).compression
-        for rg in range(meta.num_row_groups)
-        for c in range(meta.num_columns)
-    }
-    assert codecs == {"ZSTD"}, f"parquet footer codecs: {codecs}"
+    for staged, want in (("codeczstd", "ZSTD"), ("codeclz4", "LZ4")):
+        pq_files = g.glob(stage_dir(sf_dir, staged) + "/*.parquet")
+        assert pq_files, f"{want} parquet route produced no parquet files"
+        meta = pq.ParquetFile(pq_files[0]).metadata
+        codecs = {
+            meta.row_group(rg).column(c).compression
+            for rg in range(meta.num_row_groups)
+            for c in range(meta.num_columns)
+        }
+        # Spark's "lz4" parquet codec writes LZ4_RAW frames since Parquet
+        # deprecated the original Hadoop LZ4 block format
+        assert codecs <= {want, f"{want}_RAW"} and codecs, (
+            f"parquet footer codecs for {staged}: {codecs}")
 
 
 def test_compact_files_hits_target_count(spark, tmp_path):
