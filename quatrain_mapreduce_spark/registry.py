@@ -90,7 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-green: data pipeline (linkage / dedup / retrieval / similarity)
     "record_linkage_fuzzy", "dedup_jaccard_prefix", "bm25_search",
     "user_similarity_knn",
-    # --- 16 remaining slots: 9 queries NEW in r7 (the approx swaps and the
+    # --- 16 remaining slots: 7 queries NEW in r7 (the approx swaps and the
     # qcorpus family — in-window so they get a driver-green row the round
     # they land) + 7 representatives keeping every module driver-visible
     # (all r06-or-earlier driver-green; codec_roundtrip is re-validated
@@ -121,11 +121,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_join_orders",                      # relational
 )
 # The r6-staged rotation queue of 34 never-green queries was executed above
-# in full this round (r7). Next round's queue: the 9 queries REGISTERED in
-# r7 (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5 are
+# in full this round (r7). The 7 queries REGISTERED in r7 so far
+# (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
 # already in-window this round; anything registered after the r7 window
-# freeze goes to r8) — recompute with tools/coverage_rotation.py against
-# CORRECTNESS_r07.json once the driver writes it.
+# freeze goes to the r8 queue — recompute with tools/coverage_rotation.py
+# against CORRECTNESS_r07.json once the driver writes it.
 
 
 def all_queries() -> dict[str, Query]:
