@@ -725,7 +725,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="The DEMONSTRATED 100 TB swap for anomaly_mad (VERDICT r6 "
         "directive #2): both median passes replaced by percentile_approx "
-        "(KLL-style mergeable quantile sketch, accuracy=10000) — "
+        "(KLL-style mergeable quantile sketch, accuracy=2000: rank error "
+        "0.05%, 100x inside the 5% gate; at accuracy=10000 the sketch's "
+        "per-row update CPU measurably exceeds exact percentile at local "
+        "scale while 2000 matches it — see SCALING.md's honest-slope "
+        "note; the swap's 100 TB win is BOUNDED MEMORY, not local wall) — "
         "single-pass map-combinable partial state, where exact "
         "percentile() must materialize every group's full value list at "
         "one reducer. The registered query is the acceptance harness: the "
@@ -745,7 +749,7 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = c.groupBy("event_type").agg(
         (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2x"),
-        (2 * F.percentile_approx("cents", 0.5, 10000)).alias("amed2x"),
+        (2 * F.percentile_approx("cents", 0.5, 2000)).alias("amed2x"),
         F.count("*").alias("n_total"),
     )
     dev = c.join(F.broadcast(med), "event_type").select(
@@ -755,7 +759,7 @@ def anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(
         (2 * F.expr("percentile(dev2x, 0.5)")).cast("bigint").alias("mad4x"),
-        (2 * F.percentile_approx("adev2x", 0.5, 10000)).alias("amad4x"),
+        (2 * F.percentile_approx("adev2x", 0.5, 2000)).alias("amad4x"),
     )
     return med.join(mad, "event_type").select(
         "event_type", "med2x", "mad4x", "n_total",
