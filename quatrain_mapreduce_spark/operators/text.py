@@ -351,3 +351,82 @@ def doc_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b", "dot_ab",
                 F.round(F.col("cos"), 4).alias("cos_r"))
     )
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5,
+              min_len: int = 2) -> DataFrame:
+    """Iterative BPE merge-rule training (Sennrich et al. 2016 §3.2 — the
+    full algorithm, not just one round's statistic): ``n_merges`` rounds of
+    (count adjacent symbol pairs over the frequency-weighted vocabulary ->
+    take the argmax pair -> rewrite every vocab word greedily left-to-right
+    with the merged symbol).
+
+    Scale shape: the corpus is scanned ONCE (word count); every iteration
+    then works on the |vocab|-sized symbol table — the classic BPE trick
+    writ distributed. The pair rewrite is a pure JVM array fold
+    (F.aggregate), so no Python touches the loop; the only driver transfer
+    is the 1-row argmax per round (a bounded scalar pull, same policy as
+    the IVF seed rows). Vocab state is persisted per round and unpersisted
+    after the next round materializes, keeping lineage short.
+
+    Determinism: argmax ties break on (count DESC, left lex, right lex),
+    matching the pure-Python reference in tests/test_text_multimodal.py.
+
+    Returns (rank, left, right, pair_count): the learned merge table in
+    order — exactly what a tokenizer-training pipeline persists.
+    """
+    spark = df.sparkSession
+    words = df.select(
+        F.explode(
+            F.expr(f"transform(regexp_extract_all({text_col}, '[A-Za-z]+', 0), x -> lower(x))")
+        ).alias("w")
+    ).where(F.length("w") >= min_len)
+    vocab = (
+        words.groupBy("w").agg(F.count("*").alias("cnt"))
+        .select(F.expr("split(w, '')").alias("syms"), "cnt")
+        .persist()
+    )
+    vocab.count()
+
+    rules = []
+    for rank in range(1, n_merges + 1):
+        # guard size >= 2 BEFORE sequence(): Spark's sequence(1, 0) yields a
+        # DECREASING [1, 0], which would fabricate null pairs for words
+        # already collapsed to one symbol
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        rules.append((rank, left, right, n))
+        # greedy left-to-right rewrite: fold the symbol array, merging every
+        # non-overlapping (left, right) adjacency into one symbol
+        merged = vocab.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+                f"          AND s = '{right}' "
+                f"     THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"                 array('{left}{right}')) "
+                "     ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+            "cnt",
+        ).persist()
+        merged.count()
+        vocab.unpersist()
+        vocab = merged
+    vocab.unpersist()
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, pair_count bigint"
+    )

@@ -1253,3 +1253,64 @@ def triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("tri_sampled"),
         (F.col("t") * 64).cast("bigint").alias("tri_estimate"),
     )
+
+
+@register(
+    "skew_diagnosis",
+    oracle="""
+        WITH k AS (
+            SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY o_custkey
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM k
+        )
+        SELECT key, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER)
+                 AS rank,
+               s.n_keys, s.n_rows,
+               floor(s.max_cnt * s.n_keys / CAST(s.n_rows AS DOUBLE) * 10000
+                     + 0.5) / 10000 AS skew_factor
+        FROM k CROSS JOIN s
+        QUALIFY rank <= 10
+    """,
+    doc="Shuffle-key skew diagnosis — the pre-flight every big join/agg "
+        "needs at 100 TB: per-key cardinality profile of a prospective "
+        "shuffle key (o_custkey), reporting the 10 heaviest keys with "
+        "deterministic tie-break plus the global skew factor "
+        "(max_cnt / mean_cnt = max_cnt * n_keys / n_rows). A skew factor "
+        "near 1 means hash partitions balance; >> 1 names the exact keys "
+        "to salt (salted_join_orders / salted_agg are the fix this tool "
+        "prescribes). Plan: one map-combinable count agg, "
+        "TakeOrderedAndProject for the top-10 (never a full sort), and "
+        "the 1-row stats frame broadcast back. The skew factor is one "
+        "int-to-double division rounded portably (floor(x*1e4+0.5)).",
+    tags=("analytics", "ops", "skew"),
+)
+def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        k.orderBy(F.col("cnt").desc(), "key").limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "key")
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(s)).select(
+        "key", "cnt", "rank", "n_keys", "n_rows",
+        (F.floor(F.col("max_cnt") * F.col("n_keys")
+                 / F.col("n_rows").cast("double") * 10000 + F.lit(0.5))
+         / 10000).alias("skew_factor"),
+    )

@@ -1471,3 +1471,118 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("score_r"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+@register(
+    "token_drift_kl",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id % 2 AS slice, w AS token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), c AS (
+            SELECT token,
+                   CAST(count(*) FILTER (WHERE slice = 0) AS BIGINT) AS cnt_a,
+                   CAST(count(*) FILTER (WHERE slice = 1) AS BIGINT) AS cnt_b
+            FROM toks GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                   CAST(sum(cnt_b) AS BIGINT) AS nb,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM c
+        )
+        SELECT token, cnt_a, cnt_b,
+               abs(cnt_a / CAST(na AS DOUBLE) - cnt_b / CAST(nb AS DOUBLE))
+                 AS l1_drift,
+               floor(((cnt_a + 1) / CAST(na + v AS DOUBLE))
+                     * ln(((cnt_a + 1) / CAST(na + v AS DOUBLE))
+                          / ((cnt_b + 1) / CAST(nb + v AS DOUBLE)))
+                     * 100000000 + 0.5) / 100000000 AS kl_term,
+               CAST(row_number() OVER (
+                   ORDER BY abs(cnt_a / CAST(na AS DOUBLE)
+                                - cnt_b / CAST(nb AS DOUBLE)) DESC, token
+               ) AS INTEGER) AS rank
+        FROM c CROSS JOIN tot
+        QUALIFY rank <= 20
+    """,
+    doc="Corpus distribution-drift detection — the monitoring primitive "
+        "for continuously-ingested training data: token unigram "
+        "distributions of two corpus slices (here doc_id parity; in "
+        "production yesterday-vs-today or source-vs-source) compared "
+        "token-by-token, top-20 drifted tokens reported. RANKING rides on "
+        "the L1 drift |p_a - p_b| — two integer-ratio IEEE divisions and "
+        "a subtraction, bit-identical across engines — while the add-1-"
+        "smoothed KL contribution p_a*ln(p_a/p_b) is carried as OUTPUT "
+        "(portably rounded 8dp; ln is never used for ordering, the "
+        "tfidf_keywords lesson: libm vs StrictMath differ in the last "
+        "ulp). Plan: one corpus scan -> token-keyed count agg (map-"
+        "combinable, conditional counts per slice so both slices ride ONE "
+        "shuffle), the 3-scalar totals frame broadcast back, "
+        "TakeOrderedAndProject for the top-20. Vocab-bounded state; "
+        "corpus-linear work.",
+    tags=("text", "drift", "monitoring"),
+)
+def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("slice"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    c = toks.groupBy("token").agg(
+        F.count(F.when(F.col("slice") == 0, 1)).alias("cnt_a"),
+        F.count(F.when(F.col("slice") == 1, 1)).alias("cnt_b"),
+    )
+    tot = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("na"),
+        F.sum("cnt_b").cast("bigint").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    pa = F.col("cnt_a") / F.col("na").cast("double")
+    pb = F.col("cnt_b") / F.col("nb").cast("double")
+    l1 = F.abs(pa - pb)
+    spa = (F.col("cnt_a") + 1) / (F.col("na") + F.col("v")).cast("double")
+    spb = (F.col("cnt_b") + 1) / (F.col("nb") + F.col("v")).cast("double")
+    kl = F.floor(spa * F.log(spa / spb) * 100000000 + F.lit(0.5)) / 100000000
+    ranked = (
+        j.select("token", "cnt_a", "cnt_b", l1.alias("l1_drift"),
+                 kl.alias("kl_term"))
+        .orderBy(F.col("l1_drift").desc(), "token").limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("l1_drift").desc(), "token")
+            ),
+        )
+    )
+    return ranked.select("token", "cnt_a", "cnt_b", "l1_drift", "kl_term",
+                         "rank")
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax + data-dependent vocab rewriting is not
+    # SQL-expressible; exact parity vs a pure-Python reference BPE on the
+    # same corpus is pytest-gated (tests/test_text_multimodal.py)
+    doc="Full iterative BPE tokenizer training (Sennrich et al. 2016 — "
+        "operators/text.bpe_train): 8 merge rounds of pair-count -> argmax "
+        "-> greedy vocab rewrite, the completion of bpe_pair_counts' "
+        "single-round statistic. Corpus scanned once; every round works "
+        "the |vocab|-sized symbol table with a JVM array-fold rewrite "
+        "(F.aggregate — no Python in the loop) and transfers exactly one "
+        "argmax row to the driver per round (bounded scalar pull). "
+        "Deterministic tie-break (count DESC, pair lex). Output is the "
+        "ordered merge-rule table a tokenizer pipeline persists.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), "text",
+                     n_merges=8)

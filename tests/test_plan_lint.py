@@ -25,6 +25,8 @@ from quatrain_mapreduce_spark.registry import all_queries
 _SKIP = {
     "stream_tumbling_count", "online_agg_events",
     "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
+    "bpe_train_merges",  # 8 driver-paced merge rounds inside fn(); exact
+    # parity + loop behavior covered by test_bpe_train_matches_pure_python
 }
 
 # Queries allowed to show BatchEvalPython, each with the reason the

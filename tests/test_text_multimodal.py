@@ -213,3 +213,58 @@ def test_doc_cosine_pairs_hand_example(spark):
     assert set(rows) == {(1, 2)}
     assert rows[(1, 2)]["dot_ab"] == 5
     assert rows[(1, 2)]["cos_r"] == 1.0
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Exact parity: the distributed iterative BPE trainer must reproduce a
+    from-scratch pure-Python BPE (Sennrich alg. 1) on the same corpus —
+    merge rules, order, and pair counts all equal."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from quatrain_mapreduce_spark.operators.text import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r[0] for r in duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()]
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+", t):
+            w = w.lower()
+            if len(w) >= 2:
+                vocab[w] += 1
+    syms = {w: tuple(w) for w in vocab}
+    expected = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        # tie-break: count DESC, then pair lexicographic ASC
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, left, right, n))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(
+            spark.read.parquet(f"{sf}/documents.parquet"), "text", n_merges=8
+        ).orderBy("rank").collect()
+    ]
+    assert got == expected and len(got) == 8
