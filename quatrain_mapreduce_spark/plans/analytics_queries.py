@@ -1314,3 +1314,57 @@ def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.col("n_rows").cast("double") * 10000 + F.lit(0.5))
          / 10000).alias("skew_factor"),
     )
+
+
+@register(
+    "window_value_funcs",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               nth_value(price, 2) OVER w AS second_price,
+               first_value(price IGNORE NULLS) OVER w AS first_known,
+               last_value(price IGNORE NULLS) OVER w AS last_known,
+               lag(price, 1, -1.0) OVER w AS prev_or_default
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE round(o_totalprice, 2) END AS price
+            FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Value-window-function breadth — the OVER-clause surface "
+        "window_funcs (navigation) and window_distribution (rank family) "
+        "don't reach: nth_value over a running frame, first_value/"
+        "last_value with IGNORE NULLS (the gap-fill primitive "
+        "resample_ffill builds on), and lag with an explicit DEFAULT "
+        "(fires only past the partition edge, NOT on NULL inputs — a "
+        "semantic both engines share and this query pins). The nullable "
+        "price column is synthesized deterministically (status='P' -> "
+        "NULL) so null-skipping paths actually exercise. ONE hash "
+        "exchange + one sort serves all four functions; the frame is "
+        "running (unbounded preceding..current), the same incremental "
+        "evaluation class as the sessionize windows.",
+    tags=("analytics", "window"),
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("double"))
+         .otherwise(F.round("o_totalprice", 2)).alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "o_orderkey", "o_custkey",
+        F.nth_value("price", 2).over(w).alias("second_price"),
+        F.first("price", ignorenulls=True).over(w).alias("first_known"),
+        F.last("price", ignorenulls=True).over(w).alias("last_known"),
+        F.lag("price", 1, -1.0).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("prev_or_default"),
+    )

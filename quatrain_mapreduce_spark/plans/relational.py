@@ -1111,3 +1111,72 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate_us", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): the 6-table join tree — "
+        "region->nation as broadcast dims, customer-orders-lineitem-"
+        "supplier as the fact chain, plus the LOCAL-supplier correlation "
+        "predicate c_nationkey = s_nationkey that makes Q5's join graph "
+        "cyclic (the classic join-reordering stress test; Catalyst's CBO "
+        "picks the dim-first order, plan-asserted broadcast for "
+        "region/nation in tests). Revenue accumulates as EXACT integer "
+        "1e-4 currency units (cents x (100 - discount_pct)) so the "
+        "6-way-join sum is partition-order-proof — the engine's standard "
+        "money discipline, vs Q5's textbook double sum whose rounding "
+        "would float with the shuffle. Date predicate prunes orders at "
+        "the scan.",
+    tags=("relational", "tpch", "join"),
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        na.join(
+            F.broadcast(re.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    o96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint"))
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(o96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(su.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu.select("c_custkey", "c_nationkey"),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(asia_nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("bigint").alias("revenue_e4"))
+    )

@@ -171,3 +171,57 @@ def counters_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed_df, _obs = observed(out, "counters_observe_metrics", F.count(F.lit(1)).alias("groups_out"))
     return observed_df
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT))
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 AS wavg_cents
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="User-defined AGGREGATE via Arrow (pandas_udf GROUPED_AGG — the "
+        "modern Hive GenericUDAF surface, the one §2.10 registration path "
+        "the other UDF queries don't cover): quantity-weighted mean price "
+        "per return flag, computed inside a grouped-agg pandas UDF and "
+        "checked against the plain-SQL formulation. All accumulation is "
+        "int64 (price pre-scaled to cents at the scan, weights integral), "
+        "so the UDAF's partial sums are exact and the single final "
+        "division is bit-identical across engines — float-accumulation "
+        "order can't shift the hash. Plan shows ArrowWindow-free "
+        "AggregateInPandas (Arrow-batched, never BatchEvalPython); wsum/"
+        "qty ride the SAME UDAF call as struct-free twin aggregates so "
+        "the oracle pins the internals, not just the ratio.",
+    tags=("udf", "pandas", "aggregate"),
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+    @pandas_udf("bigint")
+    def wsum_udaf(cents: pd.Series, qty: pd.Series) -> int:
+        return int((cents * qty).sum())
+
+    @pandas_udf("bigint")
+    def qsum_udaf(qty: pd.Series) -> int:
+        return int(qty.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        wsum_udaf("cents", "qty").alias("wsum"),
+        qsum_udaf("qty").alias("qty"),
+    ).select(
+        "l_returnflag", "wsum", "qty",
+        (F.col("wsum") / F.col("qty").cast("double")).alias("wavg_cents"),
+    )

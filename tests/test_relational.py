@@ -94,3 +94,38 @@ def test_limit_is_two_stage(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_plan_broadcasts_dims_and_prunes_dates(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    df = all_queries()["tpch_q5_shape"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # region/nation dim side
+    assert "PushedFilters" in plan or "o_orderdate" in plan
+    # the date predicate must reach the orders parquet scan, not a
+    # post-scan Filter only
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "1996-01-01" in opt
+
+
+def test_pandas_udaf_is_arrow_batched_not_row_python(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    df = all_queries()["pandas_udaf_weighted_avg"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the Arrow grouped-agg node ArrowAggregatePython
+    # (AggregateInPandas in 3.x) — either way it must be Arrow, not the
+    # row-at-a-time BatchEvalPython path
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_window_value_funcs_single_exchange(spark):
+    from quatrain_mapreduce_spark.registry import all_queries
+    df = all_queries()["window_value_funcs"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all four value functions ride ONE hash partitioning on o_custkey
+    assert plan.count("Exchange hashpartitioning") == 1
