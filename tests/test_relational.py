@@ -129,3 +129,60 @@ def test_window_value_funcs_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # all four value functions ride ONE hash partitioning on o_custkey
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE's runtime skew-join split is the engine's no-code answer to hot
+    keys (the alternative the manual salted_join demonstrates): force a
+    99%-one-key join under tiny advisory sizes and assert the final
+    adaptive plan marks the sort-merge join as skew=true (hot partition
+    split into multiple tasks at runtime)."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id"))
+         .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id"))
+         .alias("k"),
+        F.col("id").alias("r_payload"),
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the downstream count agg needs hash distribution on k; without
+        # force, AQE declines the split rather than add a shuffle — force
+        # documents the trade a production job makes for a 1000x hot key
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # aggregate PAYLOAD, not count(1): otherwise column pruning strips
+        # the join shuffle down to the constant hot key, which compresses
+        # to almost nothing and never crosses the skew byte threshold
+        joined = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.sum(F.col("payload") + F.col("r_payload")).alias("s"))
+        )
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # adaptive plan we inspect afterwards is the final one
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
