@@ -464,3 +464,195 @@ def activity_profile_knn(events: DataFrame, user_col: str, ts_col: str,
         .select("id_a", "id_b", "dot_ab",
                 F.round(F.col("cos"), 4).alias("cos_r"), "rk")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Train a product-quantization codebook (Jégou, Douze, Schmid, TPAMI
+    2011 "Product Quantization for Nearest Neighbor Search"): split the
+    ``dim``-vector into ``m`` contiguous subspaces and learn ``k`` L2
+    centroids per subspace — the fourth member of the ANN family
+    (brute-force / LSH / IVF / PQ), and the one that buys MEMORY: a stored
+    code is m small ints instead of dim floats (32x at m=8, k=256 over
+    fp32-64), which at 100 TB is the difference between an in-RAM index
+    and none. IVF-PQ composes the two: IVF prunes which codes are scanned,
+    PQ shrinks what a scan costs; this module keeps them orthogonal.
+
+    Deterministic like ivf_build: per-subspace seeds are the k corpus
+    subvectors with smallest xxhash64(seed, sub, id); Lloyd refinement
+    assigns by min L2 (map-side argmin via min_by, N·m rows through one
+    shuffle per iteration) and recomputes means with sub-dim avg
+    aggregates. Codebook is (sub_id, code_id, c_vec) — m*k rows of index
+    metadata, driver-materialized exactly like any ANN header (FAISS).
+    """
+    spark = corpus.sparkSession
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    subs = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub_id"),
+                    F.slice(F.col(vec_col).cast("array<double>"),
+                            j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(id_col, "s.sub_id", "s.sv")
+    from pyspark.storagelevel import StorageLevel
+
+    subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    w = Window.partitionBy("sub_id").orderBy("h", id_col)
+    seeds = (
+        subs.withColumn(
+            "h", F.xxhash64(F.lit(f"pq:{seed}"), F.col("sub_id"), F.col(id_col))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("sub_id", (F.col("rn") - 1).alias("code_id"), F.col("sv").alias("c_vec"))
+        .collect()
+    )
+    book = {(r["sub_id"], r["code_id"]): r["c_vec"] for r in seeds}
+
+    def book_df():
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(book.items())],
+            "sub_id int, code_id int, c_vec array<double>",
+        )
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    for _ in range(lloyd_iters):
+        assigned = (
+            subs.join(F.broadcast(book_df()), "sub_id")
+            .groupBy(id_col, "sub_id")
+            .agg(
+                F.first("sv").alias("sv"),
+                F.min_by(
+                    "code_id", F.struct(l2.alias("d"), F.col("code_id").alias("t"))
+                ).alias("code_id"),
+            )
+        )
+        means = (
+            assigned.groupBy("sub_id", "code_id")
+            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("mv"))
+            .collect()
+        )
+        for r in means:  # empty codes keep their seed centroid
+            book[(r["sub_id"], r["code_id"])] = r["mv"]
+
+    subs.unpersist()
+    return book_df()
+
+
+def pq_encode(
+    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
+    dim: int, m: int,
+) -> DataFrame:
+    """Encode every vector as its m nearest-subspace-centroid codes.
+
+    Returns the LONG form (id, sub_id, code_id) — m small-int rows per
+    vector, the layout the ADC scan joins against (a production sink would
+    pack it to one m-byte column; the long form keeps the scoring join
+    JVM-native). One broadcast join + map-side argmin; never more than N·m
+    rows in flight.
+    """
+    sub = dim // m
+    subs = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub_id"),
+                    F.slice(F.col(vec_col).cast("array<double>"),
+                            j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(id_col, "s.sub_id", "s.sv")
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(codebook), "sub_id")
+        .groupBy(id_col, "sub_id")
+        .agg(
+            F.min_by(
+                "code_id", F.struct(l2.alias("d"), F.col("code_id").alias("t"))
+            ).alias("code_id")
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate dot-product top-k via PQ asymmetric distance computation
+    (ADC): dot(q, x) ~= sum_j dot(q_j, centroid[j, code_j(x)]).
+
+    The query side builds a LUT — every (query subvector x centroid) dot,
+    Q·m·n_codes rows, broadcast — and the corpus side is ONLY the encoded
+    codes: the scan that ranks the whole corpus reads m ints per vector,
+    never the floats. Scoring = codes JOIN LUT on (sub_id, code_id), sum
+    over m, top-k window — all JVM expression arithmetic. Approximation is
+    recall-gated in tests against brute_force_topk (the LSH/IVF pattern);
+    vectors should be pre-normalized when cosine rather than raw dot is
+    the target metric.
+    """
+    sub = dim // m
+    codebook = pq_train(corpus, id_col, vec_col, dim, m=m, k=n_codes,
+                        lloyd_iters=lloyd_iters, seed=seed)
+    codes = pq_encode(corpus, codebook, id_col, vec_col, dim, m)
+    qsubs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub_id"),
+                    F.slice(F.col(vec_col).cast("array<double>"),
+                            j * sub + 1, sub).alias("qv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select("q_id", "s.sub_id", "s.qv")
+    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
+        "q_id", "sub_id", "code_id",
+        _dot(F.col("qv"), F.col("c_vec")).alias("part"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub_id", "code_id"])
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 6).alias("adc_dot"),
+             F.count("*").alias("n_sub"))
+        .where(F.col("n_sub") == m)  # guard: every subspace contributed
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

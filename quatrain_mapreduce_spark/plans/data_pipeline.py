@@ -576,6 +576,45 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_pq",
+    oracle=None,  # approximate by construction (float codebook is index
+    # metadata); recall vs brute force + determinism gated in
+    # tests/test_similarity.py, the LSH/IVF pattern
+    doc="ANN via product quantization with asymmetric distance computation "
+        "(Jegou-Douze-Schmid TPAMI'11 — operators/similarity.pq_topk): "
+        "m=4 subspaces x 16 codes over L2-normalized embeddings, so ADC "
+        "approximates cosine. The FOURTH ANN family member and the one "
+        "that buys MEMORY: the scored corpus representation is m small "
+        "ints per vector instead of dim floats (the ranking join reads "
+        "codes only — at 100 TB that is an in-RAM index vs none), where "
+        "brute force scans floats, LSH prunes by bucket collision and IVF "
+        "prunes by partition. IVF-PQ composes the two prunings; the "
+        "operators are kept orthogonal so either side can be swapped.",
+    tags=("similarity", "no-oracle"),
+)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    nrm = F.sqrt(F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    ))
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / nrm
+        ).alias("embedding"),
+    )
+    queries = unit.where(F.col("vec_id") < 8)
+    out = pq_topk(queries, unit, "vec_id", "embedding", dim,
+                  k=10, m=4, n_codes=16, lloyd_iters=1)
+    return out.select("q_id", "neighbor_id", "adc_dot", "rk")
+
+
+
+@register(
     "embedding_neardup",
     oracle="""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

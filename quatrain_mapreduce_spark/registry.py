@@ -121,11 +121,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_join_orders",                      # relational
 )
 # The r6-staged rotation queue of 34 never-green queries was executed above
-# in full this round (r7). The 7 queries REGISTERED in r7 so far
-# (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
-# already in-window this round; anything registered after the r7 window
-# freeze goes to the r8 queue — recompute with tools/coverage_rotation.py
-# against CORRECTNESS_r07.json once the driver writes it.
+# in full this round (r7). The 7 queries REGISTERED in r7 before the window
+# freeze (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
+# already in-window this round. r8 ROTATION QUEUE — oracled queries
+# registered after the r7 freeze, each locally green on the
+# driver-mirroring vanilla session, to promote next round:
+#   skew_diagnosis, token_drift_kl, tpch_q5_shape,
+#   pandas_udaf_weighted_avg, window_value_funcs
+# (bpe_train_merges and similarity_pq are rows-only by design — iterative
+# argmax / float-codebook index metadata; both pytest-parity/recall-gated).
+# Recompute with tools/coverage_rotation.py against CORRECTNESS_r07.json.
 
 
 def all_queries() -> dict[str, Query]:

@@ -159,3 +159,55 @@ def test_ivf_build_deterministic_and_covering(spark, clustered):
     assert m1 == m2
     assert len(m1) == clustered.count()
     assert set(m1.values()) <= set(range(8))
+
+
+def _normalize(df):
+    nrm = F.sqrt(F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    ))
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x / nrm).alias("embedding"),
+    )
+
+
+def test_pq_recall_vs_brute_force(spark, clustered):
+    """ADC over m=4x16 codes must recover >=0.8 of the true near neighbors
+    (cos >= 0.9) on clustered data — PQ contracts for the same regime as
+    LSH/IVF; its quantization error is bounded by within-cluster noise."""
+    from quatrain_mapreduce_spark.operators.similarity import pq_topk
+
+    unit = _normalize(clustered)
+    qs = unit.where(F.col("vec_id") < 20)
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in brute_force_topk(qs, unit, "vec_id", "embedding", k=5).collect()
+        if r["cos"] >= 0.9
+    }
+    assert len(truth) >= 50
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in pq_topk(qs, unit, "vec_id", "embedding", dim=DIM,
+                         k=5, m=4, n_codes=16, lloyd_iters=1).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"PQ recall {recall:.3f} < 0.8"
+
+
+def test_pq_encode_deterministic_and_complete(spark, clustered):
+    from quatrain_mapreduce_spark.operators.similarity import pq_encode, pq_train
+
+    unit = _normalize(clustered)
+    book = pq_train(unit, "vec_id", "embedding", dim=DIM, m=4, k=16)
+    rows = book.collect()
+    assert len(rows) == 4 * 16
+    assert all(len(r["c_vec"]) == DIM // 4 for r in rows)
+    c1 = {(r["vec_id"], r["sub_id"]): r["code_id"]
+          for r in pq_encode(unit, book, "vec_id", "embedding", DIM, 4).collect()}
+    c2 = {(r["vec_id"], r["sub_id"]): r["code_id"]
+          for r in pq_encode(unit, book, "vec_id", "embedding", DIM, 4).collect()}
+    assert c1 == c2
+    assert len(c1) == clustered.count() * 4
+    assert all(0 <= c < 16 for c in c1.values())
