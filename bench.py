@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "cdc_apply_orders",    # CDC log compaction: partial-agg max_by (new r6)
     "profile_orders",      # single-pass ANALYZE-style profiling (new r6)
     "record_linkage_fuzzy",  # capped-band fuzzy matching + exact verify (new r6)
-    "profile_orders_approx",  # HLL profile swap, Expand-free scale path (new r7)
+    "profile_orders_hll",  # HLL profile swap, Expand-free production path (new r7)
     "anomaly_mad_approx",  # KLL-median MAD swap, exact+sketch gated (new r7)
     "sql_qcorpus_joins",   # clientpositive join3-8 outer-join matrix (new r7)
 ]

@@ -578,8 +578,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_pq",
     oracle=None,  # approximate by construction (float codebook is index
-    # metadata); recall vs brute force + determinism gated in
-    # tests/test_similarity.py, the LSH/IVF pattern
+    # metadata); cluster-separation precision + encode determinism gated in
+    # tests/test_similarity.py (within-cluster near-ties make exact-order
+    # recall the wrong metric for a quantizer — see the test's note)
     doc="ANN via product quantization with asymmetric distance computation "
         "(Jegou-Douze-Schmid TPAMI'11 — operators/similarity.pq_topk): "
         "m=4 subspaces x 16 codes over L2-normalized embeddings, so ADC "

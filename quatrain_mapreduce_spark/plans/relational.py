@@ -963,6 +963,31 @@ def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders_hll",
+    oracle=None,  # HLL estimates are engine-specific; the estimate's 5%
+    # bound is driver-gated through profile_orders_approx's oracle and the
+    # Expand-free plan is pytest-asserted
+    doc="The PRODUCTION half of the profile swap alone "
+        "(operators/profiling.profile_table_approx): null counts + HLL "
+        "distinct per column in one Expand-free aggregate — the query a "
+        "100 TB profiler actually runs, and the bench row that shows the "
+        "swap's wall-clock win (the gated twin profile_orders_approx "
+        "necessarily pays exact+sketch+Expand together, making the "
+        "acceptance harness the SLOWEST formulation of all three; "
+        "measured 8.5 s harness vs 3.1 s exact vs this, SCALING.md slope "
+        "flat). Accuracy is attested by profile_orders_approx's pinned "
+        "dist_ok oracle on the same table.",
+    tags=("profiling", "approx", "sketch", "no-oracle"),
+)
+def profile_orders_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.profiling import (
+        profile_table_approx,
+    )
+
+    return profile_table_approx(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "integrity_report",
     oracle="""
         SELECT 'orders_pk_dup' AS constraint_name,
