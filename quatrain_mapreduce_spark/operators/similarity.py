@@ -656,3 +656,109 @@ def pq_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC (Jégou et al. TPAMI 2011 §IV): the composition of the two
+    prunings — IVF decides WHICH vectors are scanned (nprobe/n_lists of
+    the corpus, partition-prunable), PQ decides WHAT a scan costs (m ints
+    per vector, not dim floats). This is the structure of every
+    billion-scale ANN deployment (FAISS IVFx,PQy), assembled here from the
+    engine's own ivf_build + pq_train/pq_encode.
+
+    PQ quantizes RESIDUALS r = x - centroid[list(x)] (residuals from all
+    lists share one codebook — they are centered near zero, where a raw-
+    vector codebook would waste codes re-encoding list positions). For the
+    dot-product metric the score decomposes exactly:
+    dot(q, x) = dot(q, c_list) + dot(q, r) ~= dot(q, c_list) + ADC LUT
+    sum, so the LUT is list-independent and built once per query.
+
+    All scoring is JVM expression arithmetic; candidates flow through one
+    (list-pruned codes) x (broadcast LUT+probes) join with map-side
+    partial aggregation on (q_id, neighbor).
+    """
+    cent_df, assigned = ivf_build(
+        corpus, id_col, vec_col, dim, n_lists=n_lists,
+        lloyd_iters=lloyd_iters, seed=seed,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    residuals = (
+        assigned.join(F.broadcast(cent_df), "list_id")
+        .select(
+            id_col, "list_id",
+            F.zip_with(F.col("vec"), F.col("c_vec"),
+                       lambda a, b: a - b).alias("rvec"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    codebook = pq_train(residuals, id_col, "rvec", dim, m=m, k=n_codes,
+                        lloyd_iters=lloyd_iters, seed=seed + 1)
+    codes = pq_encode(residuals, codebook, id_col, "rvec", dim, m).join(
+        residuals.select(id_col, "list_id"), id_col
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    # coarse probe ranking by dot(q, c_list); carries the qc_dot term the
+    # final score needs
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select("q_id", "q_vec", "list_id",
+                _dot(F.col("q_vec"), F.col("c_vec")).alias("qc_dot"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("qc_dot"), F.asc("list_id"))
+    probes = (
+        probes.withColumn("crk", F.row_number().over(wp))
+        .where(F.col("crk") <= nprobe)
+        .select("q_id", "q_vec", "list_id", "qc_dot")
+    )
+    sub = dim // m
+    qsubs = probes.select("q_id", "q_vec").distinct().select(
+        "q_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub_id"),
+                    F.slice(F.col("q_vec"), j * sub + 1, sub).alias("qv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select("q_id", "s.sub_id", "s.qv")
+    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
+        "q_id", "sub_id", "code_id",
+        _dot(F.col("qv"), F.col("c_vec")).alias("part"),
+    )
+    cand = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes.select("q_id", "list_id", "qc_dot")),
+              "list_id")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+        .join(F.broadcast(lut), ["q_id", "sub_id", "code_id"])
+        .groupBy("q_id", "neighbor_id")
+        .agg(
+            F.round(F.first("qc_dot") + F.sum("part"), 6).alias("adc_dot"),
+            F.count("*").alias("n_sub"),
+        )
+        .where(F.col("n_sub") == m)
+        .drop("n_sub")
+    )
+    residuals.unpersist()
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -614,6 +614,45 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", "adc_dot", "rk")
 
 
+@register(
+    "similarity_ivfpq",
+    oracle=None,  # approximate by construction; cluster-separation
+    # precision, determinism, and list-pruning gated in
+    # tests/test_similarity.py
+    doc="IVFADC (Jegou et al. TPAMI'11 SIV — operators/similarity."
+        "ivfpq_topk): the composition every billion-scale ANN deployment "
+        "runs (FAISS IVFx,PQy). IVF prunes WHICH vectors are scanned "
+        "(nprobe/n_lists, partition-prunable); PQ on the list RESIDUALS "
+        "prunes WHAT a scan costs (m ints per vector). For the dot "
+        "metric the score decomposes exactly — dot(q,x) = dot(q,c_list) "
+        "+ ADC(residual) — so one list-independent LUT per query serves "
+        "all probes. Assembled from the engine's own ivf_build + "
+        "pq_train/pq_encode, which stay orthogonal and independently "
+        "gated.",
+    tags=("similarity", "no-oracle"),
+)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    nrm = F.sqrt(F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    ))
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / nrm
+        ).alias("embedding"),
+    )
+    queries = unit.where(F.col("vec_id") < 8)
+    out = ivfpq_topk(queries, unit, "vec_id", "embedding", dim,
+                     k=10, n_lists=8, nprobe=3, m=4, n_codes=16,
+                     lloyd_iters=1)
+    return out.select("q_id", "neighbor_id", "adc_dot", "rk")
+
+
 
 @register(
     "embedding_neardup",

@@ -211,3 +211,35 @@ def test_pq_encode_deterministic_and_complete(spark, clustered):
     assert c1 == c2
     assert len(c1) == clustered.count() * 4
     assert all(0 <= c < 16 for c in c1.values())
+
+
+def test_ivfpq_cluster_precision_and_pruning(spark, clustered):
+    """IVFADC composition: same separation contract as PQ, plus the IVF
+    pruning property — candidate sets come only from probed lists, so each
+    query returns at most k rows and they are cluster siblings."""
+    from quatrain_mapreduce_spark.operators.similarity import ivfpq_topk
+
+    unit = _normalize(clustered)
+    qs = unit.where(F.col("vec_id") < 20)
+    got = [
+        (r["q_id"], r["neighbor_id"])
+        for r in ivfpq_topk(qs, unit, "vec_id", "embedding", dim=DIM,
+                            k=5, n_lists=8, nprobe=2, m=4, n_codes=16,
+                            lloyd_iters=1).collect()
+    ]
+    assert len(got) == 20 * 5
+    sib = sum(1 for q, n in got if q // 10 == n // 10)
+    precision = sib / len(got)
+    assert precision >= 0.95, f"IVFPQ cluster precision {precision:.3f} < 0.95"
+
+
+def test_ivfpq_deterministic(spark, clustered):
+    from quatrain_mapreduce_spark.operators.similarity import ivfpq_topk
+
+    unit = _normalize(clustered)
+    qs = unit.where(F.col("vec_id") < 10)
+    r1 = sorted(map(tuple, ivfpq_topk(qs, unit, "vec_id", "embedding",
+                                      dim=DIM, k=5).collect()))
+    r2 = sorted(map(tuple, ivfpq_topk(qs, unit, "vec_id", "embedding",
+                                      dim=DIM, k=5).collect()))
+    assert r1 == r2 and len(r1) == 50
