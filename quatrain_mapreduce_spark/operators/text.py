@@ -430,3 +430,43 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5,
     return spark.createDataFrame(
         rules, "rank int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_apply(df: DataFrame, id_col: str, text_col: str,
+              merges: list[tuple[str, str]], min_len: int = 2) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the SERVE half of
+    bpe_train (train once on yesterday's corpus, encode today's at scale):
+    each document's words are split to characters and the merge rules are
+    replayed IN TRAINING ORDER, each as the same greedy left-to-right JVM
+    array fold the trainer used, so train->apply round-trips exactly (the
+    Sennrich contract; parity pytest-gated).
+
+    ``merges`` is the driver-side rule list ((left, right) in rank order) —
+    bounded index metadata like an ANN codebook, NOT data; a production
+    pipeline persists it once and broadcasts it into every encode job. The
+    encode itself is scan-local: n_merges chained expression folds per
+    word, zero shuffles, zero Python.
+
+    Returns (id_col, word_pos, symbols): one row per word with its final
+    subword-symbol array, word_pos preserving document order.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(regexp_extract_all({text_col}, '[A-Za-z]+', 0), x -> lower(x))")
+        ).alias("word_pos", "w"),
+    ).where(F.length("w") >= min_len)
+    out = words.select(id_col, "word_pos", F.expr("split(w, '')").alias("syms"))
+    for left, right in merges:
+        out = out.select(
+            id_col, "word_pos",
+            F.expr(
+                "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+                f"          AND s = '{right}' "
+                f"     THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"                 array('{left}{right}')) "
+                "     ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+        )
+    return out

@@ -1665,3 +1665,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_train(load_table(spark, sf_dir, "documents"), "text",
                      n_merges=8)
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=None,  # the merge table is data-dependent (iterative argmax) —
+    # exact train->apply parity vs the pure-Python reference is
+    # pytest-gated (tests/test_text_multimodal.py)
+    doc="The SERVE half of the tokenizer loop (train once -> encode at "
+        "scale): bpe_train's 8 learned merges replayed over the corpus "
+        "(operators/text.bpe_apply — scan-local chained JVM array folds, "
+        "zero Python, zero extra shuffles beyond the per-doc stats agg), "
+        "completing train (bpe_train_merges) -> encode (this) -> export "
+        "(tokenize_ids / training_export). Output is per-document subword "
+        "stats with a position-weighted checksum so the SEGMENTATION is "
+        "pinned, not just counts: a wrong merge order changes the "
+        "checksum. At 100 TB the merge table is persisted index metadata "
+        "(like an ANN codebook) and the encode is embarrassingly "
+        "parallel.",
+    tags=("text", "tokenizer", "export"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
+    ]
+    enc = bpe_apply(docs, "doc_id", "text", merges)
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_subwords"),
+        F.sum((F.col("word_pos") + 1) * F.size("syms")).cast("bigint")
+         .alias("seg_checksum"),
+    )

@@ -268,3 +268,54 @@ def test_bpe_train_matches_pure_python_reference(spark):
         ).orderBy("rank").collect()
     ]
     assert got == expected and len(got) == 8
+
+
+def test_bpe_apply_roundtrips_training_segmentation(spark):
+    """Applying the learned merges must reproduce the trainer's final
+    segmentation exactly (computed independently in pure Python), word by
+    word — the Sennrich train->apply contract."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from quatrain_mapreduce_spark.operators.text import bpe_apply, bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r[0] for r in duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()]
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+", t):
+            w = w.lower()
+            if len(w) >= 2:
+                vocab[w] += 1
+    syms = {w: tuple(w) for w in vocab}
+    rules = []
+    for _ in range(8):
+        pc = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        (left, right), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((left, right))
+        for w in syms:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got_rows = bpe_apply(docs.limit(20), "doc_id", "text", rules).collect()
+    assert len(got_rows) > 0
+    for r in got_rows:
+        w = "".join(r["syms"])
+        assert tuple(r["syms"]) == syms[w], (w, r["syms"], syms[w])
