@@ -1368,3 +1368,81 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         ).alias("prev_or_default"),
     )
+
+
+@register(
+    "feature_scaling",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS HUGEINT) AS s1,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2,
+                   CAST(min(cents) AS BIGINT) AS mn,
+                   CAST(max(cents) AS BIGINT) AS mx
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_type, c.event_id,
+               floor((c.cents * CAST(stats.n AS DOUBLE) - CAST(stats.s1 AS DOUBLE))
+                     / sqrt(CAST(stats.n AS DOUBLE)
+                            * CAST(stats.n * s2 - s1 * s1 AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS zscore,
+               CASE WHEN stats.mx = stats.mn THEN 0.5
+                    ELSE floor((c.cents - stats.mn) * 1000000.0
+                               / (stats.mx - stats.mn) + 0.5) / 1000000
+               END AS minmax,
+               CAST(ntile(10) OVER (PARTITION BY c.event_type
+                                    ORDER BY c.cents, c.event_id)
+                    AS INTEGER) AS decile
+        FROM c JOIN stats USING (event_type)
+    """,
+    doc="Per-group feature scaling — the standardization pass an ML "
+        "pipeline runs before training: z-score, min-max, and equi-depth "
+        "decile of event value within event_type, all in one broadcast of "
+        "a 5-aggregate stats frame plus one window exchange. Exactness "
+        "discipline: moments accumulate as EXACT wide integers (sum and "
+        "sum-of-squares of integer cents — decimal(38) on the Spark side, "
+        "HUGEINT in DuckDB; cents^2 x corpus overflows int64 at sf1+, "
+        "which is why bare bigint sums would be a latent 100 TB bug), so "
+        "mean/variance reduce to single IEEE divisions and the z-score "
+        "formula z = (x*n - s1) / sqrt(n*(n*s2 - s1^2)) is evaluated on "
+        "integer-valued doubles — portable-rounded 4dp. Deciles break "
+        "ties by event_id so bucket membership is deterministic.",
+    tags=("analytics", "features", "ml"),
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    stats = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    j = c.join(F.broadcast(stats), "event_type")
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    var_term = (F.col("n").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1") * F.col("s1")).cast("double")
+    z = (F.col("cents") * nd - s1d) / F.sqrt(nd * var_term)
+    minmax = F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+        F.floor((F.col("cents") - F.col("mn")) * F.lit(1000000.0)
+                / (F.col("mx") - F.col("mn")) + F.lit(0.5)) / 1000000
+    )
+    from pyspark.sql import Window as W
+    wd = W.partitionBy("event_type").orderBy("cents", "event_id")
+    return j.select(
+        "event_type", "event_id",
+        (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("zscore"),
+        minmax.alias("minmax"),
+        F.ntile(10).over(wd).alias("decile"),
+    )
