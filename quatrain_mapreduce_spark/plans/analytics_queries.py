@@ -1446,3 +1446,89 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax.alias("minmax"),
         F.ntile(10).over(wd).alias("decile"),
     )
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS q,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS p,
+                   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS d
+            FROM lineitem
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+                   sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd,
+                   sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+            FROM c
+        )
+        SELECT pair,
+               floor(CAST(num AS DOUBLE)
+                     / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS corr
+        FROM (
+            SELECT 'quantity_price' AS pair,
+                   n * sqp - sq * sp AS num,
+                   n * sqq - sq * sq AS vx, n * spp - sp * sp AS vy FROM m
+            UNION ALL
+            SELECT 'quantity_discount', n * sqd - sq * sd,
+                   n * sqq - sq * sq, n * sdd - sd * sd FROM m
+            UNION ALL
+            SELECT 'price_discount', n * spd - sp * sd,
+                   n * spp - sp * sp, n * sdd - sd * sd FROM m
+        )
+    """,
+    doc="One-pass Pearson correlation matrix over lineitem's numeric "
+        "columns — the EDA primitive behind feature selection. ALL ten "
+        "moments (n, 3 sums, 3 squares, 3 cross-products) accumulate in "
+        "ONE aggregate over ONE scan as exact wide integers (decimal(38) "
+        "/ HUGEINT — the cross-products overflow int64 at scale, the "
+        "feature_scaling lesson), so each correlation reduces to one IEEE "
+        "expression on integer-valued doubles, portably rounded 6dp. "
+        "Spark's built-in corr() is the float-accumulation shortcut this "
+        "query deliberately avoids for engine-comparable exactness; at "
+        "100 TB both are single-pass map-combinable.",
+    tags=("analytics", "statistics", "ml"),
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+         .cast("decimal(38,0)").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("decimal(38,0)").alias("p"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+         .cast("decimal(38,0)").alias("d"),
+    )
+    m = c.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("q").alias("sq"), F.sum("p").alias("sp"), F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def row(pair, num, vx, vy):
+        corr = (
+            F.floor(
+                num.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * 1000000 + F.lit(0.5)
+            ) / 1000000
+        )
+        return F.struct(F.lit(pair).alias("pair"), corr.alias("corr"))
+
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    vq, vp, vd = (n * F.col("sqq") - sq * sq, n * F.col("spp") - sp * sp,
+                  n * F.col("sdd") - sd * sd)
+    return m.select(
+        F.explode(F.array(
+            row("quantity_price", n * F.col("sqp") - sq * sp, vq, vp),
+            row("quantity_discount", n * F.col("sqd") - sq * sd, vq, vd),
+            row("price_discount", n * F.col("spd") - sp * sd, vp, vd),
+        )).alias("r")
+    ).select("r.pair", "r.corr")
