@@ -127,9 +127,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered after the r7 freeze, each locally green on the
 # driver-mirroring vanilla session, to promote next round:
 #   skew_diagnosis, token_drift_kl, tpch_q5_shape,
-#   pandas_udaf_weighted_avg, window_value_funcs
-# (bpe_train_merges and similarity_pq are rows-only by design — iterative
-# argmax / float-codebook index metadata; both pytest-parity/recall-gated).
+#   pandas_udaf_weighted_avg, window_value_funcs, feature_scaling,
+#   correlation_matrix
+# (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
+# and profile_orders_hll are rows-only by design — iterative argmax /
+# float-codebook index metadata / engine-specific HLL estimates; each
+# pytest-parity-, precision- or oracle-twin-gated).
 # Recompute with tools/coverage_rotation.py against CORRECTNESS_r07.json.
 
 
