@@ -228,3 +228,31 @@ def test_from_json_malformed_schema_fails(spark):
     df = spark.createDataFrame([("{}",)], "j string")
     with pytest.raises(Exception):
         df.select(F.from_json("j", "k INT,, broken !!")).collect()
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    """PQ requires dim % m == 0 — a clean assertion at build time, not a
+    silent ragged-slice quantizer."""
+    from quatrain_mapreduce_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(0, [0.0] * 10)], "vec_id long, embedding array<double>")
+    with pytest.raises(AssertionError):
+        pq_train(df, "vec_id", "embedding", dim=10, m=4)
+
+
+def test_bpe_apply_empty_merge_table_is_character_split(spark):
+    """Zero merges is the identity tokenizer: every word splits to
+    characters (the degenerate base case train->apply must agree on)."""
+    from quatrain_mapreduce_spark.operators.text import bpe_apply
+
+    df = spark.createDataFrame([(1, "hello ab")], "doc_id long, text string")
+    rows = {r["word_pos"]: r["syms"]
+            for r in bpe_apply(df, "doc_id", "text", []).collect()}
+    assert rows == {0: ["h", "e", "l", "l", "o"], 1: ["a", "b"]}
+
+
+def test_like_escape_requires_single_char(spark):
+    """LIKE ... ESCAPE with a multi-character escape string is a clean
+    analysis-time error in the SQL dialect (udf1.q escape family)."""
+    with pytest.raises(Exception):
+        spark.sql("SELECT 'ab' LIKE 'a%' ESCAPE '!!'").collect()
