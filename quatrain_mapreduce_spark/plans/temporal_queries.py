@@ -438,3 +438,90 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="",
     )
     return joined.select("event_id", "user_id", "ts_us", "state")
+
+
+@register(
+    "seasonal_decompose",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, event_id,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER)
+                     AS hod,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ), seas AS (
+            SELECT event_type, hod,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY event_type, hod
+        ), tot AS (
+            SELECT event_type,
+                   CAST(sum(cents) AS BIGINT) AS gs,
+                   CAST(count(*) AS BIGINT) AS gn
+            FROM c GROUP BY event_type
+        ), resid AS (
+            SELECT c.event_type, c.hod,
+                   CAST(sum(abs(c.cents * seas.n - seas.s)) AS BIGINT)
+                     AS resid_checksum
+            FROM c JOIN seas USING (event_type, hod)
+            GROUP BY c.event_type, c.hod
+        )
+        SELECT seas.event_type, seas.hod, seas.n,
+               floor((seas.s / CAST(seas.n AS DOUBLE)
+                      - tot.gs / CAST(tot.gn AS DOUBLE)) * 100 + 0.5) / 100
+                 AS seasonal_cents,
+               resid.resid_checksum
+        FROM seas
+        JOIN tot USING (event_type)
+        JOIN resid USING (event_type, hod)
+    """,
+    doc="Hour-of-day seasonal decomposition: per (event_type, hour) the "
+        "seasonal component = hourly mean minus the type's global mean "
+        "(the additive-decomposition building block behind every "
+        "time-series anomaly monitor; trend_slope is the trend half, "
+        "anomaly_mad the residual half). Hour-of-day comes from INTEGER "
+        "epoch arithmetic, never hour(ts) — which is session-timezone-"
+        "dependent on a vanilla session (the r5 lesson). Means derive from "
+        "EXACT integer sums (one division each, portable 2dp rounding); "
+        "the residual checksum sum(|cents*n - s|) is a PURE-INTEGER pin "
+        "of the per-cell deviations (= n * sum|x - mean|), so residual "
+        "structure hash-checks with zero float accumulation. Three "
+        "map-combinable aggs over one scan, 120-row output.",
+    tags=("temporal", "seasonality", "analytics"),
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") / 3_600_000_000).cast("bigint") % 24)
+         .cast("int").alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    seas = c.groupBy("event_type", "hod").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").alias("n"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("gs"),
+        F.count("*").alias("gn"),
+    )
+    resid = (
+        c.join(F.broadcast(seas), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.abs(F.col("cents") * F.col("n") - F.col("s")))
+            .cast("bigint").alias("resid_checksum")
+        )
+    )
+    return (
+        seas.join(F.broadcast(tot), "event_type")
+        .join(resid, ["event_type", "hod"])
+        .select(
+            "event_type", "hod", "n",
+            (F.floor(
+                (F.col("s") / F.col("n").cast("double")
+                 - F.col("gs") / F.col("gn").cast("double")) * 100 + F.lit(0.5)
+            ) / 100).alias("seasonal_cents"),
+            "resid_checksum",
+        )
+    )
