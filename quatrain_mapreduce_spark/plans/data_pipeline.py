@@ -1552,9 +1552,59 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_drift_kl",
-    oracle="""
+def drift_report_from_counts(c: DataFrame) -> DataFrame:
+    """Final drift report from a (token, cnt_a, cnt_b) counts frame —
+    shared by the batch query and the streaming monitor so both are held
+    to the SAME oracle. Ranking rides on L1 (integer-ratio IEEE
+    arithmetic); the smoothed KL term is output-only, portably rounded."""
+    from pyspark.sql import Window
+
+    tot = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("na"),
+        F.sum("cnt_b").cast("bigint").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    pa = F.col("cnt_a") / F.col("na").cast("double")
+    pb = F.col("cnt_b") / F.col("nb").cast("double")
+    l1 = F.abs(pa - pb)
+    spa = (F.col("cnt_a") + 1) / (F.col("na") + F.col("v")).cast("double")
+    spb = (F.col("cnt_b") + 1) / (F.col("nb") + F.col("v")).cast("double")
+    kl = F.floor(spa * F.log(spa / spb) * 100000000 + F.lit(0.5)) / 100000000
+    ranked = (
+        j.select("token", "cnt_a", "cnt_b", l1.alias("l1_drift"),
+                 kl.alias("kl_term"))
+        .orderBy(F.col("l1_drift").desc(), "token").limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("l1_drift").desc(), "token")
+            ),
+        )
+    )
+    return ranked.select("token", "cnt_a", "cnt_b", "l1_drift", "kl_term",
+                         "rank")
+
+
+def token_slice_counts(docs: DataFrame) -> DataFrame:
+    """(token, cnt_a, cnt_b) unigram counts by doc_id-parity slice — the
+    accumulable state of the drift monitor (plain sums, so any partition
+    of the corpus merges by addition: the streaming twin's invariant)."""
+    toks = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("slice"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.when(F.col("slice") == 0, 1)).alias("cnt_a"),
+        F.count(F.when(F.col("slice") == 1, 1)).alias("cnt_b"),
+    )
+
+
+
+TOKEN_DRIFT_ORACLE = """
         WITH toks AS (
             SELECT doc_id % 2 AS slice, w AS token FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1584,7 +1634,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS INTEGER) AS rank
         FROM c CROSS JOIN tot
         QUALIFY rank <= 20
-    """,
+    """
+
+
+@register(
+    "token_drift_kl",
+    oracle=TOKEN_DRIFT_ORACLE,
     doc="Corpus distribution-drift detection — the monitoring primitive "
         "for continuously-ingested training data: token unigram "
         "distributions of two corpus slices (here doc_id parity; in "
@@ -1603,45 +1658,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "drift", "monitoring"),
 )
 def token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            (F.col("doc_id") % 2).alias("slice"),
-            F.explode(F.split("text", " ")).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
-    c = toks.groupBy("token").agg(
-        F.count(F.when(F.col("slice") == 0, 1)).alias("cnt_a"),
-        F.count(F.when(F.col("slice") == 1, 1)).alias("cnt_b"),
-    )
-    tot = c.agg(
-        F.sum("cnt_a").cast("bigint").alias("na"),
-        F.sum("cnt_b").cast("bigint").alias("nb"),
-        F.count("*").alias("v"),
-    )
-    j = c.crossJoin(F.broadcast(tot))
-    pa = F.col("cnt_a") / F.col("na").cast("double")
-    pb = F.col("cnt_b") / F.col("nb").cast("double")
-    l1 = F.abs(pa - pb)
-    spa = (F.col("cnt_a") + 1) / (F.col("na") + F.col("v")).cast("double")
-    spb = (F.col("cnt_b") + 1) / (F.col("nb") + F.col("v")).cast("double")
-    kl = F.floor(spa * F.log(spa / spb) * 100000000 + F.lit(0.5)) / 100000000
-    ranked = (
-        j.select("token", "cnt_a", "cnt_b", l1.alias("l1_drift"),
-                 kl.alias("kl_term"))
-        .orderBy(F.col("l1_drift").desc(), "token").limit(20)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("l1_drift").desc(), "token")
-            ),
-        )
-    )
-    return ranked.select("token", "cnt_a", "cnt_b", "l1_drift", "kl_term",
-                         "rank")
+    return drift_report_from_counts(token_slice_counts(docs))
 
 
 @register(

@@ -828,3 +828,87 @@ def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = stored.join(F.broadcast(inc_users), "user_id", "left_anti")
     return untouched.unionByName(updated)
+
+
+from quatrain_mapreduce_spark.plans.data_pipeline import (  # noqa: E402
+    TOKEN_DRIFT_ORACLE as _TOKEN_DRIFT_ORACLE,
+)
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=_TOKEN_DRIFT_ORACLE,  # the batch twin's oracle VERBATIM
+    doc="Continuous distribution-drift monitoring — token_drift_kl run as "
+        "a STREAM: documents replayed as a 4-file source; each micro-batch "
+        "computes its own (token, slice) unigram counts and foreachBatch-"
+        "merges them into a versioned running-counts table by ADDITION "
+        "(counts are the monitor's mergeable state — the same algebraic-"
+        "partial property the rollup tier rides; per-batch work is "
+        "batch + state, never the replayed history). The final report "
+        "runs the SAME drift stage as the batch query over the "
+        "accumulated counts and is held to the SAME oracle — streaming "
+        "accumulation == batch computation, the stream_cdc_apply "
+        "acceptance pattern. At 100 TB the counts table is vocab-sized "
+        "and the monitor alerts per batch from its running state.",
+    tags=("streaming", "drift", "monitoring", "no-sql-plan"),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from quatrain_mapreduce_spark.plans.data_pipeline import (
+        drift_report_from_counts, token_slice_counts,
+    )
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    src_d = stage_dir(sf_dir, "docslices4")
+    if not os.path.exists(os.path.join(src_d, "_STAGED")):
+        load_table(spark, sf_dir, "documents").repartition(4) \
+            .write.mode("overwrite").parquet(src_d)
+        open(os.path.join(src_d, "_STAGED"), "w").close()
+
+    work = stage_dir(sf_dir, "driftcounts")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(work):
+            shutil.rmtree(work)
+        os.makedirs(work)
+        ckpt = os.path.join(work, "ckpt")
+        schema = spark.read.parquet(src_d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_d)
+        )
+
+        def accumulate(batch, bid: int) -> None:
+            counts = token_slice_counts(batch)
+            vers = sorted(glob.glob(os.path.join(work, "v*")))
+            if vers:
+                prev = batch.sparkSession.read.parquet(vers[-1])
+                counts = (
+                    prev.unionByName(counts)
+                    .groupBy("token")
+                    .agg(F.sum("cnt_a").alias("cnt_a"),
+                         F.sum("cnt_b").alias("cnt_b"))
+                )
+            counts.write.mode("overwrite").parquet(
+                os.path.join(work, f"v{bid:04d}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+
+    vers = sorted(glob.glob(os.path.join(work, "v*")))
+    counts = spark.read.parquet(vers[-1]).select(
+        "token",
+        F.col("cnt_a").cast("bigint").alias("cnt_a"),
+        F.col("cnt_b").cast("bigint").alias("cnt_b"),
+    )
+    return drift_report_from_counts(counts)
+

@@ -25,6 +25,7 @@ from quatrain_mapreduce_spark.registry import all_queries
 _SKIP = {
     "stream_tumbling_count", "online_agg_events",
     "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
+    "stream_drift_monitor",
     "bpe_train_merges", "bpe_encode_corpus",  # driver-paced merge rounds
     # inside fn(); exact parity + loop behavior covered by
     # test_bpe_train_matches_pure_python / test_bpe_apply_roundtrips
