@@ -1532,3 +1532,81 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             row("price_discount", n * F.col("spd") - sp * sd, vp, vd),
         )).alias("r")
     ).select("r.pair", "r.corr")
+
+
+@register(
+    "ks_test_values",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), tot AS (
+            SELECT CAST(sum(is_a) AS BIGINT) AS na,
+                   CAST(count(*) - sum(is_a) AS BIGINT) AS nb
+            FROM c
+        ), pts AS (
+            SELECT cents,
+                   CAST(sum(is_a) AS BIGINT) AS a_here,
+                   CAST(count(*) - sum(is_a) AS BIGINT) AS b_here
+            FROM c GROUP BY cents
+        ), cum AS (
+            SELECT cents,
+                   CAST(sum(a_here) OVER (ORDER BY cents) AS BIGINT) AS ca,
+                   CAST(sum(b_here) OVER (ORDER BY cents) AS BIGINT) AS cb
+            FROM pts
+        )
+        SELECT tot.na, tot.nb,
+               CAST(max(abs(cum.ca * tot.nb - cum.cb * tot.na)) AS BIGINT)
+                 AS d_num,
+               floor(max(abs(cum.ca * tot.nb - cum.cb * tot.na))
+                     / CAST(tot.na * tot.nb AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 AS d_stat
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.na, tot.nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between the click and "
+        "purchase value distributions — the NUMERIC drift companion to "
+        "token_drift_kl (categorical) and chi_square_type_hour "
+        "(contingency). The D statistic is computed in PURE INTEGER "
+        "arithmetic: ECDF differences ride as |ca*nb - cb*na| (exact "
+        "bigints; ca*nb tops out ~1e10 at sf1), the max is an integer, "
+        "and ONE final division produces D — no float ECDF accumulation "
+        "anywhere, so the oracle pins the exact supremum point count, "
+        "not a rounded trace. Plan: one scan -> per-value conditional "
+        "counts (map-combinable) -> one running-sum window over the "
+        "DISTINCT-value table (bounded by value cardinality, not corpus) "
+        "-> global max agg.",
+    tags=("analytics", "statistics", "drift"),
+)
+def ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "click").cast("int").alias("is_a"),
+    )
+    tot = c.agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("nb"),
+    )
+    pts = c.groupBy("cents").agg(
+        F.sum("is_a").cast("bigint").alias("a_here"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("b_here"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pts.select(
+        "cents",
+        F.sum("a_here").over(w).cast("bigint").alias("ca"),
+        F.sum("b_here").over(w).cast("bigint").alias("cb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return j.groupBy("na", "nb").agg(
+        F.max(diff).cast("bigint").alias("d_num"),
+        (F.floor(
+            F.max(diff) / (F.col("na") * F.col("nb")).cast("double")
+            * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("d_stat"),
+    )
