@@ -852,3 +852,109 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .cast("bigint").alias("n_rows_at_risk"),
         F.min("n").alias("min_class_size"),
     )
+
+
+@register(
+    "curation_reject_reasons",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks,
+                                       s -> CAST(length(s) AS BIGINT)))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS mean_tok_len,
+                   CASE WHEN len(toks) > 0
+                        THEN round(len(list_filter(toks,
+                                       s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS symbol_frac,
+                   CAST(len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'of', 'and', 'to'])) AS BIGINT)
+                     AS stop_hits
+            FROM t
+        ), flags AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END AS too_short,
+                   CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END AS too_long,
+                   CASE WHEN mean_tok_len < 2 OR mean_tok_len > 12
+                        THEN 1 ELSE 0 END AS bad_tok_len,
+                   CASE WHEN symbol_frac >= 0.1 THEN 1 ELSE 0 END AS symbolic,
+                   CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS no_stopwords
+            FROM m
+        )
+        SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM (
+            SELECT doc_id, 'too_short' AS reason FROM flags WHERE too_short = 1
+            UNION ALL
+            SELECT doc_id, 'too_long' FROM flags WHERE too_long = 1
+            UNION ALL
+            SELECT doc_id, 'bad_tok_len' FROM flags WHERE bad_tok_len = 1
+            UNION ALL
+            SELECT doc_id, 'symbolic' FROM flags WHERE symbolic = 1
+            UNION ALL
+            SELECT doc_id, 'no_stopwords' FROM flags WHERE no_stopwords = 1
+            UNION ALL
+            SELECT doc_id, 'PASS' FROM flags
+            WHERE too_short + too_long + bad_tok_len + symbolic
+                  + no_stopwords = 0
+        )
+        GROUP BY reason
+    """,
+    doc="Curation observability — WHY documents are rejected, not just "
+        "that they are: every gopher_rules gate becomes a tagged reason "
+        "row (a doc failing several gates counts under each; survivors "
+        "under PASS), with a doc_id-sum membership checksum per reason so "
+        "reason ASSIGNMENT is hash-checked. The answer to the question "
+        "every curation-pipeline operator gets asked ('what happened to "
+        "my documents?') and the input to threshold tuning "
+        "(adaptive_quality_filter is the automated half). One scan, "
+        "scan-local array HOFs, one small agg — the reason explode is "
+        "bounded at 5 flags + PASS per doc.",
+    tags=("curation", "quality", "observability"),
+)
+def curation_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "text")
+    flags = g.select(
+        "doc_id",
+        (F.col("n_tokens") < 5).cast("int").alias("too_short"),
+        (F.col("n_tokens") > 100000).cast("int").alias("too_long"),
+        ((F.col("mean_tok_len") < 2) | (F.col("mean_tok_len") > 12))
+        .cast("int").alias("bad_tok_len"),
+        (F.col("symbol_frac") >= 0.1).cast("int").alias("symbolic"),
+        (F.col("stop_hits") < 2).cast("int").alias("no_stopwords"),
+    )
+    reasons = flags.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(F.col("too_short") == 1, "too_short"),
+                    F.when(F.col("too_long") == 1, "too_long"),
+                    F.when(F.col("bad_tok_len") == 1, "bad_tok_len"),
+                    F.when(F.col("symbolic") == 1, "symbolic"),
+                    F.when(F.col("no_stopwords") == 1, "no_stopwords"),
+                    F.when(
+                        F.col("too_short") + F.col("too_long")
+                        + F.col("bad_tok_len") + F.col("symbolic")
+                        + F.col("no_stopwords") == 0,
+                        "PASS",
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("reason"),
+    )
+    return reasons.groupBy("reason").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )
