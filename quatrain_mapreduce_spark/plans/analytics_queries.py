@@ -1610,3 +1610,284 @@ def ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000 + F.lit(0.5)
         ) / 1000000).alias("d_stat"),
     )
+
+
+@register(
+    "auc_mann_whitney",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), tot AS (
+            SELECT CAST(sum(is_p) AS BIGINT) AS np,
+                   CAST(count(*) - sum(is_p) AS BIGINT) AS nn
+            FROM c
+        ), pts AS (
+            SELECT cents,
+                   CAST(sum(is_p) AS BIGINT) AS p_here,
+                   CAST(count(*) - sum(is_p) AS BIGINT) AS n_here
+            FROM c GROUP BY cents
+        ), cum AS (
+            SELECT cents, p_here, n_here,
+                   CAST(coalesce(sum(n_here) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS n_below
+            FROM pts
+        )
+        SELECT tot.np, tot.nn,
+               CAST(sum(cum.p_here * (2 * cum.n_below + cum.n_here))
+                    AS BIGINT) AS auc_num2,
+               floor(sum(cum.p_here * (2 * cum.n_below + cum.n_here))
+                     / CAST(2 * tot.np * tot.nn AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS auc
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.np, tot.nn
+    """,
+    doc="Exact ROC-AUC via the Mann-Whitney rank-sum identity — the "
+        "ranking-metric companion to ks_test_values over the same "
+        "click-vs-purchase framing: AUC = P(score_pos > score_neg) + "
+        "0.5*P(tie). The statistic rides as the INTEGER 2U = "
+        "sum over distinct scores of p_here*(2*n_below + n_here) (ties "
+        "contribute exactly half in doubled space, so no 0.5 floats "
+        "accumulate), pinned as auc_num2; ONE final division by 2*np*nn "
+        "yields AUC. Plan: one scan -> per-value conditional counts "
+        "(map-combinable) -> one running-sum window over the DISTINCT-"
+        "value table (bounded by score cardinality, not corpus) -> one "
+        "global agg. The shape every classifier-quality gate over a "
+        "curation corpus needs at 100 TB: no per-row ranking, no global "
+        "sort of the corpus.",
+    tags=("analytics", "statistics", "ml"),
+)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    tot = c.agg(
+        F.sum("is_p").cast("bigint").alias("np"),
+        (F.count("*") - F.sum("is_p")).cast("bigint").alias("nn"),
+    )
+    pts = c.groupBy("cents").agg(
+        F.sum("is_p").cast("bigint").alias("p_here"),
+        (F.count("*") - F.sum("is_p")).cast("bigint").alias("n_here"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    cum = pts.select(
+        "p_here", "n_here",
+        F.coalesce(F.sum("n_here").over(w), F.lit(0))
+         .cast("bigint").alias("n_below"),
+    )
+    num2 = F.sum(F.col("p_here") * (2 * F.col("n_below") + F.col("n_here")))
+    j = cum.crossJoin(F.broadcast(tot))
+    return j.groupBy("np", "nn").agg(
+        num2.cast("bigint").alias("auc_num2"),
+        (F.floor(
+            num2 / (2 * F.col("np") * F.col("nn")).cast("double")
+            * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("auc"),
+    )
+
+
+@register(
+    "spearman_rank_corr",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+            FROM lineitem
+        ), qv AS (
+            SELECT q, count(*) AS cnt FROM c GROUP BY q
+        ), qr AS (
+            SELECT q,
+                   CAST(2 * coalesce(sum(cnt) OVER (
+                       ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + cnt + 1 AS HUGEINT) AS r2
+            FROM qv
+        ), pv AS (
+            SELECT p, count(*) AS cnt FROM c GROUP BY p
+        ), pr AS (
+            SELECT p,
+                   CAST(2 * coalesce(sum(cnt) OVER (
+                       ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + cnt + 1 AS HUGEINT) AS r2
+            FROM pv
+        ), rr AS (
+            SELECT qr.r2 AS ra, pr.r2 AS rb
+            FROM c JOIN qr ON c.q = qr.q JOIN pr ON c.p = pr.p
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(ra) AS sa, sum(rb) AS sb,
+                   sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                   sum(ra * rb) AS sab
+            FROM rr
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * sab - sa * sb AS VARCHAR) AS cov_num,
+               floor(CAST(n * sab - sa * sb AS DOUBLE)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS rho
+        FROM m
+    """,
+    doc="Spearman rank correlation between lineitem quantity and price — "
+        "the MONOTONE-association companion to correlation_matrix "
+        "(Pearson, linear). Tie-averaged ranks ride in DOUBLED-integer "
+        "space (2*rank_avg = 2*count_below + count_equal + 1, always an "
+        "integer — the anomaly_mad doubling lesson), assigned from "
+        "running sums over the two DISTINCT-value tables (bounded by "
+        "value cardinality, never corpus-sorted), then rho = Pearson of "
+        "the doubled ranks: scale-invariance makes the doubling exact. "
+        "All five moments accumulate as decimal(38) (rank products reach "
+        "~1e21 at sf1 — int64 overflows, the feature_scaling lesson); "
+        "cov_num is pinned as an exact decimal STRING so the oracle "
+        "checks the integer covariance itself, not just 6dp rho. Plan: "
+        "one scan -> two value-table windows -> two value-keyed joins "
+        "back -> one moment agg.",
+    tags=("analytics", "statistics", "ml"),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+         .cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("bigint").alias("p"),
+    )
+
+    def ranks(col: str):
+        v = c.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return v.select(
+            col,
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+             + F.col("cnt") + 1).cast("decimal(38,0)").alias("r2"),
+        )
+
+    rr = (
+        c.join(ranks("q").withColumnRenamed("r2", "ra"), "q")
+         .join(ranks("p").withColumnRenamed("r2", "rb"), "p")
+         .select("ra", "rb")
+    )
+    m = rr.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("ra").alias("sa"), F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    cov = n * F.col("sab") - sa * sb
+    va = n * F.col("saa") - sa * sa
+    vb = n * F.col("sbb") - sb * sb
+    return m.select(
+        n.cast("bigint").alias("n"),
+        cov.cast("decimal(38,0)").cast("string").alias("cov_num"),
+        (F.floor(
+            cov.cast("double") / F.sqrt(va.cast("double") * vb.cast("double"))
+            * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("rho"),
+    )
+
+
+@register(
+    "basket_affinity",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS ok,
+                   CAST(l_partkey % 100 AS BIGINT) AS cat
+            FROM lineitem
+        ), nt AS (
+            SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b
+        ), ic AS (
+            SELECT cat, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY cat
+        ), pc AS (
+            SELECT a.cat AS cat_a, b2.cat AS cat_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM b a JOIN b b2 ON a.ok = b2.ok AND a.cat < b2.cat
+            GROUP BY a.cat, b2.cat
+        )
+        SELECT pc.cat_a, pc.cat_b, pc.n_ab,
+               ia.n_i AS n_a, ib.n_i AS n_b,
+               CAST(pc.n_ab * 1000000 // nt.n_orders AS BIGINT)
+                 AS support_ppm,
+               floor(pc.n_ab / CAST(ia.n_i AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 AS confidence,
+               floor(nt.n_orders * pc.n_ab
+                     / CAST(ia.n_i * ib.n_i AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000 AS lift
+        FROM pc
+        JOIN ic ia ON pc.cat_a = ia.cat
+        JOIN ic ib ON pc.cat_b = ib.cat
+        CROSS JOIN nt
+        WHERE pc.n_ab >= 5
+    """,
+    doc="Market-basket association rules (support / confidence / lift) "
+        "over part categories co-ordered within an order — the Apriori "
+        "pair pass, the retail twin of cooccurrence_lift (which mines "
+        "word pairs). Baskets group on the ORDER key (one shuffle), then "
+        "pair generation is SCAN-LOCAL over the sorted per-basket "
+        "category set (bounded by basket size, never a corpus self-join); "
+        "category counts and the basket total are broadcast back onto "
+        "the pair table. support_ppm is an exact integer division; "
+        "confidence and lift are single IEEE divisions of exact integer "
+        "counts, 6dp. At 100 TB the pair explode is Theta(sum k_b^2) "
+        "with k_b = basket size, a small constant in retail data — the "
+        "one-pass 'pairs' pattern of Lin & Dyer 2010 ch.3; the min-"
+        "support gate (n_ab >= 5) is the Apriori prune that keeps the "
+        "rule table broadcast-sized.",
+    tags=("analytics", "ml", "graph"),
+)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % 100).cast("bigint").alias("cat"),
+    ).distinct()
+    nt = b.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    ic = b.groupBy("cat").agg(F.count("*").cast("bigint").alias("n_i"))
+    baskets = b.groupBy("ok").agg(
+        F.sort_array(F.collect_set("cat")).alias("cats")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(F.transform(
+                F.col("cats"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("cats"), i + 2,
+                            F.size(F.col("cats"))),
+                    lambda y: F.struct(x.alias("cat_a"), y.alias("cat_b")),
+                ),
+            ))
+        ).alias("pr")
+    ).select("pr.cat_a", "pr.cat_b")
+    pc = (
+        pairs.groupBy("cat_a", "cat_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    ia = ic.select(F.col("cat").alias("cat_a"), F.col("n_i").alias("n_a"))
+    ib = ic.select(F.col("cat").alias("cat_b"), F.col("n_i").alias("n_b"))
+    j = (
+        pc.join(F.broadcast(ia), "cat_a")
+          .join(F.broadcast(ib), "cat_b")
+          .crossJoin(F.broadcast(nt))
+    )
+    return j.select(
+        "cat_a", "cat_b", "n_ab", "n_a", "n_b",
+        F.expr("(n_ab * 1000000) div n_orders").cast("bigint")
+         .alias("support_ppm"),
+        (F.floor(F.col("n_ab") / F.col("n_a").cast("double")
+                 * 1000000 + F.lit(0.5)) / 1000000).alias("confidence"),
+        (F.floor(F.col("n_orders") * F.col("n_ab")
+                 / (F.col("n_a") * F.col("n_b")).cast("double")
+                 * 1000000 + F.lit(0.5)) / 1000000).alias("lift"),
+    )

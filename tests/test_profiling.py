@@ -224,3 +224,58 @@ def test_anomaly_mad_approx_pipeline_matches_exact_at_test_scale(spark):
     ).collect()
     assert len(rows) > 0
     assert all(r["med_ok"] == 1 and r["mad_ok"] == 1 for r in rows)
+
+
+def test_auc_mann_whitney_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    # positives (purchase) cents {3, 1}; negatives (click) cents {2, 1}
+    # pairwise: 3>2 win, 3>1 win, 1<2 loss, 1=1 tie(0.5) -> AUC = 2.5/4
+    rows = [(1, "purchase", 0.03), (2, "purchase", 0.01),
+            (3, "click", 0.02), (4, "click", 0.01),
+            (5, "view", 9.99)]  # other types must be ignored
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["auc_mann_whitney"].fn(spark, str(tmp_path)).collect()
+    assert (r["np"], r["nn"]) == (2, 2)
+    assert r["auc_num2"] == 5  # 2U, ties count once in doubled space
+    assert r["auc"] == 0.625
+
+
+def test_spearman_hand_examples(spark, tmp_path):
+    # perfect inverse monotone (nonlinear spacing is irrelevant to rank corr)
+    from quatrain_mapreduce_spark.registry import all_queries
+    qs = all_queries()
+
+    def run(pairs):
+        rows = [(float(q), float(p)) for q, p in pairs]
+        spark.createDataFrame(
+            rows, "l_quantity double, l_extendedprice double"
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        [r] = qs["spearman_rank_corr"].fn(spark, str(tmp_path)).collect()
+        return r
+
+    r = run([(1, 99.0), (2, 5.0), (3, 0.01)])
+    assert r["rho"] == -1.0 and r["n"] == 3
+    # tie-averaged ranks: tied q values carry tied p values -> still rho=1
+    r = run([(1, 0.05), (1, 0.05), (2, 0.09), (3, 0.10)])
+    assert r["rho"] == 1.0
+    assert int(r["cov_num"]) > 0
+
+
+def test_basket_affinity_hand_example(spark, tmp_path):
+    # 6 orders contain categories {1,2}; a 7th holds only 1; a duplicate
+    # (order, part) row must NOT inflate counts (DISTINCT basket semantics)
+    rows = [(ok, cat) for ok in range(1, 7) for cat in (1, 2)]
+    rows += [(7, 1), (1, 1)]  # 7th basket + duplicate row in order 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["basket_affinity"].fn(spark, str(tmp_path)).collect()
+    assert (r["cat_a"], r["cat_b"], r["n_ab"], r["n_a"], r["n_b"]) == (
+        1, 2, 6, 7, 6)
+    assert r["support_ppm"] == 857142  # 6_000_000 div 7
+    assert r["confidence"] == 0.857143  # 6/7 rounded half-up at 6dp
+    assert r["lift"] == 1.0  # 7*6 / (7*6)
