@@ -525,3 +525,205 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_checksum",
         )
     )
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+        WITH spans AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS a_s,
+                   CAST(max(epoch_us(ts)) + 1 AS BIGINT) AS a_e
+            FROM events GROUP BY user_id, day
+        ), hourly AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) AS h,
+                   count(*) AS c
+            FROM events GROUP BY event_type, h
+        ), busy AS (
+            SELECT event_type, h FROM hourly WHERE c >= 5
+        ), isl AS (
+            SELECT event_type, h,
+                   h - row_number() OVER (
+                       PARTITION BY event_type ORDER BY h) AS grp
+            FROM busy
+        ), windows AS (
+            SELECT event_type,
+                   CAST(min(h) * {_HOUR_US} AS BIGINT) AS b_s,
+                   CAST((max(h) + 1) * {_HOUR_US} AS BIGINT) AS b_e
+            FROM isl GROUP BY event_type, grp
+        )
+        SELECT s.user_id, s.day, w.event_type,
+               w.b_s AS window_start_us,
+               CAST(least(s.a_e, w.b_e) - greatest(s.a_s, w.b_s) AS BIGINT)
+                 AS overlap_us
+        FROM spans s JOIN windows w
+          ON s.a_s < w.b_e AND w.b_s < s.a_e
+    """,
+    doc="Interval-interval overlap join with NO equi key — per-(user, day) "
+        "activity spans x per-type merged busy windows (hours with >= 5 "
+        "events, coalesced into maximal runs via the gaps-and-islands "
+        "row_number trick). The scale problem range_join_incidents solved "
+        "for point-in-interval, solved for interval-interval: each side "
+        "explodes into the HOUR bins it covers (sequence -> explode, "
+        "scan-local, bounded by interval length), the join runs as a hash "
+        "join on the bin id, and a distinct pass collapses the multi-bin "
+        "duplicates before the overlap predicate re-verifies exactly — "
+        "O(n+m) binned work where the BNL theta join the oracle runs is "
+        "O(n*m). Half-open [s, e) intervals in integer epoch-MICROS "
+        "(timezone-proof, the r5 NTZ lesson); overlap_us is exact integer "
+        "arithmetic. The busy-window side is a value-cardinality table "
+        "(types x hours), never corpus-sized.",
+    tags=("temporal", "join"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    spans = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            us.alias("ts_us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("ts_us").cast("bigint").alias("a_s"),
+            (F.max("ts_us") + 1).cast("bigint").alias("a_e"),
+        )
+    )
+    hourly = (
+        ev.select("event_type", F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    from pyspark.sql import Window as W
+    grp = (F.col("h") - F.row_number().over(
+        W.partitionBy("event_type").orderBy("h"))).alias("grp")
+    windows = (
+        hourly.select("event_type", "h", grp)
+        .groupBy("event_type", "grp")
+        .agg(
+            (F.min("h") * _HOUR_US).cast("bigint").alias("b_s"),
+            ((F.max("h") + 1) * _HOUR_US).cast("bigint").alias("b_e"),
+        )
+        .drop("grp")
+    )
+    # bin both sides into covered hours; half-open ends use (e-1) div hour
+    sb = spans.withColumn(
+        "h", F.explode(F.sequence(
+            F.expr(f"a_s div {_HOUR_US}"), F.expr(f"(a_e - 1) div {_HOUR_US}")))
+    )
+    wb = windows.withColumn(
+        "h", F.explode(F.sequence(
+            F.expr(f"b_s div {_HOUR_US}"), F.expr(f"(b_e - 1) div {_HOUR_US}")))
+    )
+    cand = (
+        sb.join(wb, "h")
+        .select("user_id", "day", "event_type", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+    )
+    return cand.where(
+        (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    ).select(
+        "user_id", "day", "event_type",
+        F.col("b_s").alias("window_start_us"),
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+        .cast("bigint").alias("overlap_us"),
+    )
+
+
+_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "attribution_multitouch",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS click_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS cts
+            FROM events WHERE event_type = 'click'
+        ), touch AS (
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   CAST(count(*) OVER w AS BIGINT) AS k,
+                   CAST(row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.cts DESC, c.click_id DESC) AS BIGINT)
+                     AS rn_latest
+            FROM p JOIN c
+              ON p.user_id = c.user_id
+             AND c.cts <= p.pts
+             AND c.cts > p.pts - {_LOOKBACK_US}
+            WINDOW w AS (PARTITION BY p.purchase_id)
+        ), credit AS (
+            SELECT user_id, click_id,
+                   1000000 // k
+                   + CASE WHEN rn_latest = 1
+                          THEN 1000000 - (1000000 // k) * k
+                          ELSE 0 END AS ppm
+            FROM touch
+        )
+        SELECT user_id, click_id,
+               CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM credit GROUP BY user_id, click_id
+    """,
+    doc="Linear multi-touch attribution — every purchase splits exactly "
+        "1,000,000 ppm of credit across the user's clicks in the "
+        "preceding 7 days (inclusive of the purchase instant), remainder "
+        "to the LATEST touch (event_id tie-break) so per-purchase credit "
+        "sums to exactly 1e6 with zero float leakage. The many-to-many "
+        "generalization of the as-of join (asof_join_events credits only "
+        "the last touch): the time predicate rides on a USER-equi-keyed "
+        "join — one shuffle pair, per-user work bounded by events/user, "
+        "never a BNL theta join — then per-purchase k and latest-rank "
+        "come from one purchase-keyed window. Conservation (sum of "
+        "credit == 1e6 * attributed purchases) is pytest-pinned; the "
+        "oracle hash-checks per-click integer credit.",
+    tags=("temporal", "analytics"),
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.unix_micros("ts").cast("bigint").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").cast("bigint").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - _LOOKBACK_US),
+    )
+    wk = W.partitionBy("purchase_id")
+    wr = W.partitionBy("purchase_id").orderBy(
+        F.col("cts").desc(), F.col("click_id").desc())
+    credit = touch.select(
+        "user_id", "click_id",
+        F.count("*").over(wk).cast("bigint").alias("k"),
+        F.row_number().over(wr).cast("bigint").alias("rn_latest"),
+    ).select(
+        "user_id", "click_id",
+        (F.expr("1000000 div k")
+         + F.when(F.col("rn_latest") == 1,
+                  1000000 - F.expr("1000000 div k") * F.col("k"))
+          .otherwise(F.lit(0))).alias("ppm"),
+    )
+    return credit.groupBy("user_id", "click_id").agg(
+        F.sum("ppm").cast("bigint").alias("credit_ppm"),
+        F.count("*").cast("bigint").alias("n_purchases"),
+    )

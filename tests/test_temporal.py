@@ -221,3 +221,77 @@ def test_cohort_retention_triangle(spark):
     assert got[0]["n_active"] == 2 and got[0]["cohort_size"] == 2
     assert got[0]["ret_r"] == 1.0
     assert got[1]["n_active"] == 1 and got[1]["ret_r"] == 0.5
+
+
+def test_interval_overlap_join_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    H = 3600 * 1_000_000
+    M = 60 * 1_000_000
+    rows = []
+    eid = 0
+
+    def ev(user, us, typ):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, us, user, typ))
+
+    # hour 0: user 1 alone, 2 views -> NOT busy, span [10m, 20m+1us)
+    ev(1, 10 * M, "view")
+    ev(1, 20 * M, "view")
+    # hours 1..3: 5 clicks each from disjoint users -> one MERGED busy
+    # window [1h, 4h) for 'click' (gaps-and-islands coalescing)
+    users = iter(range(2, 18))
+    for h in (1, 2, 3):
+        for _ in range(5):
+            ev(next(users), h * H, "click")
+    # user 100: span [1h30m, 3h30m+1us) crosses the merged window interior
+    ev(100, H + 30 * M, "view")
+    ev(100, 3 * H + 30 * M, "view")
+    spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = all_queries()["interval_overlap_join"].fn(
+        spark, str(tmp_path)).collect()
+    assert len(out) == 16  # 15 click-point spans + user 100; user 1 absent
+    assert all(r["overlap_us"] > 0 for r in out)
+    assert all(r["window_start_us"] == H and r["event_type"] == "click"
+               for r in out)
+    assert not any(r["user_id"] == 1 for r in out)
+    [u100] = [r for r in out if r["user_id"] == 100]
+    # min(3h30m+1us, 4h) - max(1h30m, 1h) = exactly 2h + 1us
+    assert u100["overlap_us"] == 2 * H + 1
+
+
+def test_attribution_multitouch_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    D = 86400 * 1_000_000
+    rows = [
+        # user 1: clicks 11@100us, 12@200us; purchases 21@250us, 22@150us
+        (11, 100, 1, "click"), (12, 200, 1, "click"),
+        (21, 250, 1, "purchase"), (22, 150, 1, "purchase"),
+        # user 2: 3 clicks -> 333333 each, +1 remainder to the LATEST
+        (31, 10, 2, "click"), (32, 20, 2, "click"), (33, 30, 2, "click"),
+        (41, 40, 2, "purchase"),
+        # user 3: click outside the 7-day lookback -> no credit row
+        (51, 0, 3, "click"), (61, 8 * D, 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "user_id", "event_type").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {(r["user_id"], r["click_id"]): (r["credit_ppm"], r["n_purchases"])
+           for r in all_queries()["attribution_multitouch"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {
+        (1, 11): (1_500_000, 2),  # 500k from purchase 21 + full 1M from 22
+        (1, 12): (500_000, 1),
+        (2, 31): (333_333, 1), (2, 32): (333_333, 1),
+        (2, 33): (333_334, 1),  # remainder lands on the latest touch
+    }
+    # conservation: every attributed purchase hands out exactly 1e6 ppm
+    assert sum(c for c, _ in out.values()) == 3 * 1_000_000
