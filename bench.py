@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "profile_orders_hll",  # HLL profile swap, Expand-free production path (new r7)
     "anomaly_mad_approx",  # KLL-median MAD swap, exact+sketch gated (new r7)
     "sql_qcorpus_joins",   # clientpositive join3-8 outer-join matrix (new r7)
+    "interval_overlap_join",  # interval-interval overlap via hour binning (new r7)
+    "basket_affinity",     # Apriori pair pass: scan-local basket explode (new r7)
 ]
 
 

@@ -129,7 +129,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   skew_diagnosis, token_drift_kl, tpch_q5_shape,
 #   pandas_udaf_weighted_avg, window_value_funcs, feature_scaling,
 #   correlation_matrix, entity_resolution_clusters, seasonal_decompose,
-#   ks_test_values, stream_drift_monitor, curation_reject_reasons
+#   ks_test_values, stream_drift_monitor, curation_reject_reasons,
+#   auc_mann_whitney, spearman_rank_corr, basket_affinity,
+#   interval_overlap_join, attribution_multitouch
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
 # and profile_orders_hll are rows-only by design — iterative argmax /
 # float-codebook index metadata / engine-specific HLL estimates; each

@@ -273,3 +273,31 @@ def test_distribute_sort_by_is_partial_sort(spark, sf_dir):
     # Sort's second argument is the global flag: partial sort prints false
     assert "], false, 0" in plan or "], false\n" in plan or ", false," in plan
     assert "rangepartitioning" not in plan
+
+
+def test_interval_overlap_join_is_binned_hash_join(spark, sf_dir):
+    """interval_overlap_join's doc claims the interval-interval theta
+    predicate rides a hash/merge join on the hour-bin key — a nested-loop
+    over the two interval tables would be the O(n*m) plan the binning
+    exists to avoid."""
+    p = plan_of(spark, sf_dir, "interval_overlap_join")
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
+
+
+def test_attribution_join_extracts_user_equi_key(spark, sf_dir):
+    """attribution_multitouch's 7-day time predicate must ride as a post-
+    condition on a USER-equi-keyed join (Catalyst extracts the equality),
+    never as a nested-loop theta join over purchases x clicks."""
+    p = plan_of(spark, sf_dir, "attribution_multitouch")
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_basket_affinity_broadcasts_stats_onto_pairs(spark, sf_dir):
+    """basket_affinity's category counts and basket total are broadcast-
+    sized by construction (bounded vocab); the pair table must pick them
+    up via broadcast joins — a shuffle join on the rule table would add
+    three needless exchanges."""
+    p = plan_of(spark, sf_dir, "basket_affinity")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
