@@ -1891,3 +1891,142 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (F.col("n_a") * F.col("n_b")).cast("double")
                  * 1000000 + F.lit(0.5)) / 1000000).alias("lift"),
     )
+
+
+@register(
+    "calibration_bins",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), b AS (
+            SELECT CAST(min(cents) AS BIGINT) AS lo,
+                   CAST(max(cents) - min(cents) + 1 AS BIGINT) AS width
+            FROM c
+        )
+        SELECT CAST((c.cents - b.lo) * 10 // b.width AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c.is_p) AS BIGINT) AS n_pos,
+               floor(sum(c.is_p) / CAST(count(*) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS pos_rate,
+               floor(sum(c.cents) / CAST(count(*) AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS mean_cents
+        FROM c CROSS JOIN b
+        GROUP BY bin
+    """,
+    doc="Classifier calibration table — the reliability-diagram input "
+        "behind auc_mann_whitney's single number: scores land in 10 "
+        "equal-width bins over the observed [min, max] range (bin edges "
+        "are INTEGER arithmetic on cents — (cents-lo)*10 div width — so "
+        "bin ASSIGNMENT is exact, no float-edge membership flips), and "
+        "each bin reports empirical positive rate and mean score as "
+        "single exact-integer-ratio divisions. Plan: one scan -> one "
+        "2-value global agg broadcast back -> one 10-row group agg; "
+        "everything map-combinable, the bin table is O(10) regardless of "
+        "corpus size.",
+    tags=("analytics", "statistics", "ml"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    b = c.agg(
+        F.min("cents").cast("bigint").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).cast("bigint").alias("width"),
+    )
+    j = c.crossJoin(F.broadcast(b))
+    return (
+        j.select(
+            F.expr("((cents - lo) * 10) div width").cast("bigint").alias("bin"),
+            "is_p", "cents",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("is_p").cast("bigint").alias("n_pos"),
+            (F.floor(F.sum("is_p") / F.count("*").cast("double")
+                     * 1000000 + F.lit(0.5)) / 1000000).alias("pos_rate"),
+            (F.floor(F.sum("cents") / F.count("*").cast("double")
+                     * 10000 + F.lit(0.5)) / 10000).alias("mean_cents"),
+        )
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, h
+        ), cum AS (
+            SELECT event_type, h, c,
+                   CAST(row_number() OVER w AS BIGINT) AS k,
+                   CAST(sum(c) OVER w AS BIGINT) AS sk,
+                   CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ), scored AS (
+            SELECT event_type, h, n,
+                   abs(n * sk - k * s) AS stat,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(n * sk - k * s) DESC, h) AS rn
+            FROM cum
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_points,
+               CAST(h AS BIGINT) AS cp_hour,
+               CAST(stat AS BIGINT) AS cusum_num
+        FROM scored WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection over each event type's hourly count "
+        "series — WHERE did the level shift, the follow-up question to "
+        "the drift monitors (token_drift_kl says THAT it drifted, this "
+        "says WHEN). The classic centered CUSUM S_k - k*mean rides "
+        "cross-multiplied as the INTEGER |n*S_k - k*S| (the ks_test "
+        "trick — no float mean subtraction accumulates), the argmax is "
+        "deterministic (stat DESC, hour ASC), and the winning statistic "
+        "is pinned exactly. Plan: one scan -> map-combinable (type, "
+        "hour) counts -> windows over the hours-x-types table (bounded "
+        "by time-bucket cardinality, never corpus) -> one row per type.",
+    tags=("analytics", "statistics", "drift"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type",
+                  F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("h") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type", "h",
+        F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+         .cast("bigint").alias("k"),
+        F.sum("c").over(w).cast("bigint").alias("sk"),
+        F.sum("c").over(wall).cast("bigint").alias("s"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("s"))
+    scored = cum.select(
+        "event_type", "h", "n", stat.alias("stat"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(stat.desc(), F.col("h"))
+        ).alias("rn"),
+    )
+    return scored.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        F.col("h").alias("cp_hour"),
+        F.col("stat").cast("bigint").alias("cusum_num"),
+    )

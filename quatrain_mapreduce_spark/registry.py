@@ -131,7 +131,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   correlation_matrix, entity_resolution_clusters, seasonal_decompose,
 #   ks_test_values, stream_drift_monitor, curation_reject_reasons,
 #   auc_mann_whitney, spearman_rank_corr, basket_affinity,
-#   interval_overlap_join, attribution_multitouch
+#   interval_overlap_join, attribution_multitouch, calibration_bins,
+#   cusum_changepoint
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
 # and profile_orders_hll are rows-only by design — iterative argmax /
 # float-codebook index metadata / engine-specific HLL estimates; each

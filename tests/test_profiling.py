@@ -279,3 +279,45 @@ def test_basket_affinity_hand_example(spark, tmp_path):
     assert r["support_ppm"] == 857142  # 6_000_000 div 7
     assert r["confidence"] == 0.857143  # 6/7 rounded half-up at 6dp
     assert r["lift"] == 1.0  # 7*6 / (7*6)
+
+
+def test_calibration_bins_hand_example(spark, tmp_path):
+    # cents span exactly 0..9 -> width 10, so bin == cents (exact edges)
+    rows = [(1, "click", 0.00), (2, "click", 0.00), (3, "purchase", 0.00),
+            (4, "purchase", 0.09), (5, "purchase", 0.09),
+            (6, "view", 0.05)]  # ignored type
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["bin"]: r for r in all_queries()["calibration_bins"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 9}
+    assert (out[0]["n"], out[0]["n_pos"]) == (3, 1)
+    assert out[0]["pos_rate"] == 0.333333  # floor(1/3 * 1e6 + 0.5)/1e6
+    assert out[0]["mean_cents"] == 0.0
+    assert (out[9]["n"], out[9]["n_pos"], out[9]["pos_rate"]) == (2, 2, 1.0)
+    assert out[9]["mean_cents"] == 9.0
+
+
+def test_cusum_changepoint_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    H = 3600 * 1_000_000
+    # type A: rate 1/hour for hours 0-3, then 5/hour for hours 4-7 ->
+    # |n*S_k - k*S| peaks at k=4 (hour 3), the last pre-shift point
+    rows = []
+    eid = 0
+    for h in range(8):
+        for _ in range(1 if h < 4 else 5):
+            eid += 1
+            rows.append((eid, h * H, "A"))
+    spark.createDataFrame(
+        rows, "event_id long, us long, event_type string"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "event_type").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["cusum_changepoint"].fn(spark, str(tmp_path)).collect()
+    assert (r["event_type"], r["n_points"]) == ("A", 8)
+    assert r["cp_hour"] == 3
+    assert r["cusum_num"] == 64  # |8*4 - 4*24| with S_4=4, S=24
