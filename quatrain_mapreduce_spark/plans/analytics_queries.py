@@ -1740,10 +1740,13 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the MONOTONE-association companion to correlation_matrix "
         "(Pearson, linear). Tie-averaged ranks ride in DOUBLED-integer "
         "space (2*rank_avg = 2*count_below + count_equal + 1, always an "
-        "integer — the anomaly_mad doubling lesson), assigned from "
-        "running sums over the two DISTINCT-value tables (bounded by "
-        "value cardinality, never corpus-sorted), then rho = Pearson of "
-        "the doubled ranks: scale-invariance makes the doubling exact. "
+        "integer — the anomaly_mad doubling lesson), assigned by a "
+        "RANGE-PARTITIONED two-phase prefix sum over each DISTINCT-value "
+        "table (per-bucket running sums in parallel + broadcast exclusive "
+        "bucket offsets, the training_export pattern — a near-unique "
+        "column makes the value table corpus-sized, so a global window "
+        "would serialize into one task), then rho = Pearson of the "
+        "doubled ranks: scale-invariance makes the doubling exact. "
         "All five moments accumulate as decimal(38) (rank products reach "
         "~1e21 at sf1 — int64 overflows, the feature_scaling lesson); "
         "cov_num is pinned as an exact decimal STRING so the oracle "
@@ -1763,20 +1766,48 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").alias("p"),
     )
 
-    def ranks(col: str):
-        v = c.groupBy(col).agg(F.count("*").alias("cnt"))
-        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-        return v.select(
-            col,
-            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-             + F.col("cnt") + 1).cast("decimal(38,0)").alias("r2"),
-        )
-
-    rr = (
-        c.join(ranks("q").withColumnRenamed("r2", "ra"), "q")
-         .join(ranks("p").withColumnRenamed("r2", "rb"), "p")
-         .select("ra", "rb")
+    bounds = c.agg(
+        F.min("q").alias("qlo"), F.max("q").alias("qhi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
     )
+    c = c.crossJoin(F.broadcast(bounds))
+
+    def with_rank(df: DataFrame, col: str, lo: str, hi: str,
+                  out: str) -> DataFrame:
+        # Distributed PER-ROW rank assignment: a near-unique column
+        # (price cents) makes the distinct-value table corpus-sized, so
+        # both a global running-sum window (serializes into one task)
+        # and a rank-table join back (corpus-corpus SMJ) are scale
+        # traps. Instead: bucket rows by DETERMINISTIC equal-width value
+        # arithmetic over the broadcast [min, max] (order-preserving,
+        # branch-consistent — range-partitioner sampling is not), count
+        # strictly-below / tied rows with RANGE-frame windows inside
+        # each bucket in parallel, and add the tiny per-bucket exclusive
+        # row-count offsets back via broadcast — the training_export
+        # offset pattern, no join on the data key.
+        bkt = F.expr(f"(({col} - {lo}) * 64) div ({hi} - {lo} + 1)")
+        d = df.withColumn("bkt", bkt)
+        wb = W.partitionBy("bkt").orderBy(col) \
+              .rangeBetween(W.unboundedPreceding, -1)
+        we = W.partitionBy("bkt").orderBy(col).rangeBetween(0, 0)
+        loc = d.withColumn("below_loc", F.count("*").over(wb)) \
+               .withColumn("cnt_eq", F.count("*").over(we))
+        woff = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        offs = (
+            d.groupBy("bkt").agg(F.count("*").alias("tot"))
+            .select("bkt",
+                    F.coalesce(F.sum("tot").over(woff), F.lit(0)).alias("off"))
+        )
+        return loc.join(F.broadcast(offs), "bkt").withColumn(
+            out,
+            (2 * (F.col("below_loc") + F.col("off"))
+             + F.col("cnt_eq") + 1).cast("decimal(38,0)"),
+        ).drop("bkt", "below_loc", "cnt_eq", "off")
+
+    rr = with_rank(
+        with_rank(c, "q", "qlo", "qhi", "ra"),
+        "p", "plo", "phi", "rb",
+    ).select("ra", "rb")
     m = rr.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("ra").alias("sa"), F.sum("rb").alias("sb"),
