@@ -128,3 +128,53 @@ def bfs_distances(
         visited = visited.unionAll(nxt).persist()
         frontier = nxt
     return visited
+
+
+def k_core_vertices(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which every
+    vertex has degree >= k, found by iterative peeling (Matula & Beck 1983;
+    the Batagelj-Zaversnik sequential algorithm's distributed fixpoint
+    twin). Returns (vertex, core_degree) for surviving vertices, with
+    core_degree the vertex's degree INSIDE the core.
+
+    Completes the graph-cohesion tier: components (connectivity), BFS
+    (reachability), triangles (local clustering) — k-core is the global
+    density primitive behind community seeding and spam-farm detection.
+
+    Scale design: each peel round is one map-combinable degree count over
+    the LIVE edge set plus two broadcast-able anti-joins removing the
+    sub-k vertices' edges; work per round is proportional to the remaining
+    edges, and the number of rounds is bounded by ``max_iter`` (peeling
+    depth in practice is tiny — each round removes a full "shell" layer,
+    and the loop exits early on the first round that removes nothing: the
+    fixpoint check is a 1-row count, the components-convergence
+    convention, not per-row driver state).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().persist()
+
+    live = sym
+    for _ in range(max_iter):
+        deg = live.groupBy("a").agg(F.count("*").alias("deg"))
+        bad = deg.where(F.col("deg") < k).select("a").persist()
+        if bad.limit(1).count() == 0:
+            bad.unpersist()
+            break
+        nxt = (
+            live.join(bad, "a", "left_anti")
+            .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the parent cache
+        live.unpersist()
+        bad.unpersist()
+        live = nxt
+    return live.groupBy("a").agg(F.count("*").cast("bigint").alias("core_degree")) \
+               .select(F.col("a").alias("vertex"), "core_degree")

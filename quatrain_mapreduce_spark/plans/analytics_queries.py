@@ -2061,3 +2061,220 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("cp_hour"),
         F.col("stat").cast("bigint").alias("cusum_num"),
     )
+
+
+@register(
+    "k_core_members",
+    # no oracle: k-core peeling is an anti-monotone fixpoint — not
+    # expressible as a recursive CTE (which can only append rows, never
+    # re-aggregate the shrinking edge set). Parity is pytest-gated: a
+    # hand graph (K4 + pendant chain) and an independent pure-Python peel
+    # over the sf0.001 co-purchase graph must match exactly.
+    doc="3-core of the user co-purchase graph (users sharing an item, the "
+        "triangle_count edge set) via distributed iterative peeling — the "
+        "global-density cohesion primitive completing the graph tier: "
+        "components (connectivity), BFS (reachability), triangles (local "
+        "clustering), k-core (global density). Each round: one map-"
+        "combinable degree count + two anti-joins dropping sub-k "
+        "vertices' edges; per-round work shrinks with the live edge set, "
+        "early-exit on the first no-removal round (1-row count, the "
+        "components convergence convention). Output is (vertex, "
+        "core_degree) with degree measured INSIDE the core.",
+    tags=("graph", "analytics"),
+)
+def k_core_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import k_core_vertices
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item"))
+               & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    return k_core_vertices(edges, k=3)
+
+
+# Benford first-digit expectation log10(1+1/d), in exact ppm (sums to 1e6)
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+                45757)
+
+
+@register(
+    "benford_digits",
+    oracle=f"""
+        WITH c AS (
+            SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                          AS BIGINT) AS VARCHAR), 1, 1) AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        ), n AS (
+            SELECT CAST(count(*) AS BIGINT) AS total FROM c
+        ), exp AS (
+            SELECT CAST(d AS VARCHAR) AS digit,
+                   CAST([{', '.join(str(p) for p in _BENFORD_PPM)}][d]
+                        AS BIGINT) AS expected_ppm
+            FROM generate_series(1, 9) t(d)
+        )
+        SELECT exp.digit, exp.expected_ppm,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+               CAST(CAST(coalesce(o.n, 0) * 1000000
+                         - n.total * exp.expected_ppm AS HUGEINT)
+                    * CAST(coalesce(o.n, 0) * 1000000
+                           - n.total * exp.expected_ppm AS HUGEINT)
+                    // CAST(n.total * exp.expected_ppm AS HUGEINT)
+                 AS BIGINT) AS chi_term_scaled
+        FROM exp
+        LEFT JOIN (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                   FROM c GROUP BY digit) o
+          ON exp.digit = o.digit
+        CROSS JOIN n
+    """,
+    doc="Benford's-law first-digit audit over order totals — the fraud / "
+        "synthetic-data smell test (Benford 1938; Nigrini's forensic "
+        "accounting use). Expected frequencies ride as INTEGER ppm "
+        "literals (log10(1+1/d) pre-rounded so no engine computes a log), "
+        "and each digit's chi-square contribution is emitted per-row as "
+        "chi_term_scaled = (n_d*1e6 - N*e_ppm)^2 div (N*e_ppm) — exact "
+        "integer arithmetic end to end, no float sum across digits whose "
+        "ordering could ulp-diverge (divide by 1e6 to read the usual "
+        "statistic). The digit grid is generated, not aggregated, so "
+        "zero-count digits still report. Plan: one scan -> 9-group "
+        "map-combinable count -> broadcast joins on the 9-row grid.",
+    tags=("analytics", "statistics", "quality"),
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    c = od.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+             .cast("bigint").cast("string"), 1, 1).alias("digit")
+    )
+    n = c.agg(F.count("*").cast("bigint").alias("total"))
+    obs = c.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    exp = spark.range(1, 10).select(
+        F.col("id").cast("string").alias("digit"),
+        F.element_at(F.array(*[F.lit(p) for p in _BENFORD_PPM]),
+                     F.col("id").cast("int")).cast("bigint")
+         .alias("expected_ppm"),
+    )
+    j = (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit", "expected_ppm",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "total",
+        )
+    )
+    jj = j.withColumn(
+        "dev",
+        (F.col("n") * 1000000 - F.col("total") * F.col("expected_ppm"))
+        .cast("decimal(38,0)"),
+    )
+    return jj.select(
+        "digit", "expected_ppm", "n",
+        F.expr("(dev * dev) div (CAST(total AS DECIMAL(38,0))"
+               " * CAST(expected_ppm AS DECIMAL(38,0)))")
+         .cast("bigint").alias("chi_term_scaled"),
+    )
+
+
+@register(
+    "gini_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), v AS (
+            SELECT cents, CAST(count(*) AS HUGEINT) AS c FROM spend
+            GROUP BY cents
+        ), cum AS (
+            SELECT cents, c,
+                   coalesce(sum(c) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS b
+            FROM v
+        ), tot AS (
+            SELECT CAST(sum(c) AS HUGEINT) AS n,
+                   CAST(sum(CAST(cents AS HUGEINT) * c) AS HUGEINT) AS s
+            FROM v
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_customers,
+               CAST(tot.s AS VARCHAR) AS total_cents,
+               floor(CAST(sum(CAST(cum.cents AS HUGEINT)
+                             * (2 * cum.c * cum.b + cum.c * (cum.c + 1)
+                                - (tot.n + 1) * cum.c)) AS DOUBLE)
+                     / CAST(tot.n * tot.s AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS gini
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.n, tot.s
+    """,
+    doc="Gini coefficient of per-customer spend — the inequality / "
+        "concentration metric a corpus curator runs on per-source token "
+        "shares before setting mixture weights (source_mixture's "
+        "diagnostic half). The sorted-index identity G = sum (2i-n-1)x_(i) "
+        "/ (n*sum x) evaluates per DISTINCT value: a tied block at "
+        "below-count b with multiplicity c contributes x*(2cb + c(c+1) - "
+        "(n+1)c) regardless of the internal order of ties, so the whole "
+        "numerator is ONE exact wide-integer sum over the value table "
+        "(decimal(38)/HUGEINT — value*index products overflow int64 at "
+        "scale) and ONE final division yields G. total_cents is pinned "
+        "as an exact integer string. Plan: per-customer agg (one "
+        "shuffle), value-table running sum (the ks_test window-over-"
+        "values shape; the spearman bucketed rewrite is the documented "
+        "swap if spend values go near-unique at 100 TB), one global agg.",
+    tags=("analytics", "statistics", "quality"),
+)
+def gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+               .cast("bigint")).cast("bigint").alias("cents")
+    )
+    v = spend.groupBy("cents").agg(
+        F.count("*").cast("decimal(38,0)").alias("c"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    cum = v.select(
+        "cents", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0).cast("decimal(38,0)"))
+         .alias("b"),
+    )
+    tot = v.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("c"))
+         .cast("decimal(38,0)").alias("s"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    contrib = F.col("cents").cast("decimal(38,0)") * (
+        2 * F.col("c") * F.col("b") + F.col("c") * (F.col("c") + 1)
+        - (F.col("n") + 1) * F.col("c")
+    )
+    return j.groupBy("n", "s").agg(
+        (F.floor(
+            F.sum(contrib).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+            * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("gini"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("decimal(38,0)").cast("string").alias("total_cents"),
+        "gini",
+    )

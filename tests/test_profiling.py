@@ -321,3 +321,89 @@ def test_cusum_changepoint_hand_example(spark, tmp_path):
     assert (r["event_type"], r["n_points"]) == ("A", 8)
     assert r["cp_hour"] == 3
     assert r["cusum_num"] == 64  # |8*4 - 4*24| with S_4=4, S=24
+
+
+def test_benford_digits_hand_example(spark, tmp_path):
+    # cents 100, 100, 900 -> digits 1,1,9; all other digits report n=0
+    rows = [(1, 1.00), (2, 1.00), (3, 9.00), (4, 0.0)]  # 0 excluded
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from quatrain_mapreduce_spark.plans.analytics_queries import _BENFORD_PPM
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["digit"]: r for r in all_queries()["benford_digits"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {str(d) for d in range(1, 10)}
+    counts = {"1": 2, "9": 1}
+    total = 3
+    for d in range(1, 10):
+        r = out[str(d)]
+        n = counts.get(str(d), 0)
+        e = _BENFORD_PPM[d - 1]
+        assert r["n"] == n and r["expected_ppm"] == e
+        dev = n * 1_000_000 - total * e
+        assert r["chi_term_scaled"] == (dev * dev) // (total * e)
+
+
+def test_gini_spend_hand_examples(spark, tmp_path):
+    from quatrain_mapreduce_spark.registry import all_queries
+    qs = all_queries()
+
+    def run(totals):
+        rows = [(i, i, float(t)) for i, t in enumerate(totals)]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        [r] = qs["gini_spend"].fn(spark, str(tmp_path)).collect()
+        return r
+
+    r = run([1.00, 1.00, 4.00])  # sorted (100,100,400): G = 600/1800
+    assert (r["n_customers"], r["total_cents"]) == (3, "600")
+    assert r["gini"] == 0.333333
+    r = run([2.50] * 5)  # perfect equality
+    assert r["gini"] == 0.0
+
+
+def test_k_core_hand_graph_and_python_parity(spark, sf_dir):
+    from quatrain_mapreduce_spark.operators.graph import k_core_vertices
+    # K4 on {1,2,3,4} + pendant chain 4-5-6: the 3-core is exactly K4
+    e = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e += [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = {r["vertex"]: r["core_degree"]
+           for r in k_core_vertices(edges, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # independent pure-Python peel over the sf0.001 co-purchase graph
+    from quatrain_mapreduce_spark.registry import all_queries
+    got = {r["vertex"]: r["core_degree"]
+           for r in all_queries()["k_core_members"].fn(
+               spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+    from quatrain_mapreduce_spark.catalog import load_table
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (F.get_json_object("props", "$.k").cast("int") * 100
+             + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+             ).alias("item"))
+        .distinct())
+    x, y = bip.alias("x"), bip.alias("y")
+    pairs = (x.join(y, (F.col("x.item") == F.col("y.item"))
+                    & (F.col("x.u") < F.col("y.u")))
+             .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+             .distinct().collect())
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < 3]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    want = {v: len(ns) for v, ns in adj.items()}
+    assert got == want
