@@ -2278,3 +2278,62 @@ def gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("decimal(38,0)").cast("string").alias("total_cents"),
         "gini",
     )
+
+
+@register(
+    "incremental_join_merge",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Incremental JOIN-view maintenance — the join twin of "
+        "incremental_rollup_merge's aggregate tier, the textbook delta "
+        "algebra d(A JOIN B) = dA JOIN B + A_old JOIN dB (+ dA JOIN dB, "
+        "covered because dA joins the FULL dim): the staged view holds "
+        "old-orders JOIN old-customers (built once, persisted as "
+        "parquet); the serving query unions it with (1) fresh orders "
+        "joined against the whole dim and (2) old orders joined against "
+        "the late-arriving dim slice (c_custkey % 20 == 0 plays dB) — "
+        "history-x-history is never recomputed. The oracle recomputes "
+        "the whole join flat, proving merge == rescan row-for-row. At "
+        "100 TB: dA is one date partition, dB is a broadcast-sized dim "
+        "delta, and the A_old-x-dB term is a broadcast probe of the "
+        "staged fact's join column — the three delta terms cost "
+        "delta-proportional work while a flat refresh rescans the fact "
+        "table. An updating/deleting dim needs the CDC compaction tier "
+        "(cdc_apply_orders) upstream of this merge.",
+    tags=("analytics", "incremental", "join"),
+)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    cutoff_us = 9862 * 86_400_000_000  # 1997-01-01 UTC
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+             .cast("bigint").alias("cents")
+
+    def joined(orders_df, cust_df):
+        return orders_df.join(
+            cust_df, F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", cents)
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    # NTZ-safe epoch (the r5 lesson): o_orderdate reads as TIMESTAMP_NTZ
+    od_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate)"
+    )
+    is_old = od_us < cutoff_us
+    is_late_dim = F.col("c_custkey") % 20 == 0
+
+    d = stage_dir(sf_dir, "joinview97")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        joined(od.where(is_old), cu.where(~is_late_dim)) \
+            .write.mode("overwrite").parquet(d)
+    staged = spark.read.parquet(d)
+    delta_fact = joined(od.where(~is_old), cu)
+    late_dim = joined(od.where(is_old), F.broadcast(cu.where(is_late_dim)))
+    return staged.unionByName(delta_fact).unionByName(late_dim)

@@ -727,3 +727,137 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ppm").cast("bigint").alias("credit_ppm"),
         F.count("*").cast("bigint").alias("n_purchases"),
     )
+
+
+@register(
+    "concurrency_peaks",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS a_s,
+                   CAST(max(epoch_us(ts)) + 1 AS BIGINT) AS a_e
+            FROM events GROUP BY user_id, day
+        ), b AS (
+            SELECT day, a_s AS t, 1 AS delta FROM spans
+            UNION ALL
+            SELECT day, a_e, -1 FROM spans
+        ), cur AS (
+            SELECT day, t,
+                   CAST(sum(delta) OVER (
+                       PARTITION BY day ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS c
+            FROM b
+        ), mx AS (
+            SELECT day, t, c, max(c) OVER (PARTITION BY day) AS m
+            FROM cur
+        )
+        SELECT day,
+               CAST(max(c) AS BIGINT) AS max_concurrent,
+               CAST(min(t) AS BIGINT) AS at_us
+        FROM mx WHERE c = m
+        GROUP BY day
+    """,
+    doc="Sweep-line interval stabbing — peak CONCURRENT per-(user, day) "
+        "activity spans, per day: the capacity-planning question "
+        "('how many sessions at once') interval_overlap_join's pairwise "
+        "output cannot answer. Each span becomes a +1/-1 boundary pair "
+        "(half-open [s, e): the -1 sorts BEFORE a +1 at the same "
+        "instant, so touching spans never count as concurrent), and one "
+        "day-partitioned running sum sweeps them — within an equal-"
+        "(t, delta) tie group the counter values are a fixed contiguous "
+        "range whatever the row order, so max and earliest-t are "
+        "deterministic without a global tiebreak. Plan: span agg (one "
+        "shuffle) -> 2-rows-per-span boundary table -> one DAY-keyed "
+        "window (spans never cross days by construction, so the sweep "
+        "parallelizes over days — never a global timeline sort) -> "
+        "per-day peak + earliest attainment.",
+    tags=("temporal", "analytics"),
+)
+def concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("ts_us").cast("bigint").alias("a_s"),
+            (F.max("ts_us") + 1).cast("bigint").alias("a_e"),
+        )
+    )
+    b = spans.select(
+        "day", F.col("a_s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(spans.select(
+        "day", F.col("a_e").alias("t"), F.lit(-1).alias("delta")
+    ))
+    w = W.partitionBy("day").orderBy("t", "delta") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cur = b.select(
+        "day", "t", F.sum("delta").over(w).cast("bigint").alias("c"))
+    mx = cur.withColumn("m", F.max("c").over(W.partitionBy("day")))
+    return mx.where(F.col("c") == F.col("m")).groupBy("day").agg(
+        F.max("c").cast("bigint").alias("max_concurrent"),
+        F.min("t").cast("bigint").alias("at_us"),
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+            FROM events
+        ), dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        ), wau AS (
+            SELECT day // 7 AS week,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM ud GROUP BY week
+        ), wk AS (
+            SELECT day // 7 AS week,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dau) AS BIGINT) AS dau_sum
+            FROM dau GROUP BY week
+        )
+        SELECT wk.week, wk.n_days, wk.dau_sum, wau.wau,
+               CAST(wk.dau_sum * 1000000 // (wk.n_days * wau.wau) AS BIGINT)
+                 AS stickiness_ppm
+        FROM wk JOIN wau ON wk.week = wau.week
+    """,
+    doc="DAU/WAU stickiness rollup — the engagement staple (avg daily "
+        "actives over weekly actives, the 'how often do weekly users "
+        "show up' ratio). Epoch-integer day and week buckets (the "
+        "cohort_retention timezone lesson — never weekofyear()); the "
+        "corpus collapses to the DISTINCT (user, day) table in ONE "
+        "map-combinable pass and every later aggregate works off that "
+        "dedup or its day-level rollup; stickiness is an exact integer "
+        "ppm division. Plan: one dedup shuffle, then day- and week-"
+        "grained aggs over bounded tables, one tiny week-keyed join.",
+    tags=("temporal", "analytics"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = ud.select(F.expr("day div 7").alias("week"), "user_id") \
+            .groupBy("week") \
+            .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    wk = dau.select(F.expr("day div 7").alias("week"), "dau") \
+            .groupBy("week").agg(
+                F.count("*").cast("bigint").alias("n_days"),
+                F.sum("dau").cast("bigint").alias("dau_sum"),
+            )
+    return wk.join(wau, "week").select(
+        "week", "n_days", "dau_sum", "wau",
+        F.expr("(dau_sum * 1000000) div (n_days * wau)").cast("bigint")
+         .alias("stickiness_ppm"),
+    )

@@ -132,7 +132,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   ks_test_values, stream_drift_monitor, curation_reject_reasons,
 #   auc_mann_whitney, spearman_rank_corr, basket_affinity,
 #   interval_overlap_join, attribution_multitouch, calibration_bins,
-#   cusum_changepoint, benford_digits, gini_spend
+#   cusum_changepoint, benford_digits, gini_spend, incremental_join_merge,
+#   concurrency_peaks, dau_wau_stickiness
 # (k_core_members rows-only by design: anti-monotone peeling fixpoint)
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
 # and profile_orders_hll are rows-only by design — iterative argmax /

@@ -407,3 +407,22 @@ def test_k_core_hand_graph_and_python_parity(spark, sf_dir):
             changed = True
     want = {v: len(ns) for v, ns in adj.items()}
     assert got == want
+
+
+def test_incremental_join_reuses_staged_view_and_broadcasts_dim_delta(spark):
+    import os
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()["incremental_join_merge"].fn
+    q(spark, sf).count()
+    d = stage_dir(sf, "joinview97")
+    stamp = os.path.getmtime(os.path.join(d, "_SUCCESS"))
+    df = q(spark, sf)
+    n = df.count()  # second serve: history-x-history parquet reused as-is
+    assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == stamp
+    assert n > 0
+    # the late-dim delta term must probe as a broadcast join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

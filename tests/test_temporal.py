@@ -295,3 +295,37 @@ def test_attribution_multitouch_hand_example(spark, tmp_path):
     }
     # conservation: every attributed purchase hands out exactly 1e6 ppm
     assert sum(c for c, _ in out.values()) == 3 * 1_000_000
+
+
+def test_concurrency_peaks_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    # spans (from event min/max+1): u1 [0,10), u2 [5,15), u3 [20,30),
+    # u4 [15,20) — u4 STARTS exactly where u2 ends: half-open sweep must
+    # not count them concurrent. Peak = 2, first reached at t=5.
+    rows = [(1, 1, 0), (2, 1, 9), (3, 2, 5), (4, 2, 14),
+            (5, 3, 20), (6, 3, 29), (7, 4, 15), (8, 4, 19)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select("event_id", "user_id",
+             F.timestamp_micros("us").alias("ts")).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["concurrency_peaks"].fn(spark, str(tmp_path)).collect()
+    assert (r["day"], r["max_concurrent"], r["at_us"]) == (0, 2, 5)
+
+
+def test_dau_wau_stickiness_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    D = 86400 * 1_000_000
+    # week 0: users {1,2} on day 0, user {1} on day 1 -> dau_sum 3,
+    # n_days 2, wau 2 -> stickiness = 3e6 div (2*2) = 750000
+    rows = [(1, 1, 0), (2, 1, 1), (3, 2, 100), (4, 1, D), (5, 1, D + 5)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select("event_id", "user_id",
+             F.timestamp_micros("us").alias("ts")).write.mode(
+        "overwrite").parquet(str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["dau_wau_stickiness"].fn(spark, str(tmp_path)).collect()
+    assert (r["week"], r["n_days"], r["dau_sum"], r["wau"]) == (0, 2, 3, 2)
+    assert r["stickiness_ppm"] == 750_000
