@@ -1205,3 +1205,126 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("rev").cast("bigint").alias("revenue_e4"))
     )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                      AS BIGINT))) AS BIGINT) AS volume_e4
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): the DISJUNCTIVE cross-nation "
+        "predicate ((A,B) or (B,A)) that defeats naive single-sided dim "
+        "pushdown — each nation alias still prunes to a 2-row broadcast "
+        "BEFORE the disjunction, which then runs on the joined pair "
+        "(the pre-filter-then-disjoin decomposition every optimizer "
+        "textbook teaches for Q7). Year from the NTZ shipdate is "
+        "calendar arithmetic, timezone-free in both engines; volume "
+        "accumulates as the engine's exact 1e-4 currency integers "
+        "(the Q5 money discipline). The ship-date range prunes lineitem "
+        "AT THE SCAN — the biggest table shrinks first.",
+    tags=("relational", "tpch", "join"),
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    pair = na.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    n1 = pair.select(F.col("n_nationkey").alias("n1_key"),
+                     F.col("n_name").alias("supp_nation"))
+    n2 = pair.select(F.col("n_nationkey").alias("n2_key"),
+                     F.col("n_name").alias("cust_nation"))
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+           .cast("bigint"))
+    )
+    li96 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        rev.alias("rev"),
+    )
+    return (
+        li96
+        .join(su.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7")
+               & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("bigint").alias("volume_e4"))
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): the NOT IN "
+        "subquery, executed as a broadcast ANTI join against the "
+        "'complaint suppliers' set — legal here because both key sides "
+        "are non-null by schema; with nullable keys NOT IN demands "
+        "Spark's null-aware anti join (and SQL-text NOT IN compiles to "
+        "exactly that), the classic trap a LEFT JOIN ... IS NULL rewrite "
+        "gets wrong — plus a COUNT(DISTINCT) over the survivors. "
+        "lineitem stands in "
+        "for partsupp (the synthetic schema has no partsupp table; the "
+        "join+distinct makes it equivalent). Part predicates prune at "
+        "the part scan and ride a broadcast join into the fact; the "
+        "distinct aggregate is the one real shuffle.",
+    tags=("relational", "tpch", "join"),
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    pf = pa.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    complaints = su.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    survivors = li.select("l_partkey", "l_suppkey").join(
+        complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        survivors.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

@@ -301,3 +301,19 @@ def test_basket_affinity_broadcasts_stats_onto_pairs(spark, sf_dir):
     three needless exchanges."""
     p = plan_of(spark, sf_dir, "basket_affinity")
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_tpch_q7_broadcasts_nation_aliases_and_prunes_shipdate(spark, sf_dir):
+    """Q7's two nation aliases are 2-row broadcasts and the ship-date
+    range must reach the lineitem scan as PushedFilters."""
+    p = plan_of(spark, sf_dir, "tpch_q7_shape")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_tpch_q16_anti_join_and_broadcast_part_filter(spark, sf_dir):
+    """Q16's NOT-IN complaint set must execute as an anti join, and the
+    filtered part side must broadcast onto the fact."""
+    p = plan_of(spark, sf_dir, "tpch_q16_shape")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
