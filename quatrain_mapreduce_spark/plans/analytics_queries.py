@@ -2337,3 +2337,94 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_fact = joined(od.where(~is_old), cu)
     late_dim = joined(od.where(is_old), F.broadcast(cu.where(is_late_dim)))
     return staged.unionByName(delta_fact).unionByName(late_dim)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        WITH q AS (
+            SELECT label, i.pos,
+                   CAST(floor(CAST(embedding[i.pos] AS DOUBLE) * 1000 + 0.5)
+                        AS BIGINT) AS v
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 64)) AS pos) i
+        ), s AS (
+            SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+            FROM q GROUP BY label, pos
+        ), n AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
+            GROUP BY label
+        ), nrm AS (
+            SELECT label, CAST(sum(s * s) AS BIGINT) AS nn FROM s
+            GROUP BY label
+        ), dots AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(sum(a.s * b.s) AS BIGINT) AS dot_scaled
+            FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY label_a, label_b
+        )
+        SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b, d.dot_scaled,
+               floor(d.dot_scaled
+                     / sqrt(CAST(na2.nn AS DOUBLE) * CAST(nb2.nn AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS cos_centroid
+        FROM dots d
+        JOIN n na ON d.label_a = na.label
+        JOIN n nb ON d.label_b = nb.label
+        JOIN nrm na2 ON d.label_a = na2.label
+        JOIN nrm nb2 ON d.label_b = nb2.label
+    """,
+    doc="Pairwise cosine between per-label embedding CENTROIDS — the "
+        "cluster-separation diagnostic behind every ANN index choice "
+        "(well-separated labels => IVF lists are clean; near-parallel "
+        "centroids => raise nprobe). cos(mean_a, mean_b) == cos(sum_a, "
+        "sum_b), so centroids never materialize as floats: elements "
+        "quantize to integer milli-units at the scan (the "
+        "embedding_quantize discipline), per-(label, pos) sums are exact "
+        "BIGINTs, and dot/norms are integer sums with ONE final "
+        "division — bit-identical across engines and partition orders, "
+        "where a float centroid average would ulp-drift with the "
+        "shuffle. Plan: posexplode is scan-local; the sum table is "
+        "(labels x 64) rows, so the pairwise join is over a broadcast-"
+        "sized table regardless of corpus; vector count never enters a "
+        "join.",
+    tags=("analytics", "similarity", "ml"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label", "pos",
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+         .cast("bigint").alias("v"),
+    )
+    s = q.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("s"))
+    n = em.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    nrm = s.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("nn"))
+    a, b = s.alias("a"), s.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"),
+                 F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).cast("bigint")
+             .alias("dot_scaled"))
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    ka = nrm.select(F.col("label").alias("label_a"), F.col("nn").alias("nna"))
+    kb = nrm.select(F.col("label").alias("label_b"), F.col("nn").alias("nnb"))
+    return (
+        dots.join(F.broadcast(na), "label_a").join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ka), "label_a").join(F.broadcast(kb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b", "dot_scaled",
+            (F.floor(
+                F.col("dot_scaled")
+                / F.sqrt(F.col("nna").cast("double")
+                         * F.col("nnb").cast("double"))
+                * 1000000 + F.lit(0.5)
+            ) / 1000000).alias("cos_centroid"),
+        )
+    )

@@ -243,3 +243,27 @@ def test_ivfpq_deterministic(spark, clustered):
     r2 = sorted(map(tuple, ivfpq_topk(qs, unit, "vec_id", "embedding",
                                       dim=DIM, k=5).collect()))
     assert r1 == r2 and len(r1) == 50
+
+
+def test_embedding_centroids_hand_example(spark, tmp_path):
+    # label 0: vectors along +x; label 1: along +y (orthogonal -> cos 0);
+    # label 2: along +x too (parallel to label 0 -> cos 1)
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),
+        (3, [0.0, 2.0], 1),
+        (4, [5.0, 0.0], 2), (5, [0.25, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {(r["label_a"], r["label_b"]): r
+           for r in all_queries()["embedding_centroids"].fn(
+               spark, str(tmp_path)).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)]["cos_centroid"] == 0.0
+    assert out[(1, 2)]["cos_centroid"] == 0.0
+    assert out[(0, 2)]["cos_centroid"] == 1.0
+    assert (out[(0, 2)]["n_a"], out[(0, 2)]["n_b"]) == (2, 2)
+    # exact integer dot: sums (4000, 0) . (5250, 0)
+    assert out[(0, 2)]["dot_scaled"] == 4000 * 5250
