@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "sql_qcorpus_joins",   # clientpositive join3-8 outer-join matrix (new r7)
     "interval_overlap_join",  # interval-interval overlap via hour binning (new r7)
     "basket_affinity",     # Apriori pair pass: scan-local basket explode (new r7)
+    "tpch_q7_shape",       # disjunctive cross-nation join, 2-row dim broadcasts (new r7)
+    "incremental_join_merge",  # delta-algebra join-view maintenance (new r7)
 ]
 
 
