@@ -849,3 +849,46 @@ _QCORPUS_INPUT = """
 def sql_qcorpus_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_QCORPUS_INPUT)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT event_type AS src, next_type AS dst FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ) t WHERE next_type IS NOT NULL
+    ), paths (path, last, depth) AS (
+        SELECT 'signup', 'signup', 1
+        UNION ALL
+        SELECT p.path || '>' || e.dst, e.dst, p.depth + 1
+        FROM paths p JOIN edges e ON p.last = e.src
+        WHERE p.depth < 4
+    )
+    SELECT path, CAST(depth AS INT) AS depth FROM paths
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    doc="WITH RECURSIVE through SQL TEXT — path enumeration over the "
+        "event-type transition graph (distinct consecutive-type edges per "
+        "user, then every path from 'signup' up to depth 4). Attests a "
+        "surface the reference never had and Spark itself only gained in "
+        "4.x: the recursive-CTE production, UNION ALL seed/step, and "
+        "cycle-safe bounded recursion (the type graph IS cyclic — the "
+        "depth guard, not vertex dedup, terminates it, which is exactly "
+        "the semantics recursive SQL defines). The ORACLE IS THE SAME "
+        "TEXT run by DuckDB — dialect-portable recursion, down to the || "
+        "concat operator. Scale: the recursion runs on the TYPE graph "
+        "(vocabulary-sized, broadcast-friendly); the one corpus-sized "
+        "step is the lead() window deriving edges — a single user-keyed "
+        "exchange, the sessionize shape.",
+    tags=("sql", "hive", "graph"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RECURSIVE_SQL)

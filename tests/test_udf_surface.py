@@ -78,3 +78,22 @@ def test_pipes_native_binary_is_compiled_and_counts(spark, sf_dir):
     plain = {(r["word"], r["cnt"])
              for r in all_queries()["wordcount"].fn(spark, sf_dir).collect()}
     assert native == plain and native
+
+
+def test_sql_recursive_cte_hand_chain(spark, tmp_path):
+    import pyspark.sql.functions as F
+    # one user: signup -> click -> purchase (strict chain, no cycles)
+    rows = [(1, 1, 0, "signup"), (2, 1, 10, "click"), (3, 1, 20, "purchase")]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+             "event_type").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {(r["path"], r["depth"]) for r in all_queries()[
+        "sql_recursive_cte"].fn(spark, str(tmp_path)).collect()}
+    assert out == {
+        ("signup", 1),
+        ("signup>click", 2),
+        ("signup>click>purchase", 3),
+    }
