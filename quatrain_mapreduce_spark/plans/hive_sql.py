@@ -892,3 +892,90 @@ _RECURSIVE_SQL = """
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+@register(
+    "sql_variant_shred",
+    oracle="""
+        SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS k_mod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY k_mod
+    """,
+    doc="VARIANT-type semi-structured shredding — Spark 4's parse_json "
+        "-> variant_get path (the open-format answer to classic "
+        "string-typed JSON columns, binary-encoded so repeated field "
+        "access skips re-parsing), aggregated by a field derived from "
+        "inside the document. The DuckDB oracle reads the same documents "
+        "through its native JSON path operator — two engines, two "
+        "semi-structured stacks, one answer. Complements "
+        "json_struct_parse (schema-on-read struct) and "
+        "json_field_extract (string get_json_object): this is the typed "
+        "LAZY path. Scale: shredding rides the scan (no shuffle before "
+        "the 10-group agg); at 100 TB VARIANT's binary encoding is the "
+        "difference between parsing JSON once and parsing it per field "
+        "access.",
+    tags=("sql", "json"),
+)
+def sql_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT CAST(parse_json(props):k AS INT) % 10 AS k_mod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(parse_json(props):k AS INT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY k_mod
+    """)
+
+
+@register(
+    "sql_unpivot_groupall",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc
+            FROM lineitem
+        ), long AS (
+            SELECT measure, val FROM cents
+            UNPIVOT (val FOR measure IN (qty, price, disc))
+        )
+        SELECT measure,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(val) AS BIGINT) AS total,
+               CAST(min(val) AS BIGINT) AS lo,
+               CAST(max(val) AS BIGINT) AS hi
+        FROM long
+        GROUP BY ALL
+    """,
+    doc="UNPIVOT clause + GROUP BY ALL through SQL text — the wide-to-"
+        "long relational operator (inverse of pivot_wide; the engine's "
+        "profile_orders builds the same shape manually with stack()) and "
+        "the modern grouping shorthand, both now first-class in Spark 4 "
+        "AND DuckDB, so the oracle exercises the IDENTICAL clause "
+        "text. Values are exact integer cents. Scale: UNPIVOT is a "
+        "scan-local 3x row expansion (no shuffle, no join); the agg is "
+        "one map-combinable 3-group pass.",
+    tags=("sql", "analytics"),
+)
+def sql_unpivot_groupall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        WITH cents AS (
+            SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+                   CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc
+            FROM lineitem
+        ), long AS (
+            SELECT measure, val FROM cents
+            UNPIVOT (val FOR measure IN (qty, price, disc))
+        )
+        SELECT measure,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(val) AS BIGINT) AS total,
+               CAST(min(val) AS BIGINT) AS lo,
+               CAST(max(val) AS BIGINT) AS hi
+        FROM long
+        GROUP BY ALL
+    """)
