@@ -631,3 +631,56 @@ def corpus_diff(v1: DataFrame, v2: DataFrame, id_col: str,
         )
         .where(F.col("status").isNotNull())
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    span_tokens: int = 8,
+    min_count: int = 3,
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal, the C4 rule (Raffel et al.
+    2020 §2.2 drops any line occurring >= 3 times in the corpus; CCNet
+    applies it per-snapshot): split docs into ``span_tokens``-token spans
+    and remove EVERY occurrence of a span seen >= ``min_count`` times
+    within its ``group_col`` (source/domain) — including the first, which
+    is what separates this from dedup_spans' keep-first semantics
+    (navigation chrome is boilerplate in all its copies).
+
+    Scale shape: span counts are a per-(group, span) hash aggregate with
+    map-side combine — a cookie banner repeated across millions of pages
+    collapses per-mapper; the boilerplate set joins back on (group, span)
+    as a LEFT ANTI join keyed by the same shuffle partitioning, then one
+    per-doc reassembly agg. Dropped docs were pure boilerplate.
+    """
+    toks = F.split(F.col(text_col), " ")
+    k = span_tokens
+    spans = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((F.size(toks) - F.lit(1)) / F.lit(k)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(k) + F.lit(1),
+                                           F.lit(k))),
+    )
+    ex = df.select(
+        F.col(id_col), F.col(group_col),
+        F.posexplode(spans).alias("pos", "span"),
+    )
+    boiler = (
+        ex.groupBy(group_col, "span")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select(group_col, "span")
+    )
+    kept = ex.join(boiler, [group_col, "span"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_spans_kept"),
+    )

@@ -958,3 +958,51 @@ def curation_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
     )
+
+
+@register(
+    "boilerplate_strip",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ), u AS (
+            SELECT doc_id, source, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ), s AS (
+            SELECT doc_id, source,
+                   CAST((ord - 1) // 8 AS INTEGER) AS pos,
+                   string_agg(tok, ' ' ORDER BY ord) AS span
+            FROM u GROUP BY doc_id, source, (ord - 1) // 8
+        ), boiler AS (
+            SELECT source, span FROM s
+            GROUP BY source, span HAVING count(*) >= 3
+        ), kept AS (
+            SELECT s.doc_id, s.pos, s.span
+            FROM s LEFT JOIN boiler
+              ON s.source = boiler.source AND s.span = boiler.span
+            WHERE boiler.span IS NULL
+        )
+        SELECT doc_id,
+               string_agg(span, ' ' ORDER BY pos) AS text_clean,
+               CAST(count(*) AS BIGINT) AS n_spans_kept
+        FROM kept GROUP BY doc_id
+    """,
+    doc="C4-rule boilerplate removal (Raffel et al. 2020 §2.2: drop every "
+        "occurrence of any line seen >= 3 times; applied per SOURCE, the "
+        "CCNet per-snapshot refinement) over 8-token spans — the "
+        "frequency-threshold complement to dedup_spans' keep-first: "
+        "chrome/banners are boilerplate in ALL their copies, including "
+        "the first. Span counts are a map-combinable (source, span) hash "
+        "agg; removal is a LEFT ANTI join on the same key; one per-doc "
+        "reassembly agg. Dropped docs were pure boilerplate — the row "
+        "delta vs documents is the kill rate.",
+    tags=("curation", "quality", "dedup"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, "doc_id", "text", "source",
+                             span_tokens=8, min_count=3)

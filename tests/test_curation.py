@@ -364,3 +364,27 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in corpus_diff(v1, v2, "doc_id", "text").collect()}
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_boilerplate_strip_removes_all_copies_including_first(spark, tmp_path):
+    # span width 8: "b b b b b b b b" appears 3x within source s1 ->
+    # ALL THREE copies go (the C4 rule), unlike dedup_spans' keep-first.
+    # The same span appears once in source s2 -> kept (per-source rule).
+    B = " ".join(["b"] * 8)
+    U1 = " ".join(["u1"] * 8)
+    U2 = " ".join(["u2"] * 8)
+    rows = [
+        (1, f"{B} {U1}", "en", "s1", 0),
+        (2, f"{B} {U2}", "en", "s1", 0),
+        (3, B, "en", "s1", 0),            # pure boilerplate -> doc drops
+        (4, B, "en", "s2", 0),            # only copy in s2 -> kept
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["doc_id"]: (r["text_clean"], r["n_spans_kept"])
+           for r in all_queries()["boilerplate_strip"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out == {1: (U1, 1), 2: (U2, 1), 4: (B, 1)}
