@@ -356,3 +356,82 @@ def test_bfs_distances_match_python_model(spark, edges):
             want[v] = hop
         frontier = nxt
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 1000)),
+        min_size=3, max_size=30,
+    ),
+)
+def test_spearman_matches_scipy_free_python_model(spark, pairs, tmp_path_factory):
+    """rho from the bucketed per-row rank plan must equal a direct Python
+    computation with tie-averaged ranks (and stay within [-1, 1])."""
+    import math
+
+    qmult = any(p[0] != pairs[0][0] for p in pairs)
+    pmult = any(p[1] != pairs[0][1] for p in pairs)
+    if not (qmult and pmult):
+        return  # zero variance -> rho undefined; the query emits NULL/NaN
+    tmp = tmp_path_factory.mktemp("sp")
+    rows = [(q / 100.0, p / 100.0) for q, p in pairs]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["spearman_rank_corr"].fn(spark, str(tmp)).collect()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + j + 1) / 2.0  # average of 1-based positions i+1..j
+            for k2 in range(i, j):
+                ranks[order[k2]] = r
+            i = j
+        return ranks
+
+    qs_ = [p[0] for p in pairs]
+    ps_ = [p[1] for p in pairs]
+    ra, rb = avg_ranks(qs_), avg_ranks(ps_)
+    n = len(pairs)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    va = sum((x - ma) ** 2 for x in ra)
+    vb = sum((y - mb) ** 2 for y in rb)
+    want = cov / math.sqrt(va * vb)
+    assert abs(r["rho"] - want) < 1e-5
+    assert -1.0 <= r["rho"] <= 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 50)),
+        min_size=2, max_size=40,
+    ),
+)
+def test_auc_matches_pairwise_count(spark, vals, tmp_path_factory):
+    """AUC from the rank-sum plan must equal the O(n^2) definition:
+    (wins + ties/2) / (np*nn)."""
+    pos = [v for is_p, v in vals if is_p]
+    neg = [v for is_p, v in vals if not is_p]
+    if not pos or not neg:
+        return
+    tmp = tmp_path_factory.mktemp("auc")
+    rows = [(i, "purchase" if is_p else "click", v / 100.0)
+            for i, (is_p, v) in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["auc_mann_whitney"].fn(spark, str(tmp)).collect()
+    num2 = sum(2 if p > n else (1 if p == n else 0)
+               for p in pos for n in neg)
+    assert r["auc_num2"] == num2
+    assert abs(r["auc"] - num2 / (2.0 * len(pos) * len(neg))) < 1e-5
