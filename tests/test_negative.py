@@ -256,3 +256,36 @@ def test_like_escape_requires_single_char(spark):
     analysis-time error in the SQL dialect (udf1.q escape family)."""
     with pytest.raises(Exception):
         spark.sql("SELECT 'ab' LIKE 'a%' ESCAPE '!!'").collect()
+
+
+def test_recursive_cte_without_union_fails(spark):
+    """A WITH RECURSIVE whose body never references itself through the
+    required UNION [ALL] seed/step shape must fail analysis, not loop."""
+    with pytest.raises(PySparkException):
+        spark.sql(
+            "WITH RECURSIVE t(n) AS (SELECT n + 1 FROM t) "
+            "SELECT * FROM t LIMIT 1"
+        ).collect()
+
+
+def test_unpivot_mixed_incompatible_types_fails(spark):
+    """UNPIVOT over columns with no common type must raise a typed
+    analysis error (the clause requires least-common-type coercion)."""
+    spark.sql(
+        "SELECT 1 AS a, named_struct('x', 1) AS b"
+    ).createOrReplaceTempView("qms_neg_upt")
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT m, v FROM qms_neg_upt UNPIVOT (v FOR m IN (a, b))"
+        ).collect()
+
+
+def test_variant_get_on_malformed_json_fails(spark):
+    """parse_json must reject malformed documents with a typed error
+    (try_parse_json is the PERMISSIVE twin that yields NULL instead)."""
+    with pytest.raises(Exception, match="MALFORMED_RECORD_IN_PARSING"):
+        spark.sql("SELECT parse_json('{not json')").collect()
+    # and the permissive twin really is permissive
+    assert spark.sql(
+        "SELECT try_parse_json('{not json') IS NULL AS ok"
+    ).collect()[0]["ok"]
