@@ -1612,9 +1612,7 @@ def ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "auc_mann_whitney",
-    oracle="""
+AUC_ORACLE = """
         WITH c AS (
             SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
@@ -1644,37 +1642,29 @@ def ks_test_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * 1000000 + 0.5) / 1000000 AS auc
         FROM cum CROSS JOIN tot
         GROUP BY tot.np, tot.nn
-    """,
-    doc="Exact ROC-AUC via the Mann-Whitney rank-sum identity — the "
-        "ranking-metric companion to ks_test_values over the same "
-        "click-vs-purchase framing: AUC = P(score_pos > score_neg) + "
-        "0.5*P(tie). The statistic rides as the INTEGER 2U = "
-        "sum over distinct scores of p_here*(2*n_below + n_here) (ties "
-        "contribute exactly half in doubled space, so no 0.5 floats "
-        "accumulate), pinned as auc_num2; ONE final division by 2*np*nn "
-        "yields AUC. Plan: one scan -> per-value conditional counts "
-        "(map-combinable) -> one running-sum window over the DISTINCT-"
-        "value table (bounded by score cardinality, not corpus) -> one "
-        "global agg. The shape every classifier-quality gate over a "
-        "curation corpus needs at 100 TB: no per-row ranking, no global "
-        "sort of the corpus.",
-    tags=("analytics", "statistics", "ml"),
-)
-def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """
 
-    ev = load_table(spark, sf_dir, "events")
+
+def auc_value_counts(ev: DataFrame) -> DataFrame:
+    """Per-score conditional counts — AUC's mergeable partial state
+    (additive across data slices / micro-batches)."""
     c = ev.where(F.col("event_type").isin("click", "purchase")).select(
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         (F.col("event_type") == "purchase").cast("int").alias("is_p"),
     )
-    tot = c.agg(
-        F.sum("is_p").cast("bigint").alias("np"),
-        (F.count("*") - F.sum("is_p")).cast("bigint").alias("nn"),
-    )
-    pts = c.groupBy("cents").agg(
+    return c.groupBy("cents").agg(
         F.sum("is_p").cast("bigint").alias("p_here"),
         (F.count("*") - F.sum("is_p")).cast("bigint").alias("n_here"),
+    )
+
+
+def auc_from_counts(pts: DataFrame) -> DataFrame:
+    """Finish the Mann-Whitney statistic from accumulated value counts."""
+    from pyspark.sql import Window as W
+
+    tot = pts.agg(
+        F.sum("p_here").cast("bigint").alias("np"),
+        F.sum("n_here").cast("bigint").alias("nn"),
     )
     w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
     cum = pts.select(
@@ -1691,6 +1681,29 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000 + F.lit(0.5)
         ) / 1000000).alias("auc"),
     )
+
+
+@register(
+    "auc_mann_whitney",
+    oracle=AUC_ORACLE,
+    doc="Exact ROC-AUC via the Mann-Whitney rank-sum identity — the "
+        "ranking-metric companion to ks_test_values over the same "
+        "click-vs-purchase framing: AUC = P(score_pos > score_neg) + "
+        "0.5*P(tie). The statistic rides as the INTEGER 2U = "
+        "sum over distinct scores of p_here*(2*n_below + n_here) (ties "
+        "contribute exactly half in doubled space, so no 0.5 floats "
+        "accumulate), pinned as auc_num2; ONE final division by 2*np*nn "
+        "yields AUC. Plan: one scan -> per-value conditional counts "
+        "(map-combinable) -> one running-sum window over the DISTINCT-"
+        "value table (bounded by score cardinality, not corpus) -> one "
+        "global agg. The shape every classifier-quality gate over a "
+        "curation corpus needs at 100 TB: no per-row ranking, no global "
+        "sort of the corpus.",
+    tags=("analytics", "statistics", "ml"),
+)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return auc_from_counts(auc_value_counts(ev))
 
 
 @register(

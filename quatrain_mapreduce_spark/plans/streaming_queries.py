@@ -912,3 +912,88 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drift_report_from_counts(counts)
 
+
+
+from quatrain_mapreduce_spark.plans.analytics_queries import (  # noqa: E402
+    AUC_ORACLE as _AUC_ORACLE,
+)
+
+
+@register(
+    "stream_auc_monitor",
+    oracle=_AUC_ORACLE,  # the batch twin's oracle VERBATIM
+    doc="Continuous model-quality monitoring — auc_mann_whitney run as a "
+        "STREAM: events replayed as a 4-file source; each micro-batch "
+        "computes its own per-score conditional counts and foreachBatch-"
+        "merges them into a versioned running-counts table by ADDITION "
+        "(the Mann-Whitney partial state is per-value counts — exactly "
+        "mergeable, the stream_drift_monitor/rollup algebra; per-batch "
+        "work is batch + score-cardinality state, never the replayed "
+        "history). The final report runs the SAME rank-sum finish stage "
+        "as the batch query over the accumulated counts and is held to "
+        "the SAME oracle — streaming accumulation == batch computation. "
+        "At 100 TB the counts table is score-cardinality-sized and the "
+        "monitor can emit AUC per batch from running state — the "
+        "always-on classifier health check a curation pipeline runs "
+        "beside its drift monitors.",
+    tags=("streaming", "ml", "monitoring", "no-sql-plan"),
+)
+def stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from quatrain_mapreduce_spark.plans.analytics_queries import (
+        auc_from_counts, auc_value_counts,
+    )
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    src_d = stage_dir(sf_dir, "evslices4")
+    if not os.path.exists(os.path.join(src_d, "_STAGED")):
+        load_table(spark, sf_dir, "events").repartition(4) \
+            .write.mode("overwrite").parquet(src_d)
+        open(os.path.join(src_d, "_STAGED"), "w").close()
+
+    work = stage_dir(sf_dir, "auccounts")
+    done = os.path.join(work, "_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(work):
+            shutil.rmtree(work)
+        os.makedirs(work)
+        ckpt = os.path.join(work, "ckpt")
+        schema = spark.read.parquet(src_d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_d)
+        )
+
+        def accumulate(batch, bid: int) -> None:
+            counts = auc_value_counts(batch)
+            vers = sorted(glob.glob(os.path.join(work, "v*")))
+            if vers:
+                prev = batch.sparkSession.read.parquet(vers[-1])
+                counts = (
+                    prev.unionByName(counts)
+                    .groupBy("cents")
+                    .agg(F.sum("p_here").alias("p_here"),
+                         F.sum("n_here").alias("n_here"))
+                )
+            counts.write.mode("overwrite").parquet(
+                os.path.join(work, f"v{bid:04d}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(accumulate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+
+    vers = sorted(glob.glob(os.path.join(work, "v*")))
+    counts = spark.read.parquet(vers[-1]).select(
+        "cents",
+        F.col("p_here").cast("bigint").alias("p_here"),
+        F.col("n_here").cast("bigint").alias("n_here"),
+    )
+    return auc_from_counts(counts)

@@ -25,7 +25,9 @@ from quatrain_mapreduce_spark.registry import all_queries
 _SKIP = {
     "stream_tumbling_count", "online_agg_events",
     "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
-    "stream_drift_monitor",
+    "stream_drift_monitor", "stream_auc_monitor",
+    "incremental_join_merge",  # staged-view write on first serve
+    "k_core_members",          # driver-paced peel rounds inside fn()
     "bpe_train_merges", "bpe_encode_corpus",  # driver-paced merge rounds
     # inside fn(); exact parity + loop behavior covered by
     # test_bpe_train_matches_pure_python / test_bpe_apply_roundtrips

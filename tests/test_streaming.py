@@ -479,3 +479,21 @@ def test_incremental_sessionize_handles_bridging_late_event(spark):
         map(tuple, full.collect())
     )
     assert merged.where("user_id = 'u1'").count() == 1  # bridged into one
+
+
+def test_stream_auc_monitor_matches_batch_twin(spark):
+    import glob
+    import os
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    stream_rows = sorted(
+        tuple(r) for r in qs["stream_auc_monitor"].fn(spark, sf).collect())
+    batch_rows = sorted(
+        tuple(r) for r in qs["auc_mann_whitney"].fn(spark, sf).collect())
+    assert stream_rows == batch_rows and len(stream_rows) == 1
+    # incremental evidence: one versioned counts snapshot per micro-batch
+    vers = sorted(glob.glob(os.path.join(stage_dir(sf, "auccounts"), "v*")))
+    assert len(vers) == 4
