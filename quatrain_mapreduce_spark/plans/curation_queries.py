@@ -1006,3 +1006,105 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return strip_boilerplate(docs, "doc_id", "text", "source",
                              span_tokens=8, min_count=3)
+
+
+_GRAM_H = portable_h16_sql("gram")
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), u AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ), g AS (
+            SELECT doc_id, ord,
+                   string_agg(tok, ' ') OVER (
+                       PARTITION BY doc_id ORDER BY ord
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS gram,
+                   count(*) OVER (PARTITION BY doc_id) AS n_tok
+            FROM u
+        ), h AS (
+            SELECT doc_id, ord, {_GRAM_H} AS hv,
+                   CAST(n_tok - 3 AS BIGINT) AS n_grams
+            FROM g WHERE ord <= n_tok - 3
+        ), w AS (
+            SELECT doc_id, n_grams,
+                   min(hv * 1000000000 - ord) OVER (
+                       PARTITION BY doc_id ORDER BY ord
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS sel_key
+            FROM h
+            QUALIFY ord <= n_grams - 3
+        ), fp AS (
+            SELECT DISTINCT doc_id, n_grams, sel_key FROM w
+        )
+        SELECT doc_id, n_grams,
+               CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(sum(sel_key // 1000000000 + 1) AS BIGINT) AS fp_sum,
+               CAST(min(sel_key // 1000000000 + 1) AS BIGINT) AS fp_min
+        FROM fp GROUP BY doc_id, n_grams
+    """,
+    doc="Winnowing document fingerprints — Schleimer/Wilkerson/Aiken "
+        "SIGMOD'03 (the MOSS algorithm): hash every 4-token gram with "
+        "the engine-portable 16-bit md5-nibble hash, then select each "
+        "4-window's MINIMUM hash with rightmost tie-breaking — the "
+        "guarantee-density fingerprint set behind plagiarism / partial-"
+        "copy detection, complementing doc_fingerprint (one rolling hash "
+        "per doc) with a set that survives local edits. Selection is ONE "
+        "plain MIN window aggregate over a forward frame on the encoded "
+        "key hv*1e9 - ord (smaller hash wins, ties prefer the RIGHTMOST "
+        "position; the key decodes exactly) — identical window algebra "
+        "in both engines, no min_by/struct portability trap, no "
+        "self-join over positions. "
+        "Plan: scan-local tokenization -> one DOC-keyed window exchange "
+        "(bounded by doc length, embarrassingly parallel across docs) -> "
+        "distinct + per-doc summary; the oracle pins the selected SET "
+        "via its sum/min, not just its size.",
+    tags=("curation", "dedup", "text"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("ord0", "tok"),
+    ).select("doc_id", (F.col("ord0") + 1).alias("ord"), "tok")
+    wdoc = W.partitionBy("doc_id")
+    wg = wdoc.orderBy("ord").rowsBetween(0, 3)
+    g = u.select(
+        "doc_id", "ord",
+        F.concat_ws(" ", F.collect_list("tok").over(wg)).alias("gram"),
+        F.count("*").over(wdoc).alias("n_tok"),
+    )
+    h = g.where(F.col("ord") <= F.col("n_tok") - 3).select(
+        "doc_id", "ord",
+        F.expr(_GRAM_H).cast("bigint").alias("hv"),
+        (F.col("n_tok") - 3).cast("bigint").alias("n_grams"),
+    )
+    # rightmost-min per window == plain MIN of the single integer key
+    # hv*1e9 - ord (ord < 1e9): smaller hash wins, ties prefer larger ord;
+    # the key decodes exactly (hv = key div 1e9 + 1) — no min_by needed,
+    # so the identical expression binds in both engines
+    sel = h.select(
+        "doc_id", "n_grams", "ord",
+        F.min(F.col("hv") * F.lit(1000000000) - F.col("ord"))
+         .over(W.partitionBy("doc_id").orderBy("ord").rowsBetween(0, 3))
+         .alias("sel_key"),
+    ).where(F.col("ord") <= F.col("n_grams") - 3)
+    fp = sel.select("doc_id", "n_grams", "sel_key").distinct()
+    hv = F.expr("sel_key div 1000000000") + 1
+    return fp.groupBy("doc_id", "n_grams").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.sum(hv).cast("bigint").alias("fp_sum"),
+        F.min(hv).cast("bigint").alias("fp_min"),
+    )

@@ -388,3 +388,47 @@ def test_boilerplate_strip_removes_all_copies_including_first(spark, tmp_path):
            for r in all_queries()["boilerplate_strip"].fn(
                spark, str(tmp_path)).collect()}
     assert out == {1: (U1, 1), 2: (U2, 1), 4: (B, 1)}
+
+
+def test_winnow_fingerprints_match_python_model(spark, tmp_path):
+    import hashlib
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a a a a a a a a",                      # all-identical grams: ties
+        "one two three four",                   # exactly 1 gram, 1 window?
+        "short doc",                            # < 4 tokens -> no grams
+    ]
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    got = {r["doc_id"]: (r["n_grams"], r["n_fp"], r["fp_sum"], r["fp_min"])
+           for r in all_queries()["winnow_fingerprints"].fn(
+               spark, str(tmp_path)).collect()}
+
+    def model(text, k=4, w=4):
+        toks = [t for t in text.split(" ") if t]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+              for g in grams]
+        sel = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s:s + w]
+            m = min(win)
+            j = max(i for i in range(w) if win[i] == m)  # rightmost tie
+            sel.add((s + j, hs[s + j]))
+        return (len(grams), len(sel),
+                sum(h for _, h in sel), min(h for _, h in sel))
+
+    for doc_id, text in enumerate(texts, start=1):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < 7:  # needs >= k + w - 1 tokens for one full window
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == model(text), text
+    # density guarantee held implicitly: the all-ties doc selects the
+    # rightmost position of every window, one fingerprint per window slide
+    assert got[2][1] >= 1
