@@ -497,3 +497,33 @@ def test_stream_auc_monitor_matches_batch_twin(spark):
     # incremental evidence: one versioned counts snapshot per micro-batch
     vers = sorted(glob.glob(os.path.join(stage_dir(sf, "auccounts"), "v*")))
     assert len(vers) == 4
+
+
+def test_online_agg_ci_converges_and_final_is_exact(spark, sf_dir):
+    """Online-aggregation acceptance: the k=4 (full-data) estimate must
+    equal the exact batch total with zero interval, and the halfwidth
+    must shrink monotonically as prefixes grow."""
+    import pyspark.sql.functions as F
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    rows = all_queries()["online_agg_ci"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["k"]] = r
+    truth = {
+        r["event_type"]: r["t"]
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type")
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                   .cast("bigint")).alias("t")).collect()
+    }
+    for t, ks in by_type.items():
+        assert set(ks) == {1, 2, 3, 4}
+        # final prefix is the whole population: estimate == exact truth
+        assert ks[4]["est_sum_cents"] == truth[t]
+        # CLT halfwidth shrinks as n grows (monotone over nested prefixes)
+        hw = [ks[k]["ci_halfwidth_cents"] for k in (1, 2, 3, 4)]
+        assert hw[0] > hw[1] > hw[2] > hw[3] > 0
+        # every running estimate lands within ~4 sigma of the truth
+        for k in (1, 2, 3):
+            assert abs(ks[k]["est_sum_cents"] - truth[t]) < 2.1 * hw[k - 1]
