@@ -2441,3 +2441,122 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1000000).alias("cos_centroid"),
         )
     )
+
+
+@register(
+    "trend_break_slopes",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000
+                        - (SELECT min(epoch_us(ts) // 3600000000)
+                           FROM events) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, x
+        ), cum AS (
+            SELECT event_type, x, y,
+                   CAST(row_number() OVER w AS BIGINT) AS k,
+                   CAST(sum(y) OVER w AS BIGINT) AS sk,
+                   CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS nn
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY x)
+        ), cp AS (
+            SELECT event_type, x AS cp_x FROM (
+                SELECT event_type, x,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(nn * sk - k * s) DESC, x) AS rn
+                FROM cum
+            ) WHERE rn = 1
+        ), sides AS (
+            SELECT h.event_type, h.x, h.y, cp.cp_x,
+                   CASE WHEN h.x <= cp.cp_x THEN 'pre' ELSE 'post' END
+                     AS side
+            FROM hourly h JOIN cp ON h.event_type = cp.event_type
+        ), m AS (
+            SELECT event_type, cp_x, side,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM sides GROUP BY event_type, cp_x, side
+        )
+        SELECT event_type, CAST(cp_x AS BIGINT) AS cp_x, side, n,
+               floor((n * sxy - sx * sy)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS slope
+        FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+    doc="Segmented trend around the CUSUM breakpoint — the composition "
+        "that answers 'the level shifted at hour H; what were the "
+        "trends before and after?': cusum_changepoint's integer argmax "
+        "picks the break per event type IN-PLAN (1-row-per-type table, "
+        "broadcast back — no collect), then trend_slope's exact-moment "
+        "least squares runs on each side of the hourly-count series. "
+        "Slopes come from five BIGINT partials per (type, side); the "
+        "single final division is the only float op (the trend_slope "
+        "discipline — float-covariance partials would be partition-order "
+        "nondeterministic). Degenerate sides (n < 2 or zero x-variance) "
+        "are excluded rather than emitting NULL/Inf. Plan: one scan -> "
+        "hourly counts (map-combinable) -> windows over the type-x-hour "
+        "table -> side tagging via broadcast join -> one moment agg.",
+    tags=("analytics", "statistics", "drift"),
+)
+def trend_break_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.min(F.expr("unix_micros(ts) div 3600000000"))
+                  .alias("h0"))
+    hourly = (
+        ev.crossJoin(F.broadcast(base))
+        .select("event_type",
+                (F.expr("unix_micros(ts) div 3600000000") - F.col("h0"))
+                .cast("bigint").alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("x") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type", "x", "y",
+        F.row_number().over(W.partitionBy("event_type").orderBy("x"))
+         .cast("bigint").alias("k"),
+        F.sum("y").over(w).cast("bigint").alias("sk"),
+        F.sum("y").over(wt).cast("bigint").alias("s"),
+        F.count("*").over(wt).cast("bigint").alias("nn"),
+    )
+    stat = F.abs(F.col("nn") * F.col("sk") - F.col("k") * F.col("s"))
+    cp = (
+        cum.select(
+            "event_type", "x",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(stat.desc(), F.col("x"))
+            ).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("x").alias("cp_x"))
+    )
+    sides = hourly.join(F.broadcast(cp), "event_type").select(
+        "event_type", "x", "y", "cp_x",
+        F.when(F.col("x") <= F.col("cp_x"), "pre").otherwise("post")
+         .alias("side"),
+    )
+    m = sides.groupBy("event_type", "cp_x", "side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.where((F.col("n") >= 2) & (den > 0)).select(
+        "event_type", F.col("cp_x").cast("bigint").alias("cp_x"), "side", "n",
+        (F.floor(num / den.cast("double") * 1000000 + F.lit(0.5))
+         / 1000000).alias("slope"),
+    )

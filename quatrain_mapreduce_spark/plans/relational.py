@@ -1328,3 +1328,89 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+@register(
+    "fd_violations",
+    oracle="""
+        WITH li AS (
+            SELECT l_partkey, l_suppkey, l_orderkey, l_returnflag
+            FROM lineitem
+        ), f1 AS (
+            SELECT l_partkey AS k,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd
+            FROM li GROUP BY k
+        ), f2 AS (
+            SELECT l_orderkey AS k,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd
+            FROM li GROUP BY k
+        ), f3 AS (
+            SELECT o_custkey AS k,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd
+            FROM orders GROUP BY k
+        )
+        SELECT fd, n_keys, n_violating,
+               CAST(n_violating * 1000000 // n_keys AS BIGINT)
+                 AS violation_ppm,
+               max_distinct
+        FROM (
+            SELECT 'l_partkey->l_suppkey' AS fd,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   CAST(max(nd) AS BIGINT) AS max_distinct
+            FROM f1
+            UNION ALL
+            SELECT 'l_orderkey->l_returnflag', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(nd) AS BIGINT)
+            FROM f2
+            UNION ALL
+            SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(nd) AS BIGINT)
+            FROM f3
+        )
+    """,
+    doc="Functional-dependency violation profiling — the schema-discovery "
+        "primitive (Papenbrock & Naumann's FD-discovery framing, cut to "
+        "the validation half a warehouse actually runs): for each "
+        "candidate determinant->dependent pair, how many determinant "
+        "keys map to MORE than one dependent value, the violation rate "
+        "in exact ppm, and the worst fanout. Complements "
+        "integrity_report (PK/FK/domain — INTER-table contracts) with "
+        "INTRA-table dependency structure: 'does part determine "
+        "supplier' is the question that decides normalization and join "
+        "cardinality estimates. Plan: per candidate one map-combinable "
+        "distinct-count agg keyed by the determinant, then a 1-row "
+        "summary; the three branches union into one plan, and the two "
+        "lineitem branches share one scan.",
+    tags=("relational", "profiling", "quality"),
+)
+def fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+
+    def summarize(df, key, dep, name):
+        g = df.groupBy(F.col(key).alias("k")).agg(
+            F.countDistinct(dep).cast("bigint").alias("nd"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint")
+             .alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_distinct"),
+        )
+    rep = (
+        summarize(li, "l_partkey", "l_suppkey", "l_partkey->l_suppkey")
+        .unionByName(summarize(li, "l_orderkey", "l_returnflag",
+                               "l_orderkey->l_returnflag"))
+        .unionByName(summarize(od, "o_custkey", "o_orderpriority",
+                               "o_custkey->o_orderpriority"))
+    )
+    return rep.select(
+        "fd", "n_keys", "n_violating",
+        F.expr("(n_violating * 1000000) div n_keys").cast("bigint")
+         .alias("violation_ppm"),
+        "max_distinct",
+    )

@@ -426,3 +426,55 @@ def test_incremental_join_reuses_staged_view_and_broadcasts_dim_delta(spark):
     # the late-dim delta term must probe as a broadcast join
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_trend_break_slopes_hand_example(spark, tmp_path):
+    import pyspark.sql.functions as F
+    H = 3600 * 1_000_000
+    # type A: 1 event/hour for hours 0-3, then ramp 2,4,6,8 for hours 4-7.
+    # |n*S_k - k*S| peaks at k=5 (hour 4, one point INTO the ramp — the
+    # centered statistic's true argmax, hand-computed): pre = hours 0-4
+    # (counts 1,1,1,1,2 -> slope 10/50 = 0.2), post = hours 5-7
+    # (counts 4,6,8 -> slope exactly 2)
+    rows = []
+    eid = 0
+    counts = [1, 1, 1, 1, 2, 4, 6, 8]
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, h * H, "A"))
+    spark.createDataFrame(
+        rows, "event_id long, us long, event_type string"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"),
+             "event_type").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["side"]: r for r in all_queries()["trend_break_slopes"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {"pre", "post"}
+    assert out["pre"]["cp_x"] == out["post"]["cp_x"] == 4
+    assert out["pre"]["slope"] == 0.2
+    assert out["post"]["slope"] == 2.0
+    assert out["pre"]["n"] + out["post"]["n"] == 8
+
+
+def test_fd_violations_hand_example(spark, tmp_path):
+    # part 1 -> suppliers {10, 11} (violation, fanout 2); part 2 -> {10}
+    # order 5 -> returnflags {'R'} (holds); order 6 -> {'R', 'A'} (violates)
+    li = [(1, 10, 5, "R"), (1, 11, 5, "R"), (2, 10, 6, "R"), (2, 10, 6, "A")]
+    spark.createDataFrame(
+        li, "l_partkey long, l_suppkey long, l_orderkey long, "
+            "l_returnflag string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    od = [(1, 7, "1-URGENT"), (2, 7, "3-MEDIUM"), (3, 8, "1-URGENT")]
+    spark.createDataFrame(
+        od, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["fd"]: (r["n_keys"], r["n_violating"], r["violation_ppm"],
+                     r["max_distinct"])
+           for r in all_queries()["fd_violations"].fn(
+               spark, str(tmp_path)).collect()}
+    assert out["l_partkey->l_suppkey"] == (2, 1, 500000, 2)
+    assert out["l_orderkey->l_returnflag"] == (2, 1, 500000, 2)
+    assert out["o_custkey->o_orderpriority"] == (2, 1, 500000, 2)
