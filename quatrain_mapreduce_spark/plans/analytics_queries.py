@@ -2560,3 +2560,95 @@ def trend_break_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / den.cast("double") * 1000000 + F.lit(0.5))
          / 1000000).alias("slope"),
     )
+
+
+@register(
+    "graph_summary",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM b x JOIN b y ON x.item = y.item AND x.u < y.u
+        ), deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY v
+        ), tri AS (
+            SELECT count(*) AS n_tri
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        )
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+               CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+                 AS n_wedges,
+               CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+               floor((SELECT 3.0 * n_tri FROM tri)
+                     / (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE)
+                        FROM deg)
+                     * 1000000 + 0.5) / 1000000 AS clustering_coeff
+    """,
+    doc="Global graph summary of the co-purchase graph — vertex/edge "
+        "counts, max degree, wedge count sum C(d,2), triangle total, and "
+        "the global clustering coefficient 3*triangles/wedges (Watts-"
+        "Strogatz transitivity): the one-row health report a graph "
+        "pipeline reads before choosing algorithms (max_degree drives "
+        "the skew strategy, transitivity says whether community "
+        "detection will bite). Triangles reuse the degree-oriented "
+        "node-iterator operator (wedge fan-out O(sqrt(m)) per vertex — "
+        "the celebrity-node bound); every other statistic is one "
+        "map-combinable aggregate over the edge/degree tables; the "
+        "coefficient is ONE float division of exact integers, 6dp. The "
+        "oracle recomputes triangles via the plain 3-way self-join "
+        "ground truth.",
+    tags=("graph", "analytics", "profiling"),
+)
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item"))
+               & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    )
+    degstats = deg.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+         .alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    tri = triangle_counts(edges, "src", "dst").agg(
+        (F.sum("n_triangles") / 3).cast("bigint").alias("n_triangles"))
+    j = degstats.crossJoin(F.broadcast(ecount)).crossJoin(F.broadcast(tri))
+    return j.select(
+        "n_vertices", "n_edges", "max_degree", "n_wedges", "n_triangles",
+        (F.floor(
+            3.0 * F.col("n_triangles")
+            / F.col("n_wedges").cast("double") * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("clustering_coeff"),
+    )

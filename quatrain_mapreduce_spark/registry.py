@@ -136,7 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   concurrency_peaks, dau_wau_stickiness, tpch_q7_shape, tpch_q16_shape,
 #   embedding_centroids, sql_recursive_cte, sql_variant_shred,
 #   sql_unpivot_groupall, boilerplate_strip, stream_auc_monitor,
-#   winnow_fingerprints, online_agg_ci, trend_break_slopes, fd_violations
+#   winnow_fingerprints, online_agg_ci, trend_break_slopes, fd_violations,
+#   graph_summary
 # (k_core_members rows-only by design: anti-monotone peeling fixpoint)
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
 # and profile_orders_hll are rows-only by design — iterative argmax /

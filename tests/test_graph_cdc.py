@@ -132,3 +132,31 @@ def test_triangle_sampling_invariants(spark):
     assert r["tri_estimate"] == 64 * r["tri_sampled"]
     # portable-hash sampling keeps ~1/4 of edges (597 at sf0.01)
     assert 597 // 8 <= r["n_sampled_edges"] <= 597 // 2
+
+
+def test_graph_summary_hand_graph(spark, tmp_path):
+    import json
+    import pyspark.sql.functions as F
+    # co-purchase graph from purchases sharing (k, day): make K3 {1,2,3}
+    # via item k=1 day 0, plus pendant 4 attached to 3 via k=2 day 0.
+    # Summary: 4 vertices, 4 edges, wedges C(2,2)*... degrees: 1:2, 2:2,
+    # 3:3, 4:1 -> wedges 1+1+3+0 = 5, triangles 1, cc = 3/5 = 0.6
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        eid += 1
+        rows.append((eid, u, 0, "purchase", json.dumps({"k": 1})))
+    for u in (3, 4):
+        eid += 1
+        rows.append((eid, u, 0, "purchase", json.dumps({"k": 2})))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, "
+              "props string"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+             "event_type", "props").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    [r] = all_queries()["graph_summary"].fn(spark, str(tmp_path)).collect()
+    assert (r["n_vertices"], r["n_edges"], r["max_degree"]) == (4, 4, 3)
+    assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
+    assert r["clustering_coeff"] == 0.6
