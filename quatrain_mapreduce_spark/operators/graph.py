@@ -178,3 +178,44 @@ def k_core_vertices(
         live = nxt
     return live.groupBy("a").agg(F.count("*").cast("bigint").alias("core_degree")) \
                .select(F.col("a").alias("vertex"), "core_degree")
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007), made
+    DETERMINISTIC: synchronous rounds (every vertex updates from the same
+    previous labeling — classic LPA's asynchronous sweep is order-
+    dependent), each vertex adopting the most frequent neighbor label
+    with ties broken toward the SMALLEST label, for a FIXED number of
+    rounds. Deterministic-by-construction beats converged-but-
+    irreproducible for an engine whose contract is hash-checkable output;
+    the components operator remains the exact-connectivity tier, this is
+    the density-community tier.
+
+    Scale shape per round: one join of the edge list against the
+    vertex-label table (both keyed by vertex — co-partitioned after the
+    first round), one map-combinable (vertex, label) count, one max_by
+    argmax agg. State is ONE label per vertex, persisted and swapped each
+    round; no driver-side graph.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().persist()
+
+    labels = sym.select(F.col("a").alias("vertex")).distinct() \
+                .withColumn("label", F.col("vertex")).persist()
+    for _ in range(rounds):
+        nbr = sym.join(labels, sym["b"] == labels["vertex"]) \
+                 .select("a", "label")
+        counts = nbr.groupBy("a", "label").agg(F.count("*").alias("c"))
+        nxt = counts.groupBy("a").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
+        ).select(F.col("a").alias("vertex"), "label").persist()
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    return labels.select("vertex", F.col("label").alias("community"))

@@ -2652,3 +2652,45 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges").cast("double") * 1000000 + F.lit(0.5)
         ) / 1000000).alias("clustering_coeff"),
     )
+
+
+@register(
+    "lpa_communities",
+    # no oracle: iterative argmax fixpoint — like k_core_members, LPA is
+    # not expressible in append-only recursive SQL. Parity is pytest-
+    # gated: an exact Python model of the SAME deterministic synchronous
+    # update replays the sf0.001 graph and must match label-for-label.
+    doc="Deterministic label-propagation communities over the co-purchase "
+        "graph (Raghavan et al. 2007; synchronous rounds + smallest-label "
+        "tie-break instead of the paper's random asynchronous sweep, so "
+        "the output is hash-checkable — determinism over convergence, "
+        "the engine's contract). Completes the graph tier's density "
+        "side: components answers 'connected?', k-core 'how dense?', "
+        "this 'which cluster?'. Per round: one vertex-keyed join, one "
+        "map-combinable (vertex, label) count, one max_by argmax; state "
+        "is one label per vertex, no driver-side graph.",
+    tags=("graph", "analytics"),
+)
+def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import lpa_communities
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item"))
+               & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    return lpa_communities(edges, rounds=5)

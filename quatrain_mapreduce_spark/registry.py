@@ -138,6 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   sql_unpivot_groupall, boilerplate_strip, stream_auc_monitor,
 #   winnow_fingerprints, online_agg_ci, trend_break_slopes, fd_violations,
 #   graph_summary
+# (lpa_communities rows-only by design: iterative argmax propagation)
 # (k_core_members rows-only by design: anti-monotone peeling fixpoint)
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
 # and profile_orders_hll are rows-only by design — iterative argmax /

@@ -160,3 +160,57 @@ def test_graph_summary_hand_graph(spark, tmp_path):
     assert (r["n_vertices"], r["n_edges"], r["max_degree"]) == (4, 4, 3)
     assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
     assert r["clustering_coeff"] == 0.6
+
+
+def test_lpa_matches_python_model(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    got = {r["vertex"]: r["community"]
+           for r in all_queries()["lpa_communities"].fn(
+               spark, sf_dir).collect()}
+    # rebuild the same edges, replay 5 synchronous min-tie rounds in Python
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (F.get_json_object("props", "$.k").cast("int") * 100
+             + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+             ).alias("item"))
+        .distinct())
+    x, y = bip.alias("x"), bip.alias("y")
+    pairs = (x.join(y, (F.col("x.item") == F.col("y.item"))
+                    & (F.col("x.u") < F.col("y.u")))
+             .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+             .distinct().collect())
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    labels = {v: v for v in adj}
+    for _ in range(5):
+        new = {}
+        for v, ns in adj.items():
+            counts = {}
+            for n in ns:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    assert got == labels
+
+
+def test_lpa_two_cliques_hand_graph(spark):
+    from quatrain_mapreduce_spark.operators.graph import lpa_communities
+    # two K4 cliques {1..4} and {10..13} joined by one bridge 4-10:
+    # each clique converges to its own min label
+    e = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e += [(4, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = {r["vertex"]: r["community"]
+           for r in lpa_communities(edges, rounds=5).collect()}
+    assert all(out[v] == 1 for v in (1, 2, 3, 4))
+    assert all(out[v] == 10 for v in (10, 11, 12, 13))

@@ -28,6 +28,7 @@ _SKIP = {
     "stream_drift_monitor", "stream_auc_monitor",
     "incremental_join_merge",  # staged-view write on first serve
     "k_core_members",          # driver-paced peel rounds inside fn()
+    "lpa_communities",         # driver-paced propagation rounds inside fn()
     "bpe_train_merges", "bpe_encode_corpus",  # driver-paced merge rounds
     # inside fn(); exact parity + loop behavior covered by
     # test_bpe_train_matches_pure_python / test_bpe_apply_roundtrips
