@@ -591,3 +591,89 @@ def distcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         distcp(spark, files, dst)
         open(os.path.join(dst, "_DISTCP_DONE"), "w").close()
     return spark.read.parquet(dst)
+
+
+@register(
+    "csv_quoted_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(md5(concat(
+                   E'q,"uo\nted:', substr(text, 1, 40), ':', lang
+               )) AS VARCHAR) AS torture_md5
+        FROM documents
+    """,
+    doc="CSV dialect torture — fields carrying embedded DELIMITERS, "
+        "DOUBLE QUOTES and NEWLINES round-trip through a quoted "
+        "multiline CSV stage (written with Spark's writer: quote-"
+        "doubling escapes, read back with multiLine=true — the parser "
+        "mode that makes records span physical lines, which naive "
+        "line-split CSV readers corrupt; the reference's "
+        "TextInputFormat era simply could not represent these values). "
+        "The oracle never sees the staged file: it recomputes the same "
+        "torture payload ('q,\"uo\\nted:' + text prefix + lang) from the "
+        "source table and md5s it, so a single flipped character "
+        "anywhere in the quote/newline handling breaks the hash. Scale: "
+        "multiLine CSV sacrifices intra-file split parallelism (a "
+        "record may cross any offset) — the documented trade; parquet "
+        "is the scale path, this attests the INTERCHANGE surface.",
+    tags=("sources", "records"),
+)
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = _stage_dir(sf_dir, "csvquoted")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        payload = F.concat(
+            F.lit('q,"uo\nted:'), F.substring("text", 1, 40),
+            F.lit(":"), F.col("lang"),
+        )
+        docs.select("doc_id", payload.alias("torture")).write.mode(
+            "overwrite"
+        ).option("header", True).csv(d)
+    back = (
+        spark.read.option("header", True).option("multiLine", True)
+        .schema("doc_id long, torture string").csv(d)
+    )
+    return back.select("doc_id", F.md5("torture").alias("torture_md5"))
+
+
+@register(
+    "nested_struct_pushdown",
+    oracle="""
+        SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        FROM events
+        WHERE CAST(props->>'$.k' AS INTEGER) >= 90
+          AND event_type = 'purchase'
+    """,
+    doc="Nested-struct parquet scan discipline: events staged once as "
+        "parquet with a STRUCT column (meta = {k int, day int, type "
+        "string} parsed from the JSON props — schema-on-write, the "
+        "lakehouse norm the reference's flat K/V records predate), then "
+        "served with a filter on a nested FIELD and a projection of "
+        "another. The pytest asserts the executed plan pushes the "
+        "nested predicate to the scan (PushedFilters on meta.k) and "
+        "prunes ReadSchema to the two touched leaf fields — nested "
+        "column pruning is exactly what separates a struct column from "
+        "an opaque blob at 100 TB. The oracle recomputes from the raw "
+        "JSON, so staging must preserve values bit-for-bit.",
+    tags=("sources", "records", "json"),
+)
+def nested_struct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = _stage_dir(sf_dir, "nestedstruct")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        meta = F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+             .alias("day"),
+            F.col("event_type").alias("type"),
+        )
+        ev.select("event_id", meta.alias("meta")).write.mode(
+            "overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    return back.where(
+        (F.col("meta.k") >= 90) & (F.col("meta.type") == "purchase")
+    ).select("event_id", F.col("meta.k").alias("k"))

@@ -317,3 +317,15 @@ def test_tpch_q16_anti_join_and_broadcast_part_filter(spark, sf_dir):
     p = plan_of(spark, sf_dir, "tpch_q16_shape")
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_nested_struct_pushdown_prunes_and_pushes(spark, sf_dir):
+    """The nested predicate must reach the parquet scan as a pushed
+    filter on meta.k, and ReadSchema must carry only the touched leaf
+    fields (nested column pruning) — day must NOT be read."""
+    p = plan_of(spark, sf_dir, "nested_struct_pushdown")
+    read = p.split("ReadSchema:", 1)[1][:300]
+    assert "k" in read and "type" in read
+    assert "day" not in read
+    brackets = pushed_filter_brackets(p)
+    assert any("meta.k" in b or "k" in b for b in brackets), p[:2000]
