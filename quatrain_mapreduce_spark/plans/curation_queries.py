@@ -1108,3 +1108,112 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hv).cast("bigint").alias("fp_sum"),
         F.min(hv).cast("bigint").alias("fp_min"),
     )
+
+
+@register(
+    "lexical_stats",
+    oracle="""
+        WITH w AS (
+            SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS word
+            FROM documents
+        ), wc AS (
+            SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+            FROM w GROUP BY lang, word
+        )
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS hapax_ppm
+        FROM wc GROUP BY lang
+    """,
+    doc="Per-language lexical health — type-token ratio and hapax-"
+        "legomenon fraction (the Baayen lexical-statistics pair): LOW "
+        "TTR flags boilerplate/templated text the repetition_filter "
+        "catches per-doc, at CORPUS grain; a collapsing hapax fraction "
+        "flags synthetic or deduplicate-starved data. Exact integer "
+        "ppm ratios. Plan: scan-local tokenize/explode -> ONE "
+        "map-combinable (lang, word) count (the wordcount shuffle — "
+        "vocabulary-sized output regardless of corpus) -> per-lang "
+        "summary over the vocab table.",
+    tags=("curation", "text", "quality"),
+)
+def lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    wc = w.groupBy("lang", "word").agg(F.count("*").cast("bigint").alias("c"))
+    return wc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        F.expr("(count(*) * 1000000) div sum(c)").cast("bigint")
+         .alias("ttr_ppm"),
+        F.expr("(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)"
+               " div count(*)").cast("bigint").alias("hapax_ppm"),
+    )
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS BIGINT) AS n_tok,
+                   {_H} % 64 AS shard
+            FROM documents
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST((sum(n_tok) + 1023) // 1024 AS BIGINT) AS n_seqs,
+               CAST((1024 - sum(n_tok) % 1024) % 1024 AS BIGINT)
+                 AS pad_tokens,
+               CAST(((1024 - sum(n_tok) % 1024) % 1024) * 1000000
+                    // (((sum(n_tok) + 1023) // 1024) * 1024) AS BIGINT)
+                 AS pad_ppm
+        FROM d GROUP BY shard
+    """,
+    doc="Sequence-packing efficiency report — the padding-waste ledger "
+        "for PER-SHARD independent packing at seq_len=1024 (the layout "
+        "a multi-host loader actually uses: each shard cuts its own "
+        "stream, so each shard's tail sequence pads; sequence_pack's "
+        "global-offset manifest is the single-stream variant). Shard "
+        "assignment is the same portable corpus-shuffle hash, so this "
+        "report and the manifest describe the same layout. pad_ppm is "
+        "exact integer arithmetic; the sum over shards is the token "
+        "budget lost to padding per epoch — the number that decides "
+        "whether length-grouped batching is worth deploying. Plan: one "
+        "scan, token counts scan-local, one 64-group map-combinable "
+        "agg.",
+    tags=("curation", "pack"),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+         .cast("bigint").alias("n_tok"),
+        (F.expr(_H) % 64).cast("int").alias("shard"),
+    )
+    g = d.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "shard", "n_docs", "n_tokens",
+        F.expr("(n_tokens + 1023) div 1024").cast("bigint").alias("n_seqs"),
+        F.expr("(1024 - n_tokens % 1024) % 1024").cast("bigint")
+         .alias("pad_tokens"),
+        F.expr("(((1024 - n_tokens % 1024) % 1024) * 1000000)"
+               " div (((n_tokens + 1023) div 1024) * 1024)").cast("bigint")
+         .alias("pad_ppm"),
+    )

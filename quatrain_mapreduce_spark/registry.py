@@ -137,7 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   embedding_centroids, sql_recursive_cte, sql_variant_shred,
 #   sql_unpivot_groupall, boilerplate_strip, stream_auc_monitor,
 #   winnow_fingerprints, online_agg_ci, trend_break_slopes, fd_violations,
-#   graph_summary, csv_quoted_roundtrip, nested_struct_pushdown
+#   graph_summary, csv_quoted_roundtrip, nested_struct_pushdown,
+#   lexical_stats, packing_efficiency
 # (lpa_communities rows-only by design: iterative argmax propagation)
 # (k_core_members rows-only by design: anti-monotone peeling fixpoint)
 # (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq

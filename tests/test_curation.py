@@ -432,3 +432,39 @@ def test_winnow_fingerprints_match_python_model(spark, tmp_path):
     # density guarantee held implicitly: the all-ties doc selects the
     # rightmost position of every window, one fingerprint per window slide
     assert got[2][1] >= 1
+
+
+def test_lexical_stats_hand_example(spark, tmp_path):
+    rows = [
+        (1, "a a b c", "en", "s", 0),     # en: tokens 4, types 3, hapax 2
+        (2, "x x x x", "de", "s", 0),     # de: tokens 4, types 1, hapax 0
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from quatrain_mapreduce_spark.registry import all_queries
+    out = {r["lang"]: r for r in all_queries()["lexical_stats"].fn(
+        spark, str(tmp_path)).collect()}
+    en, de = out["en"], out["de"]
+    assert (en["n_tokens"], en["n_types"], en["n_hapax"]) == (4, 3, 2)
+    assert en["ttr_ppm"] == 750000 and en["hapax_ppm"] == 666666
+    assert (de["n_tokens"], de["n_types"], de["n_hapax"]) == (4, 1, 0)
+    assert de["ttr_ppm"] == 250000 and de["hapax_ppm"] == 0
+
+
+def test_packing_efficiency_conserves_tokens_and_bounds_pad(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    rows = all_queries()["packing_efficiency"].fn(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        .alias("t")).collect()[0]["t"]
+    assert total == want  # every token lands in exactly one shard
+    for r in rows:
+        assert 0 <= r["pad_tokens"] < 1024
+        assert r["n_seqs"] * 1024 == r["n_tokens"] + r["pad_tokens"]
