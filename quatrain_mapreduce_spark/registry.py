@@ -123,29 +123,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # The r6-staged rotation queue of 34 never-green queries was executed above
 # in full this round (r7). The 7 queries REGISTERED in r7 before the window
 # freeze (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
-# already in-window this round. r8 ROTATION QUEUE — oracled queries
-# registered after the r7 freeze, each locally green on the
-# driver-mirroring vanilla session, to promote next round:
-#   skew_diagnosis, token_drift_kl, tpch_q5_shape,
-#   pandas_udaf_weighted_avg, window_value_funcs, feature_scaling,
-#   correlation_matrix, entity_resolution_clusters, seasonal_decompose,
-#   ks_test_values, stream_drift_monitor, curation_reject_reasons,
-#   auc_mann_whitney, spearman_rank_corr, basket_affinity,
-#   interval_overlap_join, attribution_multitouch, calibration_bins,
-#   cusum_changepoint, benford_digits, gini_spend, incremental_join_merge,
-#   concurrency_peaks, dau_wau_stickiness, tpch_q7_shape, tpch_q16_shape,
-#   embedding_centroids, sql_recursive_cte, sql_variant_shred,
-#   sql_unpivot_groupall, boilerplate_strip, stream_auc_monitor,
-#   winnow_fingerprints, online_agg_ci, trend_break_slopes, fd_violations,
-#   graph_summary, csv_quoted_roundtrip, nested_struct_pushdown,
-#   lexical_stats, packing_efficiency
-# (lpa_communities rows-only by design: iterative argmax propagation)
-# (k_core_members rows-only by design: anti-monotone peeling fixpoint)
-# (bpe_train_merges, bpe_encode_corpus, similarity_pq, similarity_ivfpq
-# and profile_orders_hll are rows-only by design — iterative argmax /
-# float-codebook index metadata / engine-specific HLL estimates; each
-# pytest-parity-, precision- or oracle-twin-gated).
-# Recompute with tools/coverage_rotation.py against CORRECTNESS_r07.json.
+# already in-window this round.
+#
+# r8 ROTATION QUEUE — the 41 oracled queries registered after the r7
+# freeze, each individually verified green on the driver-mirroring
+# vanilla session the day it was added. 41 fits the 50-row window with 9
+# slots for per-module representatives. The authoritative list is
+# computed, not maintained by hand:
+#   python tools/coverage_rotation.py   # vs CORRECTNESS_r07.json
+# (it currently prints exactly these 41 as "STILL IN TAIL" — the stats/
+# drift wave, the affinity/attribution/metrics wave, TPC-H Q5/Q7/Q16,
+# the Spark-4 SQL surfaces, the curation/IVM/graph additions, and the
+# online-agg CI report.)
+#
+# Rows-only by design (no SQL-expressible oracle; each differential- or
+# precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,
+# similarity_pq, similarity_ivfpq, profile_orders_hll (float-codebook /
+# HLL internals), k_core_members (anti-monotone peeling fixpoint),
+# lpa_communities (iterative argmax propagation).
 
 
 def all_queries() -> dict[str, Query]:
