@@ -2694,3 +2694,88 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return lpa_communities(edges, rounds=5)
+
+
+@register(
+    "pagerank_scores",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM b x JOIN b y ON x.item = y.item AND x.u < y.u
+        ), e0 AS (
+            SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+        ), deg AS (
+            SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY a
+        ), r0 AS (
+            SELECT v, CAST(1000000000 AS BIGINT) AS r FROM deg
+        ), r1 AS (
+            SELECT e0.b AS v,
+                   CAST(150000000 + sum((p.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+            FROM r0 p JOIN deg ON deg.v = p.v JOIN e0 ON e0.a = p.v
+            GROUP BY e0.b
+        ), r2 AS (
+            SELECT e0.b AS v,
+                   CAST(150000000 + sum((p.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+            FROM r1 p JOIN deg ON deg.v = p.v JOIN e0 ON e0.a = p.v
+            GROUP BY e0.b
+        ), r3 AS (
+            SELECT e0.b AS v,
+                   CAST(150000000 + sum((p.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+            FROM r2 p JOIN deg ON deg.v = p.v JOIN e0 ON e0.a = p.v
+            GROUP BY e0.b
+        ), r4 AS (
+            SELECT e0.b AS v,
+                   CAST(150000000 + sum((p.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+            FROM r3 p JOIN deg ON deg.v = p.v JOIN e0 ON e0.a = p.v
+            GROUP BY e0.b
+        ), r5 AS (
+            SELECT e0.b AS v,
+                   CAST(150000000 + sum((p.r * 17) // (20 * deg.d)) AS BIGINT) AS r
+            FROM r4 p JOIN deg ON deg.v = p.v JOIN e0 ON e0.a = p.v
+            GROUP BY e0.b
+        )
+        SELECT v AS vertex, r AS rank_fp FROM r5
+    """,
+    doc="PageRank centrality over the co-purchase graph "
+        "(operators/graph.pagerank_fixed_point): 5 synchronous power "
+        "iterations with damping 0.85, in EXACT fixed-point BIGINT "
+        "arithmetic (scale 1e9, contribution = (rank*17) div (20*degree)) "
+        "so an iterative float-free centrality is hash-checkable against "
+        "the oracle's independent 5-CTE unrolling. Completes the graph "
+        "tier's centrality axis next to textrank (which ranks tokens, not "
+        "graph vertices). Scale shape: degree computed once; each "
+        "iteration = one rank-to-edges hash join + one map-combinable "
+        "destination-keyed sum (the Pregel superstep); vertex-sized BIGINT "
+        "state, cached edge partitioning reused across iterations, no "
+        "driver state, no dangling-mass term (symmetrized graph has no "
+        "sinks).",
+    tags=("graph", "analytics"),
+)
+def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import pagerank_fixed_point
+
+    ev = load_table(spark, sf_dir, "events")
+    bip = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    edges = (
+        x.join(y, (F.col("x.item") == F.col("y.item"))
+               & (F.col("x.u") < F.col("y.u")))
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=5, scale=10**9)

@@ -214,3 +214,46 @@ def test_lpa_two_cliques_hand_graph(spark):
            for r in lpa_communities(edges, rounds=5).collect()}
     assert all(out[v] == 1 for v in (1, 2, 3, 4))
     assert all(out[v] == 10 for v in (10, 11, 12, 13))
+
+
+def test_pagerank_fixed_point_matches_pure_python(spark):
+    from quatrain_mapreduce_spark.operators.graph import pagerank_fixed_point
+
+    # path 1-2-3 plus triangle 4-5-6 bridged at 3-4; duplicates/reversals in.
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (6, 4), (2, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    out = {
+        r["vertex"]: r["rank_fp"]
+        for r in pagerank_fixed_point(edges, iters=5, scale=10**9).collect()
+    }
+
+    # independent pure-Python model with the SAME integer arithmetic
+    canon = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scale, tele = 10**9, 10**9 * 3 // 20
+    r = {v: scale for v in adj}
+    for _ in range(5):
+        nxt = {v: tele for v in adj}
+        for u, nbrs in adj.items():
+            c = (r[u] * 17) // (20 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        r = nxt
+    assert out == r
+    # mass conservation up to truncation: sum <= n*scale, within n*iters units
+    assert 0 <= len(adj) * scale - sum(out.values()) < len(adj) * 5 * 20 * 10
+
+
+def test_pagerank_star_center_dominates(spark):
+    from quatrain_mapreduce_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["rank_fp"] for r in pagerank_fixed_point(edges, iters=5).collect()}
+    assert out[0] == max(out.values())
+    # leaves are symmetric: identical ranks
+    assert len({out[i] for i in range(1, 9)}) == 1
