@@ -2779,3 +2779,45 @@ def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed_point(edges, iters=5, scale=10**9)
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS price_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT qty, price_cents, n_rows FROM d p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM d q
+            WHERE q.qty >= p.qty AND q.price_cents <= p.price_cents
+              AND (q.qty > p.qty OR q.price_cents < p.price_cents)
+        )
+    """,
+    doc="Skyline / Pareto-frontier query (operators/skyline.pareto_front; "
+        "Borzsonyi ICDE'01): the lineitem value pairs maximizing quantity "
+        "while minimizing extended price that no other pair strictly "
+        "dominates — the 'best trade-off' primitive a single ORDER BY "
+        "cannot express (reference Sort.java / KeyFieldBasedComparator "
+        "stop at one compound key). The oracle is the INDEPENDENT "
+        "quadratic NOT EXISTS dominance formulation; the engine runs the "
+        "two-phase distributed form: map-combinable distinct-pair "
+        "collapse, partition-local running-min sweep (parallel, "
+        "prune-safe), then the same sweep once over the union of local "
+        "frontiers — input bounded by partitions x frontier size, never "
+        "the corpus.",
+    tags=("analytics", "relational"),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.skyline import pareto_front
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+         .alias("price_cents"),
+    )
+    return pareto_front(li, "qty", "price_cents")

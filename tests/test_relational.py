@@ -186,3 +186,28 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pareto_front_hand_example(spark):
+    from quatrain_mapreduce_spark.operators.skyline import pareto_front
+
+    # maximize x, minimize y. Frontier: (5,10), (3,4), (2,1).
+    # (4,12) dominated by (5,10); (3,7) by (3,4) (same x, higher y);
+    # (1,1) by (2,1) (same y, lower x); duplicates collapse with counts.
+    rows = [(5, 10), (4, 12), (3, 4), (3, 7), (2, 1), (1, 1), (3, 4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r["x"], r["y"]): r["n_rows"] for r in pareto_front(df, "x", "y").collect()}
+    assert out == {(5, 10): 1, (3, 4): 2, (2, 1): 1}
+
+
+def test_pareto_front_single_point_and_chain(spark):
+    from quatrain_mapreduce_spark.operators.skyline import pareto_front
+
+    # a true trade-off chain (bigger x costs bigger y): all on the frontier
+    chain = [(i, i) for i in range(1, 21)]
+    df = spark.createDataFrame(chain, "x long, y long")
+    assert pareto_front(df, "x", "y").count() == 20
+    # one point dominating everything: frontier is exactly it
+    df2 = spark.createDataFrame(chain + [(100, 0)], "x long, y long")  # dominator
+    out = [(r["x"], r["y"]) for r in pareto_front(df2, "x", "y").collect()]
+    assert out == [(100, 0)]
