@@ -532,3 +532,72 @@ def jaccard_prefix_pairs(
         )
         .select("a_id", "b_id", jac.alias("jac"))
     )
+
+
+def substring_window_report(
+    docs: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection via rolling token-window
+    fingerprints — the distributed form of exact substring dedup (Lee et
+    al. ACL'22, "Deduplicating Training Data Makes Language Models
+    Better", which builds a corpus suffix array single-node).
+
+    Witness argument: any verbatim span of >= w tokens shared by two
+    documents contains at least one aligned w-token window, so every such
+    span is caught by flagging w-window fingerprints that occur in more
+    than one document — no suffix array, no all-pairs work. (Spans
+    duplicated only WITHIN one document are deliberately out of scope
+    here; the repetition_filter covers intra-doc repetition.)
+
+    Plan shape for 100 TB: window fingerprints are built scan-local
+    (sequence -> slice -> md5 inside codegen, ~n_tokens windows per doc,
+    corpus-linear); a per-(doc, fingerprint) pre-aggregate makes the
+    fingerprint-level shuffle map-side combinable; cross-doc detection is
+    min(doc) != max(doc) — never countDistinct; the duplicated-fingerprint
+    set (dedup output, tiny vs corpus) joins back to the pre-aggregate and
+    folds per doc. Two hash shuffles total on the window frame, O(1) state
+    per fingerprint.
+
+    Output per document: window count, duplicated-window count, the sum of
+    duplicated window START POSITIONS (pins WHICH spans matched, not just
+    how many), and a >=20%% duplication flag in exact integer arithmetic.
+    """
+    toks = tokenize(text_col)
+    n_win = F.greatest(F.size(toks) - (w - 1), F.lit(0)).cast("bigint")
+    hashes = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), n_win.alias("n_windows"))
+    win = spread(docs).select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "whash")
+    )
+    perdoc = win.groupBy("whash", id_col).agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_sum")
+    )
+    crossdoc = (
+        perdoc.groupBy("whash")
+        .agg(F.min(id_col).alias("a"), F.max(id_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select("whash")
+    )
+    dup = (
+        perdoc.join(crossdoc, "whash")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("dup_windows"),
+            F.sum("pos_sum").alias("dup_pos_sum"),
+        )
+    )
+    joined = base.join(dup, id_col, "left")
+    dup_w = F.coalesce(F.col("dup_windows"), F.lit(0)).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        F.col("n_windows"),
+        dup_w.alias("dup_windows"),
+        F.coalesce(F.col("dup_pos_sum"), F.lit(0)).cast("bigint").alias("dup_pos_sum"),
+        ((dup_w * 5 >= F.col("n_windows")) & (F.col("n_windows") > 0)).alias("dup_heavy"),
+    )

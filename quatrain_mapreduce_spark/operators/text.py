@@ -470,3 +470,73 @@ def bpe_apply(df: DataFrame, id_col: str, text_col: str,
             ).alias("syms"),
         )
     return out
+
+
+def count_discriminant_classifier(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_pos: Column,
+    is_train: Column,
+) -> DataFrame:
+    """Linear text classifier, train -> serve in one plan (fastText-style
+    curation gate). The discriminant is the add-1-smoothed class-conditional
+    frequency difference carried as an EXACT INTEGER cross-ratio:
+
+        weight(t) = (c_pos+1)(tot_neg+V) - (c_neg+1)(tot_pos+V)
+
+    sign(weight) = sign of the smoothed rate difference, so per-token
+    evidence and the per-doc argmax are exact-integer — the log-likelihood
+    NB form is the production swap, but ln() never orders anything here
+    (libm vs StrictMath last-ulp; the tfidf_keywords lesson).
+
+    Plan: ONE map-combinable token-count shuffle trains; the vocab-bounded
+    model and a 1-row totals frame broadcast back; serving is explode ->
+    per-(doc, token) tf -> broadcast-hash join -> per-doc sum. Docs with
+    zero in-vocab tokens score 0 (pred false).
+    """
+    base = docs.select(
+        F.col(id_col), F.col(text_col),
+        is_pos.alias("_pos"), is_train.alias("_train"),
+    )
+    train = base.where(F.col("_train"))
+    test = base.where(~F.col("_train"))
+    tok = train.select(
+        F.col("_pos"), F.explode(tokenize(text_col)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("c_neg"),
+    )
+    tot = counts.agg(
+        F.sum("c_pos").alias("tot_pos"),
+        F.sum("c_neg").alias("tot_neg"),
+        F.count("*").alias("v"),
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            (F.col("c_pos") + 1) * (F.col("tot_neg") + F.col("v"))
+            - (F.col("c_neg") + 1) * (F.col("tot_pos") + F.col("v"))
+        ).cast("bigint").alias("weight"),
+    )
+    tf = (
+        test.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scores = (
+        tf.join(F.broadcast(model), "token")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
+    )
+    return (
+        test.select(F.col(id_col), F.col("_pos").alias("actual"))
+        .join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+            (F.coalesce("score", F.lit(0)) > 0).alias("pred"),
+            "actual",
+        )
+    )

@@ -1792,3 +1792,145 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.join(
         cust, clusters.entity_root == cust.c_custkey
     ).select("entity_root", "n_members", "member_key_sum", "canonical_name")
+
+
+@register(
+    "dedup_substring_windows",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+          FROM toks
+        ), win AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos+1 : pos+8], ' ')) AS whash
+          FROM pos
+        ), perdoc AS (
+          SELECT whash, doc_id, count(*) AS cnt, sum(pos) AS pos_sum
+          FROM win GROUP BY 1, 2
+        ), crossdoc AS (
+          SELECT whash FROM perdoc GROUP BY 1 HAVING min(doc_id) < max(doc_id)
+        ), dup AS (
+          SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS dup_windows,
+                 CAST(sum(pos_sum) AS BIGINT) AS dup_pos_sum
+          FROM perdoc JOIN crossdoc USING (whash) GROUP BY 1
+        )
+        SELECT k.doc_id,
+               CAST(greatest(len(k.t) - 7, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+               CAST(coalesce(d.dup_pos_sum, 0) AS BIGINT) AS dup_pos_sum,
+               (coalesce(d.dup_windows, 0) * 5 >= greatest(len(k.t) - 7, 0)
+                AND greatest(len(k.t) - 7, 0) > 0) AS dup_heavy
+        FROM toks k LEFT JOIN dup d USING (doc_id)
+    """,
+    doc="Exact duplicated-SPAN detection via rolling 8-token window "
+        "fingerprints — the distributed witness form of suffix-array "
+        "substring dedup (Lee et al. ACL'22): any cross-document verbatim "
+        "span of >= 8 tokens shares at least one aligned window, so "
+        "flagging fingerprints seen in >1 document (min!=max witness, no "
+        "countDistinct) catches every such span with corpus-linear work "
+        "and NO suffix array. Fourth member of the dedup family: exact "
+        "whole-doc (dedup_exact) / near-dup (LSH tiers) / set-similarity "
+        "(jaccard) / SPAN-level (this). Per-doc output pins membership: "
+        "duplicated-window count AND start-position sum, plus a >=20%% "
+        "flag in pure integer arithmetic. Corpus really contains planted "
+        "cross-doc spans (sf0.01: 1015 duplicated window fingerprints "
+        "across 47 docs), so the query is exercised, not vacuous. Plan: "
+        "scan-local window build (sequence->slice->md5 in codegen), "
+        "per-(doc,hash) pre-agg making the hash shuffle map-combinable, "
+        "dup-set join back. Cites reference semantics: the reference has "
+        "no span dedup; this is LLM-pipeline superset surface.",
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.dedup import substring_window_report
+
+    return substring_window_report(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    )
+
+
+from quatrain_mapreduce_spark.operators.curation import portable_h16_sql as _h16_sql
+
+_SPLIT_H16 = _h16_sql("doc_id")
+
+_CLS_ORACLE = f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, ({_SPLIT_H16} % 10 < 7) AS is_train
+      FROM documents
+    ), tr_tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, ' '), x -> x <> '')) AS token
+      FROM split WHERE is_train
+    ), counts AS (
+      SELECT token,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos,
+             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_neg
+      FROM tr_tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+             CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ), model AS (
+      SELECT token,
+             CAST((c_pos + 1) * (tot_neg + v) - (c_neg + 1) * (tot_pos + v)
+                  AS BIGINT) AS weight
+      FROM counts, tot
+    ), te_tok AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, ' '), x -> x <> '')) AS token
+        FROM split WHERE NOT is_train
+      ) GROUP BY 1, 2
+    ), scores AS (
+      SELECT doc_id, CAST(sum(tf * weight) AS BIGINT) AS score
+      FROM te_tok JOIN model USING (token) GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+           coalesce(sc.score, 0) > 0 AS pred,
+           s.lang = 'en' AS actual
+    FROM split s LEFT JOIN scores sc USING (doc_id)
+    WHERE NOT s.is_train
+"""
+
+
+@register(
+    "text_classifier_linear",
+    oracle=_CLS_ORACLE,
+    doc="Trained linear text classifier, train->serve in ONE plan (the "
+        "fastText-style curation gate: label docs, train a linear model "
+        "on a split, score the rest at scan throughput). Binary target "
+        "lang='en'; leakage-free 70/30 split via the portable md5-nibble "
+        "hash (doc_id parity would alias the source column here). The "
+        "discriminant is the class-conditional frequency difference with "
+        "add-1 smoothing carried as an EXACT INTEGER cross-ratio: "
+        "weight(t) = (c_pos+1)(tot_neg+V) - (c_neg+1)(tot_pos+V) — sign "
+        "equals the sign of the smoothed rate difference, so prediction "
+        "is argmax over exact integers; the log-likelihood NB form is the "
+        "production swap but ln() is banned from ordering (libm vs "
+        "StrictMath last-ulp, the tfidf_keywords lesson). Plan: ONE "
+        "token-count shuffle (map-combinable) trains; the vocab-bounded "
+        "model + 1-row totals broadcast back; serving is explode -> "
+        "per-(doc,token) tf -> broadcast-hash join -> per-doc sum. At "
+        "100 TB the model stays vocab-sized and serving is one scan.",
+    tags=("text", "classifier", "llm-pipeline"),
+)
+def text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.text import (
+        count_discriminant_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return count_discriminant_classifier(
+        docs, "doc_id", "text",
+        is_pos=F.col("lang") == "en",
+        is_train=F.expr(f"({_SPLIT_H16} % 10) < 7"),
+    )

@@ -162,3 +162,29 @@ def test_jaccard_prefix_exact_boundary_and_planted(spark):
     assert (3, 4) in out and out[(3, 4)] == 1.0
     assert (5, 6) in out and abs(out[(5, 6)] - 0.8) < 1e-12
     assert (1, 2) not in out
+
+
+def test_substring_windows_planted_span(spark):
+    from quatrain_mapreduce_spark.operators.dedup import substring_window_report
+
+    # w=3. doc1/doc2 share the verbatim 4-token span "a b c d" -> both its
+    # 3-windows ("a b c" at pos, "b c d" at pos+1) are cross-doc duplicated.
+    # doc3 repeats a window INTERNALLY only ("k l m" twice) -> intra-doc
+    # repetition must NOT flag (cross-doc witness is min(doc)!=max(doc)).
+    # doc4 is too short for any window -> n_windows=0, never dup_heavy.
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z"),          # windows at pos 0..4; dup at 0,1
+         (2, "q q a b c d"),            # windows at pos 0..3; dup at 2,3
+         (3, "k l m k l m"),            # "k l m" twice, same doc only
+         (4, "u v")],                   # 2 tokens < w
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            substring_window_report(docs, "doc_id", "text", w=3).collect()}
+    assert rows[1]["n_windows"] == 5 and rows[1]["dup_windows"] == 2
+    assert rows[1]["dup_pos_sum"] == 0 + 1
+    assert rows[2]["dup_windows"] == 2 and rows[2]["dup_pos_sum"] == 2 + 3
+    assert rows[2]["dup_heavy"]          # 2/4 = 50% >= 20%
+    assert rows[1]["dup_heavy"]          # 2/5 = 40% >= 20%
+    assert rows[3]["dup_windows"] == 0 and not rows[3]["dup_heavy"]
+    assert rows[4]["n_windows"] == 0 and not rows[4]["dup_heavy"]

@@ -319,3 +319,35 @@ def test_bpe_apply_roundtrips_training_segmentation(spark):
     for r in got_rows:
         w = "".join(r["syms"])
         assert tuple(r["syms"]) == syms[w], (w, r["syms"], syms[w])
+
+
+def test_count_discriminant_separates_planted_vocab(spark):
+    from quatrain_mapreduce_spark.operators.text import (
+        count_discriminant_classifier,
+    )
+    from pyspark.sql import functions as F
+
+    # Positive docs speak "zorb", negative docs speak "quux"; train on the
+    # first 8 of each class, serve the rest. The smoothed rate-difference
+    # weight must classify every held-out doc correctly, and a doc made of
+    # only out-of-vocab tokens must score exactly 0 -> pred False.
+    rows = [(i, "zorb zorb flib", True) for i in range(10)]
+    rows += [(100 + i, "quux quux flib", False) for i in range(10)]
+    rows.append((999, "unseen tokens only", False))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r["doc_id"]: r for r in count_discriminant_classifier(
+        docs, "doc_id", "text",
+        is_pos=F.col("y"),
+        is_train=(F.col("doc_id") % 100) < 8,
+    ).collect()}
+    assert len(out) == 5  # 2 pos + 2 neg + the OOV doc held out
+    for i in (8, 9):
+        assert out[i]["pred"] and out[i]["actual"]
+    for i in (108, 109):
+        assert not out[i]["pred"] and not out[i]["actual"]
+    assert out[999]["score"] == 0 and not out[999]["pred"]
+
+    # Hand-check one weight path end-to-end: c_pos(zorb)=16, c_neg=0,
+    # tot_pos=24, tot_neg=24, V=3 -> w(zorb)=(17*27-1*27)=432,
+    # w(flib)=(9*27-9*27)=0, so score(doc 8)=2*432=864.
+    assert out[8]["score"] == 864
