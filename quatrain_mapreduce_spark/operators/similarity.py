@@ -762,3 +762,89 @@ def ivfpq_topk(
     residuals.unpersist()
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
     return cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> dict:
+    """Distributed PCA fit over an embedding column — the whitening /
+    dimensionality-reduction step a production ANN pipeline runs before
+    quantization (IVF/PQ train on reduced vectors; OPQ is a rotated PQ).
+
+    Scale shape: the corpus is touched by ONE mapInPandas pass that emits a
+    per-partition moment partial (count, sum vector, d x d Gram matrix) —
+    the treeAggregate shape, Arrow-batched, numpy-accumulated. The driver
+    pull is <= n_partitions rows of d*(d+1) doubles (model-sized, like the
+    IVF centroid pull — never corpus-sized), and the d x d eigensolve is
+    driver-local because d is pipeline config (~64), not data. Sign
+    convention: each component's largest-|coordinate| entry is made
+    positive (first index on ties), so the fit is reproducible across
+    partitionings up to float-sum ulp noise.
+
+    Returns {mean, components (k x d, row-major), explained_var_ratio}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            g = m.T @ m if g is None else g + m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        moments, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        comps.append((-v if v[j] < 0 else v).tolist())
+    total = float(np.clip(evals, 0, None).sum()) or 1.0
+    return {
+        "mean": mean.tolist(),
+        "components": comps,
+        "explained_var_ratio": [float(max(evals[i], 0.0) / total) for i in order],
+    }
+
+
+def pca_project(
+    df: DataFrame, id_col: str, vec_col: str, model: dict,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project vectors onto fitted components: pc_j = (x - mean) . c_j.
+
+    Each projection is ONE SQL expression string (component literals
+    inlined, mean-dot precomputed to a scalar) parsed JVM-side in a single
+    call — the lsh_bucket lesson: per-literal F.lit would cost thousands
+    of py4j round trips. The projection itself is zip_with/aggregate
+    inside codegen; no Python in the scoring path.
+    """
+    import numpy as np
+
+    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    mean = np.array(model["mean"])
+    for j, comp in enumerate(model["components"], start=1):
+        arr = ",".join(repr(c) + "D" for c in comp)
+        mean_dot = float(mean @ np.array(comp))
+        expr = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(a, x) -> a + x) - {mean_dot!r}D"
+        )
+        cols.append(F.expr(expr).alias(f"pc{j}"))
+    return df.select(*cols)

@@ -1934,3 +1934,32 @@ def text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_pos=F.col("lang") == "en",
         is_train=F.expr(f"({_SPLIT_H16} % 10) < 7"),
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # the eigendecomposition has no SQL form; exact parity vs
+    # a direct numpy PCA on the same parquet (projections AND explained-
+    # variance ratios) is pytest-gated (tests/test_similarity.py)
+    doc="Distributed PCA over the embedding column — fit via ONE "
+        "mapInPandas moment-partial pass (count / sum / d x d Gram per "
+        "partition, the treeAggregate shape; driver pull is model-sized, "
+        "<= n_partitions rows), eigensolve on the d x d covariance "
+        "driver-local (d is pipeline config, not data), then projection "
+        "of all vectors onto the top-4 components as pure JVM "
+        "zip_with/aggregate expressions (one SQL string per component — "
+        "no Python in the scoring path). The reduction step a production "
+        "ANN stack runs before IVF/PQ quantization; composes with "
+        "similarity_ivf / similarity_pq on the reduced vectors. "
+        "Deterministic up to float-sum ulp: components sign-normalized "
+        "(largest-|coordinate| entry positive).",
+    tags=("similarity", "embedding", "llm-pipeline"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import (
+        pca_fit, pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    return pca_project(emb, "vec_id", "embedding", model, keep_cols=("label",))

@@ -267,3 +267,43 @@ def test_embedding_centroids_hand_example(spark, tmp_path):
     assert (out[(0, 2)]["n_a"], out[(0, 2)]["n_b"]) == (2, 2)
     # exact integer dot: sums (4000, 0) . (5250, 0)
     assert out[(0, 2)]["dot_scaled"] == 4000 * 5250
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from quatrain_mapreduce_spark.operators.similarity import (
+        pca_fit, pca_project,
+    )
+    from quatrain_mapreduce_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    got = {
+        r["vec_id"]: [r[f"pc{j}"] for j in range(1, 5)]
+        for r in pca_project(emb, "vec_id", "embedding", model).collect()
+    }
+
+    # Direct numpy PCA on the same parquet, same sign convention.
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    x = np.vstack([np.array(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    mean = x.mean(0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        comps.append(-v if v[j] < 0 else v)
+    ref = (x - mean) @ np.array(comps).T
+
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], ref[i], atol=1e-8)
+
+    # Components capture variance in decreasing order and ratios sum <= 1.
+    evr = model["explained_var_ratio"]
+    assert all(a >= b for a, b in zip(evr, evr[1:]))
+    assert 0.0 < sum(evr) <= 1.0 + 1e-12
