@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "basket_affinity",     # Apriori pair pass: scan-local basket explode (new r7)
     "tpch_q7_shape",       # disjunctive cross-nation join, 2-row dim broadcasts (new r7)
     "incremental_join_merge",  # delta-algebra join-view maintenance (new r7)
+    "dedup_substring_windows",  # span-level dedup: rolling window fingerprints (new r7)
+    "text_classifier_linear",  # train->serve linear curation gate (new r7)
 ]
 
 

@@ -108,9 +108,13 @@ def bfs_distances(
     frontier/visited frames — per-hop cost is O(frontier-adjacent edges),
     the textbook BFS work bound.
     """
+    # Persist the symmetrized edge list: every hop joins against it, and
+    # without the persist each hop's plan re-derives it from the caller's
+    # edge construction (for the co-purchase graph, a full self-join) —
+    # 3x the work and a plan tree that grows per hop.
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().persist()
 
     source = source_expr.toDF("vertex").select(
         "vertex", F.lit(0).alias("dist")

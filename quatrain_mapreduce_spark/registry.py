@@ -125,16 +125,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # freeze (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
 # already in-window this round.
 #
-# r8 ROTATION QUEUE — the 41 oracled queries registered after the r7
-# freeze, each individually verified green on the driver-mirroring
-# vanilla session the day it was added. 41 fits the 50-row window with 9
-# slots for per-module representatives. The authoritative list is
-# computed, not maintained by hand:
+# r8 ROTATION QUEUE — the oracled queries registered after the r7
+# freeze (45 at end of round), each individually verified green on the
+# driver-mirroring vanilla session the day it was added. 45 fits the
+# 50-row window with 5 slots for per-module representatives. The
+# authoritative list is computed, not maintained by hand:
 #   python tools/coverage_rotation.py   # vs CORRECTNESS_r07.json
-# (it currently prints exactly these 41 as "STILL IN TAIL" — the stats/
-# drift wave, the affinity/attribution/metrics wave, TPC-H Q5/Q7/Q16,
-# the Spark-4 SQL surfaces, the curation/IVM/graph additions, and the
-# online-agg CI report.)
+# (its "STILL IN TAIL" rows — the stats/drift wave, the affinity/
+# attribution/metrics wave, TPC-H Q5/Q7/Q16, the Spark-4 SQL surfaces,
+# the curation/IVM/graph additions, the online-agg CI report, PageRank/
+# skyline, and the span-dedup/classifier pair.)
 #
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,

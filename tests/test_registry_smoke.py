@@ -22,6 +22,11 @@ def test_query_runs(spark, sf_dir, name):
     assert df.columns, f"{name} returned no columns"
     n = df.count()
     assert n >= 0
+    # Persisted frames (BFS frontiers, LSH shingle branches, staged views)
+    # are dead weight once the query is counted; without this, ~240 smoke
+    # runs accumulate cache in the shared session until the heaviest query
+    # OOMs the suite JVM (graph_bfs_reach, flaky at ~500-test scale).
+    spark.catalog.clearCache()
 
 
 def test_every_oracle_query_aliases_all_columns():
