@@ -329,3 +329,20 @@ def test_nested_struct_pushdown_prunes_and_pushes(spark, sf_dir):
     assert "day" not in read
     brackets = pushed_filter_brackets(p)
     assert any("meta.k" in b or "k" in b for b in brackets), p[:2000]
+
+
+def test_classifier_serving_broadcasts_model(spark, sf_dir):
+    """text_classifier_linear's serving join must broadcast the
+    vocab-bounded model onto the exploded test corpus — a shuffled SMJ of
+    the corpus against a model table would move the corpus for a
+    vocabulary-sized side."""
+    p = plan_of(spark, sf_dir, "text_classifier_linear")
+    assert "BroadcastHashJoin [token" in p
+
+
+def test_substring_windows_single_window_build(spark, sf_dir):
+    """dedup_substring_windows persists the per-(doc,hash) pre-aggregate at
+    its branch point: the physical plan must read the cached frame
+    (InMemoryTableScan), not inline the window build once per consumer."""
+    p = plan_of(spark, sf_dir, "dedup_substring_windows")
+    assert "InMemoryTableScan" in p
