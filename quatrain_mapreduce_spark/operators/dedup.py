@@ -534,6 +534,25 @@ def jaccard_prefix_pairs(
     )
 
 
+def window_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """(id, pos, whash): md5 fingerprint of every w-token rolling window,
+    built scan-local (sequence -> slice -> md5 inside one projection).
+    Shared by substring_window_report and dup_span_extract."""
+    toks = tokenize(text_col)
+    hashes = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return spread(docs).select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "whash")
+    )
+
+
 def substring_window_report(
     docs: DataFrame, id_col: str, text_col: str, w: int = 8
 ) -> DataFrame:
@@ -562,19 +581,12 @@ def substring_window_report(
     duplicated window START POSITIONS (pins WHICH spans matched, not just
     how many), and a >=20%% duplication flag in exact integer arithmetic.
     """
-    toks = tokenize(text_col)
-    n_win = F.greatest(F.size(toks) - (w - 1), F.lit(0)).cast("bigint")
-    hashes = F.when(
-        F.size(toks) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col), n_win.alias("n_windows"))
-    win = spread(docs).select(
-        F.col(id_col), F.posexplode(hashes).alias("pos", "whash")
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.size(tokenize(text_col)) - (w - 1), F.lit(0))
+        .cast("bigint").alias("n_windows"),
     )
+    win = window_fingerprints(docs, id_col, text_col, w)
     # perdoc feeds BOTH the cross-doc detection and the dup join-back;
     # persist at the branch point or the scan-local window build (the
     # expensive half) runs twice — measured 15.6 s -> 3.3 s warm at sf1.
@@ -606,4 +618,48 @@ def substring_window_report(
         dup_w.alias("dup_windows"),
         F.coalesce(F.col("dup_pos_sum"), F.lit(0)).cast("bigint").alias("dup_pos_sum"),
         ((dup_w * 5 >= F.col("n_windows")) & (F.col("n_windows") > 0)).alias("dup_heavy"),
+    )
+
+
+def dup_span_extract(
+    docs: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Reconstruct MAXIMAL cross-document duplicated spans from the flagged
+    rolling windows — the cut-list half of substring dedup (Lee et al.
+    ACL'22 removes the duplicated byte ranges; substring_window_report only
+    counts them). A run of consecutive duplicated window starts
+    [p, p+1, ..., q] witnesses one duplicated token span [p, q+w-1];
+    merging runs is the classic gaps-and-islands grouping (pos minus its
+    per-doc rank is constant within a run).
+
+    Plan: the window frame is built once (window_fingerprints, scan-local);
+    cross-doc fingerprints come from one map-combinable min/max agg; the
+    duplicated positions (tiny vs corpus) take one per-doc window for the
+    island key and one group agg. Output is exact integers: one row per
+    (doc, island) with token-index bounds and the witness-window count.
+    """
+    win = window_fingerprints(docs, id_col, text_col, w).persist()
+    crossdoc = (
+        win.groupBy("whash")
+        .agg(F.min(id_col).alias("a"), F.max(id_col).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select("whash")
+    )
+    duppos = win.join(crossdoc, "whash").select(F.col(id_col), F.col("pos"))
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    islands = duppos.withColumn("grp", F.col("pos") - rn)
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_windows",
+        )
     )

@@ -1963,3 +1963,52 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=4)
     return pca_project(emb, "vec_id", "embedding", model, keep_cols=("label",))
+
+
+@register(
+    "dedup_span_extract",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+          FROM toks
+        ), win AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos+1 : pos+8], ' ')) AS whash
+          FROM pos
+        ), crossdoc AS (
+          SELECT whash FROM win GROUP BY 1 HAVING min(doc_id) < max(doc_id)
+        ), dpos AS (
+          SELECT w.doc_id, w.pos,
+                 row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rn
+          FROM win w JOIN crossdoc USING (whash)
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 7 AS BIGINT) AS span_end,
+               CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_dup_windows
+        FROM dpos GROUP BY doc_id, pos - rn
+    """,
+    doc="The cut-list half of substring dedup: maximal cross-document "
+        "duplicated token spans reconstructed from the flagged rolling "
+        "windows by gaps-and-islands merging (a run of consecutive "
+        "duplicated window starts [p..q] is ONE duplicated span "
+        "[p, q+w-1]; island key = pos minus per-doc rank). What a 100 TB "
+        "pipeline feeds to the span-removal rewrite, where "
+        "substring_window_report only scores docs. Duplicated positions "
+        "are tiny vs the corpus, so the island window and group agg run "
+        "on dedup output, not corpus scale; the window frame builds once "
+        "scan-local. Exact integer output pins every span boundary.",
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.dedup import dup_span_extract
+
+    return dup_span_extract(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+    )

@@ -188,3 +188,28 @@ def test_substring_windows_planted_span(spark):
     assert rows[1]["dup_heavy"]          # 2/5 = 40% >= 20%
     assert rows[3]["dup_windows"] == 0 and not rows[3]["dup_heavy"]
     assert rows[4]["n_windows"] == 0 and not rows[4]["dup_heavy"]
+
+
+def test_dup_span_extract_merges_adjacent_windows(spark):
+    from quatrain_mapreduce_spark.operators.dedup import dup_span_extract
+
+    # w=3, shared 5-token span "a b c d e" -> dup windows at 3 consecutive
+    # starts -> ONE island spanning tokens [start, start+4]; doc2 also
+    # shares a DISJOINT 3-token span "x y z" later -> a second island.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e q r s x y z"),
+         (2, "u v a b c d e w x y z"),
+         (3, "m n o p q")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"],
+         r["n_dup_windows"])
+        for r in dup_span_extract(docs, "doc_id", "text", w=3).collect()
+    )
+    # doc1: "a b c d e" at 0..4 (windows 0,1,2), "x y z" at 8..10 (window 8)
+    # doc2: same spans at 2..6 (windows 2,3,4) and 8..10 (window 8)
+    assert rows == [
+        (1, 0, 4, 5, 3), (1, 8, 10, 3, 1),
+        (2, 2, 6, 5, 3), (2, 8, 10, 3, 1),
+    ]
