@@ -2012,3 +2012,90 @@ def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_extract(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
     )
+
+
+@register(
+    "dedup_substring_incremental",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+          FROM toks
+        ), win AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos+1 : pos+8], ' ')) AS whash
+          FROM pos
+        ), ex AS (
+          SELECT DISTINCT whash FROM win WHERE doc_id % 5 <> 0
+        ), hit AS (
+          SELECT i.doc_id,
+                 CAST(count(*) AS BIGINT) AS hit_windows,
+                 CAST(sum(i.pos) AS BIGINT) AS hit_pos_sum
+          FROM win i JOIN ex USING (whash)
+          WHERE i.doc_id % 5 = 0
+          GROUP BY 1
+        )
+        SELECT k.doc_id,
+               CAST(greatest(len(k.t) - 7, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(h.hit_windows, 0) AS BIGINT) AS hit_windows,
+               CAST(coalesce(h.hit_pos_sum, 0) AS BIGINT) AS hit_pos_sum
+        FROM toks k LEFT JOIN hit h USING (doc_id)
+        WHERE k.doc_id % 5 = 0
+    """,
+    doc="Incremental SPAN-level dedup against a persisted window-hash "
+        "index — the continuous-corpus contract applied to the substring "
+        "tier (the third staged-index member after dedup_incremental_lsh "
+        "and sessionize_incremental): the standing corpus's distinct "
+        "window fingerprints are staged ONCE; an arriving increment "
+        "(doc_id % 5 == 0) builds its own windows scan-local and PROBES "
+        "the index with one equi-join — per-increment work scales with "
+        "the increment, never the corpus, and at 100 TB the index is "
+        "bucketed by fingerprint so the probe co-locates. Reports, per "
+        "arriving doc, how much of it already exists verbatim in the "
+        "corpus (window count + position sum pins membership). Increment-"
+        "internal duplication is deliberately out of scope — that is "
+        "dedup_substring_windows run on the increment alone.",
+    tags=("dedup", "substring", "incremental"),
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.dedup import window_fingerprints
+    from quatrain_mapreduce_spark.operators.projection import tokenize
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving = F.col("doc_id") % 5 == 0
+
+    idx = stage_dir(sf_dir, "spanindex")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        window_fingerprints(
+            docs.where(~arriving), "doc_id", "text", 8
+        ).select("whash").distinct().write.mode("overwrite").parquet(idx)
+    existing = spark.read.parquet(idx)
+
+    inc = docs.where(arriving)
+    base = inc.select(
+        F.col("doc_id"),
+        F.greatest(F.size(tokenize("text")) - 7, F.lit(0))
+        .cast("bigint").alias("n_windows"),
+    )
+    hits = (
+        window_fingerprints(inc, "doc_id", "text", 8)
+        .join(existing, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("hit_windows"),
+            F.sum("pos").alias("hit_pos_sum"),
+        )
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("hit_windows", F.lit(0)).cast("bigint").alias("hit_windows"),
+        F.coalesce("hit_pos_sum", F.lit(0)).cast("bigint").alias("hit_pos_sum"),
+    )

@@ -213,3 +213,18 @@ def test_dup_span_extract_merges_adjacent_windows(spark):
         (1, 0, 4, 5, 3), (1, 8, 10, 3, 1),
         (2, 2, 6, 5, 3), (2, 8, 10, 3, 1),
     ]
+
+
+def test_substring_incremental_probes_index_not_corpus(spark):
+    """The incremental span path must PROBE the staged fingerprint index (a
+    parquet scan of the spanindex dir), never re-derive standing-corpus
+    windows from documents — the per-increment-cost property."""
+    from quatrain_mapreduce_spark.plans.data_pipeline import (
+        dedup_substring_incremental,
+    )
+
+    out = dedup_substring_incremental(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "spanindex" in plan, "index must be a parquet scan in the plan"
+    rows = out.collect()
+    assert rows and all(r["hit_windows"] <= r["n_windows"] for r in rows)
