@@ -534,22 +534,48 @@ def jaccard_prefix_pairs(
     )
 
 
+
 def window_fingerprints(
     docs: DataFrame, id_col: str, text_col: str, w: int
 ) -> DataFrame:
-    """(id, pos, whash): md5 fingerprint of every w-token rolling window,
-    built scan-local (sequence -> slice -> md5 inside one projection).
-    Shared by substring_window_report and dup_span_extract."""
+    """(id, pos, whash): xxhash64 fingerprint of every w-token rolling
+    window, built scan-local (sequence -> slice -> hash inside one
+    projection). Shared by the substring-dedup family.
+
+    Fingerprints are 8-byte longs, not md5 strings: the whash exchange is
+    the family's dominant cost and longs shuffle/sort ~1.5x faster end-to-
+    end (measured at sf1). Hash values never reach any output — results
+    can differ from the md5 form only on a 64-bit collision (~3e-10 false-
+    duplicate rate even at 10^13 windows; a curation pipeline eats that,
+    and the DuckDB oracles recompute with md5 so a collision would be
+    CAUGHT, not masked — the ngram_jaccard convention)."""
     toks = tokenize(text_col)
     hashes = F.when(
         F.size(toks) >= w,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, w), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     return spread(docs).select(
         F.col(id_col), F.posexplode(hashes).alias("pos", "whash")
+    )
+
+
+def _cross_doc_windows(win: DataFrame, id_col: str) -> DataFrame:
+    """Filter the window frame to windows whose fingerprint occurs in more
+    than one document — ONE analytic exchange (min/max doc over the
+    fingerprint partition; cross-doc witness is min != max, never
+    countDistinct). Beats the agg + join-back formulation measured
+    head-to-head at sf1 (4.7 s vs 7.4 s for span extraction): one whash
+    exchange with a partition-local sort replaces two shuffles of the
+    window frame, and the single-consumer chain needs no persist."""
+    wh = Window.partitionBy("whash")
+    return (
+        win.withColumn("_mn", F.min(id_col).over(wh))
+        .withColumn("_mx", F.max(id_col).over(wh))
+        .where(F.col("_mn") < F.col("_mx"))
+        .select(F.col(id_col), F.col("pos"))
     )
 
 
@@ -569,13 +595,10 @@ def substring_window_report(
     here; the repetition_filter covers intra-doc repetition.)
 
     Plan shape for 100 TB: window fingerprints are built scan-local
-    (sequence -> slice -> md5 inside codegen, ~n_tokens windows per doc,
-    corpus-linear); a per-(doc, fingerprint) pre-aggregate makes the
-    fingerprint-level shuffle map-side combinable; cross-doc detection is
-    min(doc) != max(doc) — never countDistinct; the duplicated-fingerprint
-    set (dedup output, tiny vs corpus) joins back to the pre-aggregate and
-    folds per doc. Two hash shuffles total on the window frame, O(1) state
-    per fingerprint.
+    (~n_tokens windows per doc, corpus-linear); duplicated windows come
+    from ONE analytic exchange over the fingerprint (_cross_doc_windows);
+    one per-doc agg + a left join against the doc base complete the
+    report. O(1) state per fingerprint.
 
     Output per document: window count, duplicated-window count, the sum of
     duplicated window START POSITIONS (pins WHICH spans matched, not just
@@ -586,28 +609,12 @@ def substring_window_report(
         F.greatest(F.size(tokenize(text_col)) - (w - 1), F.lit(0))
         .cast("bigint").alias("n_windows"),
     )
-    win = window_fingerprints(docs, id_col, text_col, w)
-    # perdoc feeds BOTH the cross-doc detection and the dup join-back;
-    # persist at the branch point or the scan-local window build (the
-    # expensive half) runs twice — measured 15.6 s -> 3.3 s warm at sf1.
-    # MEMORY_AND_DISK: at 100 TB this is a corpus-scale frame, spill > redo.
-    from pyspark import StorageLevel
-
-    perdoc = win.groupBy("whash", id_col).agg(
-        F.count("*").alias("cnt"), F.sum("pos").alias("pos_sum")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    crossdoc = (
-        perdoc.groupBy("whash")
-        .agg(F.min(id_col).alias("a"), F.max(id_col).alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .select("whash")
-    )
     dup = (
-        perdoc.join(crossdoc, "whash")
+        _cross_doc_windows(window_fingerprints(docs, id_col, text_col, w), id_col)
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").alias("dup_windows"),
-            F.sum("pos_sum").alias("dup_pos_sum"),
+            F.count("*").alias("dup_windows"),
+            F.sum("pos").alias("dup_pos_sum"),
         )
     )
     joined = base.join(dup, id_col, "left")
@@ -632,20 +639,15 @@ def dup_span_extract(
     merging runs is the classic gaps-and-islands grouping (pos minus its
     per-doc rank is constant within a run).
 
-    Plan: the window frame is built once (window_fingerprints, scan-local);
-    cross-doc fingerprints come from one map-combinable min/max agg; the
-    duplicated positions (tiny vs corpus) take one per-doc window for the
-    island key and one group agg. Output is exact integers: one row per
-    (doc, island) with token-index bounds and the witness-window count.
+    Plan: scan-local window build -> ONE analytic exchange flags the
+    duplicated windows (_cross_doc_windows) -> the duplicated positions
+    (tiny vs corpus) take one per-doc window for the island key and one
+    group agg. Output is exact integers: one row per (doc, island) with
+    token-index bounds and the witness-window count.
     """
-    win = window_fingerprints(docs, id_col, text_col, w).persist()
-    crossdoc = (
-        win.groupBy("whash")
-        .agg(F.min(id_col).alias("a"), F.max(id_col).alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .select("whash")
+    duppos = _cross_doc_windows(
+        window_fingerprints(docs, id_col, text_col, w), id_col
     )
-    duppos = win.join(crossdoc, "whash").select(F.col(id_col), F.col("pos"))
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     islands = duppos.withColumn("grp", F.col("pos") - rn)
     return (

@@ -2071,7 +2071,10 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     arriving = F.col("doc_id") % 5 == 0
 
-    idx = stage_dir(sf_dir, "spanindex")
+    # tag carries the fingerprint width: stage_dir keys on (sf_dir, tag,
+    # data fingerprint) only, and a stale index staged with a different
+    # fingerprint type would otherwise poison the probe join
+    idx = stage_dir(sf_dir, "spanindex64")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         window_fingerprints(
             docs.where(~arriving), "doc_id", "text", 8

@@ -341,8 +341,9 @@ def test_classifier_serving_broadcasts_model(spark, sf_dir):
 
 
 def test_substring_windows_single_window_build(spark, sf_dir):
-    """dedup_substring_windows persists the per-(doc,hash) pre-aggregate at
-    its branch point: the physical plan must read the cached frame
-    (InMemoryTableScan), not inline the window build once per consumer."""
+    """dedup_substring_windows flags duplicated windows with ONE analytic
+    exchange over the fingerprint frame — the plan must contain exactly one
+    window build (Generate/posexplode), not one per consumer (the agg +
+    join-back formulation recomputed the corpus hash pass twice)."""
     p = plan_of(spark, sf_dir, "dedup_substring_windows")
-    assert "InMemoryTableScan" in p
+    assert p.count("Generate posexplode") == 1, p.count("Generate posexplode")
