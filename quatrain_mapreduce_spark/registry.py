@@ -126,9 +126,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # already in-window this round.
 #
 # r8 ROTATION QUEUE — the oracled queries registered after the r7
-# freeze (45 at end of round), each individually verified green on the
-# driver-mirroring vanilla session the day it was added. 45 fits the
-# 50-row window with 5 slots for per-module representatives. The
+# freeze (47 at end of round), each individually verified green on the
+# driver-mirroring vanilla session the day it was added. 47 fits the
+# 50-row window with 3 slots for per-module representatives; oracled
+# registration FROZE at 47 precisely so one rotation clears the queue. The
 # authoritative list is computed, not maintained by hand:
 #   python tools/coverage_rotation.py   # vs CORRECTNESS_r07.json
 # (its "STILL IN TAIL" rows — the stats/drift wave, the affinity/
