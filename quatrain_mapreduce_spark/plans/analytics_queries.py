@@ -2642,8 +2642,12 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_wedges"),
     )
     ecount = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    # a triangle-free graph yields an EMPTY per-vertex frame: sum() over it
+    # is NULL, the oracle's count(*) is 0 — coalesce so the zero-triangle
+    # case (real at small scale) reports 0 and a 0.0 coefficient, not NULL
     tri = triangle_counts(edges, "src", "dst").agg(
-        (F.sum("n_triangles") / 3).cast("bigint").alias("n_triangles"))
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("bigint").alias("n_triangles"))
     j = degstats.crossJoin(F.broadcast(ecount)).crossJoin(F.broadcast(tri))
     return j.select(
         "n_vertices", "n_edges", "max_degree", "n_wedges", "n_triangles",
