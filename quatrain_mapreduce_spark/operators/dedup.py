@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
 
 from quatrain_mapreduce_spark.operators.projection import tokenize
 from quatrain_mapreduce_spark.operators.util import spread
@@ -564,19 +565,28 @@ def window_fingerprints(
 
 def _cross_doc_windows(win: DataFrame, id_col: str) -> DataFrame:
     """Filter the window frame to windows whose fingerprint occurs in more
-    than one document — ONE analytic exchange (min/max doc over the
-    fingerprint partition; cross-doc witness is min != max, never
-    countDistinct). Beats the agg + join-back formulation measured
-    head-to-head at sf1 (4.7 s vs 7.4 s for span extraction): one whash
-    exchange with a partition-local sort replaces two shuffles of the
-    window frame, and the single-consumer chain needs no persist."""
-    wh = Window.partitionBy("whash")
-    return (
-        win.withColumn("_mn", F.min(id_col).over(wh))
-        .withColumn("_mx", F.max(id_col).over(wh))
+    than one document (cross-doc witness is min != max doc, never
+    countDistinct): a map-combinable per-fingerprint min/max aggregate
+    plus a join back to the persisted window frame.
+
+    Skew contract (why NOT an analytic min/max-over-partition window,
+    which measured slightly faster at sf1): a boilerplate fingerprint —
+    a license header or template sentence shared by millions of documents
+    — would put every occurrence into ONE window partition and serialize
+    the stage on a single straggler task. The aggregate combines map-side
+    under the same hot key, and the join back is an equi-join AQE's
+    skew-join handling splits at runtime; the window operator gets
+    neither defense. Same reasoning as the LSH family's max_bucket cap,
+    except here the hot key cannot be dropped (its windows ARE
+    duplicated), so the plan must absorb it rather than skip it."""
+    win = win.persist(StorageLevel.MEMORY_AND_DISK)
+    crossdoc = (
+        win.groupBy("whash")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
         .where(F.col("_mn") < F.col("_mx"))
-        .select(F.col(id_col), F.col("pos"))
+        .select("whash")
     )
+    return win.join(crossdoc, "whash").select(F.col(id_col), F.col("pos"))
 
 
 def substring_window_report(
@@ -602,7 +612,7 @@ def substring_window_report(
 
     Output per document: window count, duplicated-window count, the sum of
     duplicated window START POSITIONS (pins WHICH spans matched, not just
-    how many), and a >=20%% duplication flag in exact integer arithmetic.
+    how many), and a >=20% duplication flag in exact integer arithmetic.
     """
     base = docs.select(
         F.col(id_col),

@@ -494,6 +494,15 @@ def count_discriminant_classifier(
     model and a 1-row totals frame broadcast back; serving is explode ->
     per-(doc, token) tf -> broadcast-hash join -> per-doc sum. Docs with
     zero in-vocab tokens score 0 (pred false).
+
+    Integer-range contract: the cross-ratio multiplies class token totals,
+    so int64 exactness holds while each class's smoothed total stays below
+    ~3e9 tokens (products < 2^63; Spark 4's default ANSI mode would raise
+    on overflow rather than wrap, so the failure is loud). Past that —
+    a true 100 TB corpus — the production swap is double log-likelihood
+    (or rate-difference) weights: identical ranking semantics, exactness
+    traded for range, the same exact-vs-sketch swap class as
+    profile_orders -> profile_orders_approx.
     """
     base = docs.select(
         F.col(id_col), F.col(text_col),

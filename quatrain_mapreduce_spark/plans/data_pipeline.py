@@ -1794,6 +1794,12 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("entity_root", "n_members", "member_key_sum", "canonical_name")
 
 
+# Window width for the substring-dedup family: every Spark call site, the
+# staged-index tag, and the literals inside the three DuckDB oracles
+# (w=8 / w-1=7) encode this value; change them together.
+_SPAN_W = 8
+
+
 @register(
     "dedup_substring_windows",
     oracle="""
@@ -1837,7 +1843,7 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and NO suffix array. Fourth member of the dedup family: exact "
         "whole-doc (dedup_exact) / near-dup (LSH tiers) / set-similarity "
         "(jaccard) / SPAN-level (this). Per-doc output pins membership: "
-        "duplicated-window count AND start-position sum, plus a >=20%% "
+        "duplicated-window count AND start-position sum, plus a >=20% "
         "flag in pure integer arithmetic. Corpus really contains planted "
         "cross-doc spans (sf0.01: 1015 duplicated window fingerprints "
         "across 47 docs), so the query is exercised, not vacuous. Plan: "
@@ -1851,7 +1857,7 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.dedup import substring_window_report
 
     return substring_window_report(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=_SPAN_W
     )
 
 
@@ -2010,7 +2016,7 @@ def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.dedup import dup_span_extract
 
     return dup_span_extract(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=8
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", w=_SPAN_W
     )
 
 
@@ -2071,24 +2077,24 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     arriving = F.col("doc_id") % 5 == 0
 
-    # tag carries the fingerprint width: stage_dir keys on (sf_dir, tag,
-    # data fingerprint) only, and a stale index staged with a different
-    # fingerprint type would otherwise poison the probe join
-    idx = stage_dir(sf_dir, "spanindex64")
+    # tag carries fingerprint type AND width: stage_dir keys on (sf_dir,
+    # tag, data fingerprint) only, and a stale index staged under different
+    # hashing or windowing would otherwise poison the probe join silently
+    idx = stage_dir(sf_dir, f"spanindex64w{_SPAN_W}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         window_fingerprints(
-            docs.where(~arriving), "doc_id", "text", 8
+            docs.where(~arriving), "doc_id", "text", _SPAN_W
         ).select("whash").distinct().write.mode("overwrite").parquet(idx)
     existing = spark.read.parquet(idx)
 
     inc = docs.where(arriving)
     base = inc.select(
         F.col("doc_id"),
-        F.greatest(F.size(tokenize("text")) - 7, F.lit(0))
+        F.greatest(F.size(tokenize("text")) - (_SPAN_W - 1), F.lit(0))
         .cast("bigint").alias("n_windows"),
     )
     hits = (
-        window_fingerprints(inc, "doc_id", "text", 8)
+        window_fingerprints(inc, "doc_id", "text", _SPAN_W)
         .join(existing, "whash")
         .groupBy("doc_id")
         .agg(

@@ -340,10 +340,14 @@ def test_classifier_serving_broadcasts_model(spark, sf_dir):
     assert "BroadcastHashJoin [token" in p
 
 
-def test_substring_windows_single_window_build(spark, sf_dir):
-    """dedup_substring_windows flags duplicated windows with ONE analytic
-    exchange over the fingerprint frame — the plan must contain exactly one
-    window build (Generate/posexplode), not one per consumer (the agg +
-    join-back formulation recomputed the corpus hash pass twice)."""
+def test_substring_windows_skew_safe_shape(spark, sf_dir):
+    """dedup_substring_windows must take the SKEW-SAFE formulation: a
+    map-combinable per-fingerprint aggregate + join back to the PERSISTED
+    window frame (InMemoryTableScan in the plan — without the persist the
+    corpus hash pass recomputes per consumer), and NO analytic window over
+    the fingerprint partition (a boilerplate fingerprint shared by millions
+    of docs would serialize a min/max-over-whash window onto one task;
+    the aggregate combines map-side and the join is AQE-skew-splittable)."""
     p = plan_of(spark, sf_dir, "dedup_substring_windows")
-    assert p.count("Generate posexplode") == 1, p.count("Generate posexplode")
+    assert "InMemoryTableScan" in p
+    assert "windowspecdefinition(whash" not in p
