@@ -26,6 +26,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def co_purchase_edges(events: DataFrame) -> DataFrame:
+    """Edge list of the co-purchase graph: users connected iff they
+    purchased the same derived item key (props.k x purchase-day-of-month
+    bucket). ONE definition for the whole graph tier (triangles, sampled
+    triangles, BFS, k-core, LPA, PageRank, summary) — seven queries
+    previously inlined this construction verbatim, and a drift in the
+    item-key formula at one site would silently give that query a
+    different graph (review finding). Every oracle still re-derives the
+    edges independently in SQL.
+
+    Integer `div`, not `/` + cast — double division of an ~1e15 epoch
+    loses ulps exactly at day boundaries. Returns (src, dst), src < dst,
+    distinct.
+    """
+    bip = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            (
+                F.get_json_object("props", "$.k").cast("int") * 100
+                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    x, y = bip.alias("x"), bip.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.item") == F.col("y.item"))
+            & (F.col("x.u") < F.col("y.u")),
+        )
+        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
+        .distinct()
+    )
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle participation counts.
 
@@ -137,7 +174,7 @@ def bfs_distances(
 def k_core_vertices(
     edges: DataFrame,
     k: int,
-    max_iter: int = 20,
+    max_iter: int = 100,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
@@ -154,22 +191,28 @@ def k_core_vertices(
     Scale design: each peel round is one map-combinable degree count over
     the LIVE edge set plus two broadcast-able anti-joins removing the
     sub-k vertices' edges; work per round is proportional to the remaining
-    edges, and the number of rounds is bounded by ``max_iter`` (peeling
-    depth in practice is tiny — each round removes a full "shell" layer,
-    and the loop exits early on the first round that removes nothing: the
+    edges. The loop exits on the first round that removes nothing (the
     fixpoint check is a 1-row count, the components-convergence
-    convention, not per-row driver state).
+    convention, not per-row driver state); real graphs peel in a handful
+    of rounds, but chain-shaped shells peel only their endpoints per
+    round, so convergence is NOT guaranteed inside ``max_iter`` — if the
+    cap is hit mid-peel the function RAISES rather than silently
+    returning a non-core (a membership set with sub-k vertices would
+    violate the contract the callers and the pure-Python parity test
+    assume).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct().persist()
 
     live = sym
+    converged = False
     for _ in range(max_iter):
         deg = live.groupBy("a").agg(F.count("*").alias("deg"))
         bad = deg.where(F.col("deg") < k).select("a").persist()
         if bad.limit(1).count() == 0:
             bad.unpersist()
+            converged = True
             break
         nxt = (
             live.join(bad, "a", "left_anti")
@@ -180,6 +223,13 @@ def k_core_vertices(
         live.unpersist()
         bad.unpersist()
         live = nxt
+    if not converged:
+        raise RuntimeError(
+            f"k_core_vertices: peeling did not reach the fixpoint within "
+            f"max_iter={max_iter} rounds — the live set still contains "
+            f"sub-{k} vertices; raise max_iter (chain-shaped shells peel "
+            f"O(n) rounds)"
+        )
     return live.groupBy("a").agg(F.count("*").cast("bigint").alias("core_degree")) \
                .select(F.col("a").alias("vertex"), "core_degree")
 
@@ -222,6 +272,9 @@ def lpa_communities(
         nxt.count()
         labels.unpersist()
         labels = nxt
+    # final labels are persisted+materialized; the edge cache has no
+    # further consumer — release it instead of leaking it into the session
+    sym.unpersist()
     return labels.select("vertex", F.col("label").alias("community"))
 
 
@@ -283,4 +336,8 @@ def pagerank_fixed_point(
         nxt.count()
         ranks.unpersist()
         ranks = nxt
+    # final ranks are persisted+materialized; edge/degree caches have no
+    # further consumer — release them instead of leaking into the session
+    sym.unpersist()
+    deg.unpersist()
     return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank_fp"))

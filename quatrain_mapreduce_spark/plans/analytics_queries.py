@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.catalog import load_table
+from quatrain_mapreduce_spark.operators.graph import co_purchase_edges
 from quatrain_mapreduce_spark.registry import register
 
 
@@ -530,27 +531,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            # integer `div`, not `/` + cast — double division of an ~1e15
-            # epoch loses ulps exactly at day boundaries
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr(
-                    "CAST(unix_micros(ts) div 86400000000 AS INT) % 30"
-                )
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     return triangle_counts(edges, "src", "dst")
 
 
@@ -1023,23 +1004,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import bfs_distances
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     source = edges.agg(F.min("src"))
     return bfs_distances(edges, source, max_hops=3)
 
@@ -1222,23 +1187,8 @@ def triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
-    bi = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bi.alias("x"), bi.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item")) & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
     sampled = edges.where(F.expr(_edge_h16_sql() + " % 4 = 0")).persist()
     per_vertex = triangle_counts(
         sampled.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -2099,24 +2049,7 @@ def k_core_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import k_core_vertices
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item"))
-               & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     return k_core_vertices(edges, k=3)
 
 
@@ -2612,24 +2545,7 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item"))
-               & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -2679,24 +2595,7 @@ def lpa_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import lpa_communities
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item"))
-               & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     return lpa_communities(edges, rounds=5)
 
 
@@ -2764,24 +2663,7 @@ def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import pagerank_fixed_point
 
     ev = load_table(spark, sf_dir, "events")
-    bip = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            (
-                F.get_json_object("props", "$.k").cast("int") * 100
-                + F.expr("CAST(unix_micros(ts) div 86400000000 AS INT) % 30")
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    x, y = bip.alias("x"), bip.alias("y")
-    edges = (
-        x.join(y, (F.col("x.item") == F.col("y.item"))
-               & (F.col("x.u") < F.col("y.u")))
-        .select(F.col("x.u").alias("src"), F.col("y.u").alias("dst"))
-        .distinct()
-    )
+    edges = co_purchase_edges(ev)
     return pagerank_fixed_point(edges, iters=5, scale=10**9)
 
 

@@ -1036,7 +1036,7 @@ _GRAM_H = portable_h16_sql("gram")
             FROM g WHERE ord <= n_tok - 3
         ), w AS (
             SELECT doc_id, n_grams,
-                   min(hv * 1000000000 - ord) OVER (
+                   min((hv + 1) * 1000000000 - ord) OVER (
                        PARTITION BY doc_id ORDER BY ord
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
                    ) AS sel_key
@@ -1047,8 +1047,8 @@ _GRAM_H = portable_h16_sql("gram")
         )
         SELECT doc_id, n_grams,
                CAST(count(*) AS BIGINT) AS n_fp,
-               CAST(sum(sel_key // 1000000000 + 1) AS BIGINT) AS fp_sum,
-               CAST(min(sel_key // 1000000000 + 1) AS BIGINT) AS fp_min
+               CAST(sum(sel_key // 1000000000) AS BIGINT) AS fp_sum,
+               CAST(min(sel_key // 1000000000) AS BIGINT) AS fp_min
         FROM fp GROUP BY doc_id, n_grams
     """,
     doc="Winnowing document fingerprints — Schleimer/Wilkerson/Aiken "
@@ -1059,8 +1059,11 @@ _GRAM_H = portable_h16_sql("gram")
         "copy detection, complementing doc_fingerprint (one rolling hash "
         "per doc) with a set that survives local edits. Selection is ONE "
         "plain MIN window aggregate over a forward frame on the encoded "
-        "key hv*1e9 - ord (smaller hash wins, ties prefer the RIGHTMOST "
-        "position; the key decodes exactly) — identical window algebra "
+        "key (hv+1)*1e9 - ord (smaller hash wins, ties prefer the "
+        "RIGHTMOST position; the +1 keeps every key positive so "
+        "truncating division decodes hv EXACTLY even for hv=0, where the "
+        "unshifted key went negative and trunc-div was off by one) — "
+        "identical window algebra "
         "in both engines, no min_by/struct portability trap, no "
         "self-join over positions. "
         "Plan: scan-local tokenization -> one DOC-keyed window exchange "
@@ -1092,17 +1095,20 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tok") - 3).cast("bigint").alias("n_grams"),
     )
     # rightmost-min per window == plain MIN of the single integer key
-    # hv*1e9 - ord (ord < 1e9): smaller hash wins, ties prefer larger ord;
-    # the key decodes exactly (hv = key div 1e9 + 1) — no min_by needed,
-    # so the identical expression binds in both engines
+    # (hv+1)*1e9 - ord (1 <= ord < 1e9): smaller hash wins, ties prefer
+    # larger ord. The +1 shift keeps every key strictly positive so
+    # truncating division decodes hv exactly for ALL hv — the unshifted
+    # key hv*1e9 - ord went NEGATIVE for hv=0 and both engines' trunc
+    # division decoded it as 1, off by one (review finding). No min_by
+    # needed, so the identical expression binds in both engines.
     sel = h.select(
         "doc_id", "n_grams", "ord",
-        F.min(F.col("hv") * F.lit(1000000000) - F.col("ord"))
+        F.min((F.col("hv") + 1) * F.lit(1000000000) - F.col("ord"))
          .over(W.partitionBy("doc_id").orderBy("ord").rowsBetween(0, 3))
          .alias("sel_key"),
     ).where(F.col("ord") <= F.col("n_grams") - 3)
     fp = sel.select("doc_id", "n_grams", "sel_key").distinct()
-    hv = F.expr("sel_key div 1000000000") + 1
+    hv = F.expr("sel_key div 1000000000")
     return fp.groupBy("doc_id", "n_grams").agg(
         F.count("*").cast("bigint").alias("n_fp"),
         F.sum(hv).cast("bigint").alias("fp_sum"),

@@ -853,62 +853,14 @@ from quatrain_mapreduce_spark.plans.data_pipeline import (  # noqa: E402
     tags=("streaming", "drift", "monitoring", "no-sql-plan"),
 )
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
     from quatrain_mapreduce_spark.plans.data_pipeline import (
         drift_report_from_counts, token_slice_counts,
     )
-    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.streaming.hop import accumulate_counts_stream
 
-    src_d = stage_dir(sf_dir, "docslices4")
-    if not os.path.exists(os.path.join(src_d, "_STAGED")):
-        load_table(spark, sf_dir, "documents").repartition(4) \
-            .write.mode("overwrite").parquet(src_d)
-        open(os.path.join(src_d, "_STAGED"), "w").close()
-
-    work = stage_dir(sf_dir, "driftcounts")
-    done = os.path.join(work, "_DONE")
-    if not os.path.exists(done):
-        if os.path.exists(work):
-            shutil.rmtree(work)
-        os.makedirs(work)
-        ckpt = os.path.join(work, "ckpt")
-        schema = spark.read.parquet(src_d).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(src_d)
-        )
-
-        def accumulate(batch, bid: int) -> None:
-            counts = token_slice_counts(batch)
-            vers = sorted(glob.glob(os.path.join(work, "v*")))
-            if vers:
-                prev = batch.sparkSession.read.parquet(vers[-1])
-                counts = (
-                    prev.unionByName(counts)
-                    .groupBy("token")
-                    .agg(F.sum("cnt_a").alias("cnt_a"),
-                         F.sum("cnt_b").alias("cnt_b"))
-                )
-            counts.write.mode("overwrite").parquet(
-                os.path.join(work, f"v{bid:04d}")
-            )
-
-        q = (
-            stream.writeStream.foreachBatch(accumulate)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-        open(done, "w").close()
-
-    vers = sorted(glob.glob(os.path.join(work, "v*")))
-    counts = spark.read.parquet(vers[-1]).select(
-        "token",
-        F.col("cnt_a").cast("bigint").alias("cnt_a"),
-        F.col("cnt_b").cast("bigint").alias("cnt_b"),
+    counts = accumulate_counts_stream(
+        spark, sf_dir, "documents", "docslices4", "driftcounts",
+        token_slice_counts, key_cols=("token",), sum_cols=("cnt_a", "cnt_b"),
     )
     return drift_report_from_counts(counts)
 
@@ -939,62 +891,14 @@ from quatrain_mapreduce_spark.plans.analytics_queries import (  # noqa: E402
     tags=("streaming", "ml", "monitoring", "no-sql-plan"),
 )
 def stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
     from quatrain_mapreduce_spark.plans.analytics_queries import (
         auc_from_counts, auc_value_counts,
     )
-    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.streaming.hop import accumulate_counts_stream
 
-    src_d = stage_dir(sf_dir, "evslices4")
-    if not os.path.exists(os.path.join(src_d, "_STAGED")):
-        load_table(spark, sf_dir, "events").repartition(4) \
-            .write.mode("overwrite").parquet(src_d)
-        open(os.path.join(src_d, "_STAGED"), "w").close()
-
-    work = stage_dir(sf_dir, "auccounts")
-    done = os.path.join(work, "_DONE")
-    if not os.path.exists(done):
-        if os.path.exists(work):
-            shutil.rmtree(work)
-        os.makedirs(work)
-        ckpt = os.path.join(work, "ckpt")
-        schema = spark.read.parquet(src_d).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1).parquet(src_d)
-        )
-
-        def accumulate(batch, bid: int) -> None:
-            counts = auc_value_counts(batch)
-            vers = sorted(glob.glob(os.path.join(work, "v*")))
-            if vers:
-                prev = batch.sparkSession.read.parquet(vers[-1])
-                counts = (
-                    prev.unionByName(counts)
-                    .groupBy("cents")
-                    .agg(F.sum("p_here").alias("p_here"),
-                         F.sum("n_here").alias("n_here"))
-                )
-            counts.write.mode("overwrite").parquet(
-                os.path.join(work, f"v{bid:04d}")
-            )
-
-        q = (
-            stream.writeStream.foreachBatch(accumulate)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-        open(done, "w").close()
-
-    vers = sorted(glob.glob(os.path.join(work, "v*")))
-    counts = spark.read.parquet(vers[-1]).select(
-        "cents",
-        F.col("p_here").cast("bigint").alias("p_here"),
-        F.col("n_here").cast("bigint").alias("n_here"),
+    counts = accumulate_counts_stream(
+        spark, sf_dir, "events", "evslices4", "auccounts",
+        auc_value_counts, key_cols=("cents",), sum_cols=("p_here", "n_here"),
     )
     return auc_from_counts(counts)
 
@@ -1033,9 +937,11 @@ _EH = _p16("event_id")
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         )
         SELECT event_type, k, n,
-               CAST((sm * n_total) // n AS BIGINT) AS est_sum_cents,
+               CAST((CAST(sm AS HUGEINT) * n_total) // n AS BIGINT)
+                 AS est_sum_cents,
                floor(1.96 * n_total
-                     * sqrt((n * sq - sm * sm)
+                     * sqrt(CAST(CAST(n AS HUGEINT) * sq
+                                 - CAST(sm AS HUGEINT) * sm AS DOUBLE)
                             / (n * (n - 1.0)))
                      / sqrt(CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000
                  AS ci_halfwidth_cents
@@ -1084,13 +990,23 @@ def online_agg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sumsq_s").over(w).cast("bigint").alias("sq"),
         F.sum("n_s").over(wt).cast("bigint").alias("n_total"),
     )
+    # moment cross-products (n*sq, sm*sm, sm*n_total) ride as decimal(38)
+    # — int64 wraps one decade above bench scale (n*sq ~ 2e18 at sf1; the
+    # correlation_matrix discipline, review finding); the oracle widens to
+    # HUGEINT the same way, and `div` on decimals stays an exact integral
+    # quotient (no decimal-scale rounding before the floor)
+    var_num = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sq"
+        " - CAST(sm AS DECIMAL(38,0)) * sm AS DOUBLE)"
+    )
     return p.select(
         "event_type", "k", "n",
-        F.expr("(sm * n_total) div n").cast("bigint").alias("est_sum_cents"),
+        F.expr(
+            "(CAST(sm AS DECIMAL(38,0)) * n_total) div CAST(n AS DECIMAL(38,0))"
+        ).cast("bigint").alias("est_sum_cents"),
         (F.floor(
             F.lit(1.96) * F.col("n_total")
-            * F.sqrt((F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))
-                     / (F.col("n") * (F.col("n") - F.lit(1.0))))
+            * F.sqrt(var_num / (F.col("n") * (F.col("n") - F.lit(1.0))))
             / F.sqrt(F.col("n").cast("double")) * 10000 + F.lit(0.5)
         ) / 10000).alias("ci_halfwidth_cents"),
     )

@@ -398,6 +398,10 @@ def test_winnow_fingerprints_match_python_model(spark, tmp_path):
         "a a a a a a a a",                      # all-identical grams: ties
         "one two three four",                   # exactly 1 gram, 1 window?
         "short doc",                            # < 4 tokens -> no grams
+        # md5("z67197 a b c")[:4] == "0000": a ZERO-hash gram, always the
+        # window minimum — regression for the encoded-key decode, which
+        # was off by one exactly at hv=0 (negative key under trunc div)
+        "z67197 a b c d e f g",
     ]
     rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
     spark.createDataFrame(
