@@ -91,7 +91,12 @@ def assign_to_row_centroids_vectorized(
     rows = sorted(centroids.collect(), key=lambda r: r["cluster_id"])
     cids = np.array([r["cluster_id"] for r in rows], dtype=np.int32)
     cmat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
-    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    # same zero-norm guard as the data side: an all-zero centroid would
+    # put NaN into every cosine row and argmax would send ALL vectors to
+    # the degenerate cluster (review finding)
+    cmat_n = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
+    )
     src = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
 
     out_schema = StructType(

@@ -74,14 +74,23 @@ def connected_components(
 
     Returns (node, root) for every node appearing in ``edges``, where root is
     the minimum node id of its connected component (roots label themselves).
-    Self-loops are ignored; the input need not be deduplicated or symmetric.
+    Self-loops contribute no connectivity but their nodes ARE labeled (as
+    their own roots) — dropping them broke the "every node" contract for
+    nodes appearing only in self-loop edges (review finding). The input
+    need not be deduplicated or symmetric.
 
     ``max_iter`` is a safety bound only — star contraction converges in
     O(log² n) alternations (near-dup graphs: almost always ≤ 4).
     """
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # nodes seen ONLY in self-loops still need a label row below
+    loop_only = (
+        raw.where(F.col("u") == F.col("v")).select("u").distinct()
+    )
     e = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -97,8 +106,15 @@ def connected_components(
         prev = cur
     # converged: e is a star set oriented (node > root); roots label themselves
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    labeled = e.union(roots)
+    # self-loop-only nodes are their own components; nodes also in real
+    # edges are already labeled — anti-join keeps the contract total
+    singles = (
+        loop_only.join(labeled.select("u"), "u", "left_anti")
+        .select(F.col("u"), F.col("u").alias("v"))
+    )
     return (
-        e.union(roots).distinct()
+        labeled.union(singles).distinct()
         .select(F.col("u").alias("node"), F.col("v").alias("root"))
     )
 

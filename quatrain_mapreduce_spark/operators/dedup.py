@@ -145,11 +145,19 @@ def ngram_jaccard_pairs(
 
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if length_band:
-        band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(math.log(1.0 / threshold)))
-        sh = sh.withColumn("band", band)
-        # probe side A into its own and both adjacent bands; at most one probe
-        # equals B's band, so each (a,b) pair appears exactly once — no distinct
-        a = sh.withColumn("probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))).alias("a")
+        if threshold >= 1.0:
+            # log(1/t) is 0 at t=1 and the band expression divides by it
+            # (review finding). J = 1 forces EQUAL set sizes, so the exact
+            # size is itself the complete band — probe only the own band.
+            sh = sh.withColumn("band", F.size("sh").cast("long"))
+            a = sh.withColumn("probe", F.col("band")).alias("a")
+        else:
+            band = F.floor(F.log(F.size("sh").cast("double")) / F.lit(math.log(1.0 / threshold)))
+            sh = sh.withColumn("band", band)
+            # probe side A into its own and both adjacent bands; at most one
+            # probe equals B's band, so each (a,b) pair appears exactly once
+            # — no distinct
+            a = sh.withColumn("probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))).alias("a")
         b = sh.alias("b")
         cond = (
             (F.col("a.block") == F.col("b.block"))
@@ -312,7 +320,12 @@ def incremental_lsh_candidates(
     a = arriving_bands.alias("a")
     e = existing_bands.alias("e")
     cross = (
-        a.join(e, (F.col("a.band") == F.col("e.band")) & (F.col("a.bhash") == F.col("e.bhash")))
+        a.join(e, (F.col("a.band") == F.col("e.band")) & (F.col("a.bhash") == F.col("e.bhash"))
+               # a re-ingested doc exists on BOTH sides of the index probe;
+               # without this guard it pairs with itself, verifies at
+               # J=1.0 and enters the pair graph as a self-edge (review
+               # finding) — the within branch already filters a < b
+               & (F.col(f"a.{id_col}") != F.col(f"e.{id_col}")))
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"e.{id_col}")).alias("a_id"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"e.{id_col}")).alias("b_id"),

@@ -157,6 +157,7 @@ def bfs_distances(
         "vertex", F.lit(0).alias("dist")
     )
     visited = source.persist()
+    interim = [visited]
     frontier = visited
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -167,7 +168,16 @@ def bfs_distances(
             .select("vertex", F.lit(hop).alias("dist"))
         )
         visited = visited.unionAll(nxt).persist()
+        interim.append(visited)
         frontier = nxt
+    # materialize the final distance table once, then release the edge
+    # cache and every per-hop frame — the lpa/pagerank release discipline
+    # (leaving one persisted frame per hop per call leaked cache into
+    # long-lived sessions; the suite-level clearCache was the bandaid)
+    visited.count()
+    for f in interim[:-1]:
+        f.unpersist()
+    sym.unpersist()
     return visited
 
 

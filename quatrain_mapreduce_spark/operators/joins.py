@@ -86,11 +86,24 @@ def salted_join(
     At 100 TB a single hot key (the boilerplate domain, the null-ish user)
     overflows one reducer; salting splits each key's rows across
     ``n_salts`` tasks at the cost of an ``n_salts``x small-side replication.
-    Result is identical to the plain join (salt is internal). AQE's skew
-    handling does this adaptively for sort-merge joins; the explicit
-    operator covers broadcast-disabled and pre-AQE plans, and composes with
-    aggregations (mrlib.salted_agg is the groupBy twin).
+    Result is identical to the plain join (salt is internal) for every
+    join type that preserves only the BIG side: inner / left outer /
+    left semi / left anti. Right and full joins are REJECTED — an
+    unmatched small-side row survives once per salt replica, so the
+    result would contain n_salts duplicates of it (review finding);
+    salt the other way around for those. AQE's skew handling does this
+    adaptively for sort-merge joins; the explicit operator covers
+    broadcast-disabled and pre-AQE plans, and composes with aggregations
+    (mrlib.salted_agg is the groupBy twin).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"small-side rows once per salt replica; only big-side-"
+            f"preserving joins are valid ({sorted(allowed)})"
+        )
     bg = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -60,9 +60,15 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     row came from source: updated or inserted) for audit; drop it to get
     pure MERGE output.
     """
-    t, s = target.alias("t"), source.alias("s")
+    # the source marker is a literal column, NOT s.key IS NOT NULL: a
+    # source row with a NULL merge key never matches the equality join,
+    # and the key-null test would misclassify it as a target row and emit
+    # all-NULL garbage (review finding) — with the marker it INSERTs,
+    # matching SQL MERGE's NULL-never-matches semantics.
+    t = target.alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    from_source = F.col(f"s.{key}").isNotNull()
+    from_source = F.coalesce(F.col("s.__src"), F.lit(False))
     cols = [
         F.when(from_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in target.columns

@@ -707,9 +707,16 @@ def ivfpq_topk(
     )
     codebook = pq_train(residuals, id_col, "rvec", dim, m=m, k=n_codes,
                         lloyd_iters=lloyd_iters, seed=seed + 1)
+    # persist + materialize the compact m-int codes BEFORE releasing the
+    # fat residual cache: the returned search plan consumes codes lazily,
+    # and unpersisting residuals at construction time made the first
+    # action re-derive the whole residual/assignment pipeline twice
+    # (review finding)
     codes = pq_encode(residuals, codebook, id_col, "rvec", dim, m).join(
         residuals.select(id_col, "list_id"), id_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    residuals.unpersist()
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -759,7 +766,6 @@ def ivfpq_topk(
         .where(F.col("n_sub") == m)
         .drop("n_sub")
     )
-    residuals.unpersist()
     w = Window.partitionBy("q_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
     return cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 

@@ -90,15 +90,23 @@ def range_join_binned(
     interval length: each interval then lands in 1-2 bins and each point in
     exactly one.
     """
+    # exact integer floor division — the docstring promises 'no float
+    # rounding', but floor(col / w) routes through IEEE doubles and
+    # misbins keys above ~2^53 (epoch nanos, snowflake ids), silently
+    # dropping matches (review finding). pmod is non-negative, so
+    # (c - pmod(c, w)) div w IS floor division for any sign.
+    def _fdiv(col: str) -> F.Column:
+        return F.expr(f"(({col} - pmod({col}, {bin_width})) div {bin_width})")
+
     pt = points.withColumn(
-        "__bin", F.floor(F.col(point_col) / bin_width).cast("long")
+        "__bin", _fdiv(point_col).cast("long")
     ).alias("pt")
     iv = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col) / bin_width).cast("long"),
-                F.floor(F.col(end_col) / bin_width).cast("long"),
+                _fdiv(start_col).cast("long"),
+                _fdiv(end_col).cast("long"),
             )
         ),
     ).alias("iv")
@@ -139,8 +147,12 @@ def scd2_from_events(
     build whenever two changes share a microsecond (ADVICE r6).
     """
     w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    # null-SAFE change detection: with a plain !=, a NULL attr row is
+    # silently dropped (x != NULL is NULL) and the next row always looks
+    # changed, splitting one run into duplicate adjacent intervals
+    # (review finding). eqNullSafe treats NULL as a real state value.
     changed = df.withColumn("__prev", F.lag(attr_col).over(w)).where(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+        ~F.col("__prev").eqNullSafe(F.col(attr_col))
     )
     w2 = Window.partitionBy(key).orderBy(ts_col, tie_col)
     return changed.select(

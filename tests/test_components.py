@@ -125,3 +125,17 @@ def test_keep_best_per_component_prefers_quality_over_min_id(spark):
     kept = {r["doc_id"]: r["root_id"]
             for r in keep_best_per_component(q, comp).collect()}
     assert kept == {9: 1, 5: 5}
+
+
+def test_self_loop_only_node_gets_labeled(spark):
+    """A node appearing ONLY in self-loop edges must still receive a
+    (node, root=node) row — dropping the loop dropped the node entirely
+    and broke the every-node contract (review finding)."""
+    from quatrain_mapreduce_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 2)], "u long, v long"
+    )
+    got = {r["node"]: r["root"] for r in
+           connected_components(edges).collect()}
+    assert got == {5: 5, 1: 1, 2: 1}

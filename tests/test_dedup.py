@@ -228,3 +228,37 @@ def test_substring_incremental_probes_index_not_corpus(spark):
     assert "spanindex" in plan, "index must be a parquet scan in the plan"
     rows = out.collect()
     assert rows and all(r["hit_windows"] <= r["n_windows"] for r in rows)
+
+
+def test_jaccard_threshold_one_finds_exact_duplicates(spark):
+    """threshold=1.0 used to divide by log(1/t)=0 in the length band and
+    return nothing; J=1 forces equal sizes, so exact-size banding is the
+    complete band (review finding)."""
+    from quatrain_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "a b c d e", "en"), (3, "a b c x y", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["a_id"], r["b_id"]) for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", "lang",
+                               threshold=1.0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_incremental_lsh_reingested_doc_no_self_pair(spark):
+    """A doc present in BOTH the staged index and the increment must not
+    pair with itself (the cross probe lacked an id guard — review
+    finding)."""
+    from quatrain_mapreduce_spark.operators.dedup import (
+        incremental_lsh_candidates, lsh_band_rows, word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    bands = lsh_band_rows(sh, "doc_id", num_perm=32, bands=8, max_bucket=100)
+    cand = incremental_lsh_candidates(bands, bands, "doc_id").collect()
+    assert cand == []

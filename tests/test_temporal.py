@@ -329,3 +329,71 @@ def test_dau_wau_stickiness_hand_example(spark, tmp_path):
     [r] = all_queries()["dau_wau_stickiness"].fn(spark, str(tmp_path)).collect()
     assert (r["week"], r["n_days"], r["dau_sum"], r["wau"]) == (0, 2, 3, 2)
     assert r["stickiness_ppm"] == 750_000
+
+
+def test_scd2_null_state_is_a_real_state(spark):
+    """A NULL attr value must open its own interval, not be dropped (the
+    plain != change filter silently lost it and split the surrounding run
+    into duplicate adjacent intervals — review finding)."""
+    from quatrain_mapreduce_spark.operators.temporal import scd2_from_events
+
+    df = spark.createDataFrame(
+        [(1, 10, "A", 1), (1, 20, None, 2), (1, 30, "A", 3)],
+        "k long, ts long, st string, e long",
+    )
+    rows = sorted(
+        (r["valid_from"], r["state"], r["valid_to"])
+        for r in scd2_from_events(df, "k", "ts", "st", "e").collect()
+    )
+    assert rows == [(10, "A", 20), (20, None, 30), (30, "A", None)]
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """Right/full joins would keep an unmatched small row once per salt
+    replica; the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    from quatrain_mapreduce_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y"), (2, "z")], "k long, b string")
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(big, small, "k", n_salts=4, how="full")
+    # left_anti stays valid: the small side is complete at every salt
+    got = salted_join(big.union(spark.createDataFrame([(3, "w")], big.schema)),
+                      small, "k", n_salts=4, how="left_anti").collect()
+    assert [(r["k"]) for r in got] == [3]
+
+
+def test_merge_upsert_null_source_key_inserts(spark):
+    """SQL MERGE semantics: a NULL merge key never matches, so the source
+    row INSERTs — the old s.key-IS-NOT-NULL discriminator emitted an
+    all-NULL row classified as target (review finding)."""
+    from quatrain_mapreduce_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "old")], "k long, v string")
+    s = spark.createDataFrame([(None, "nullkey"), (1, "new")], "k long, v string")
+    rows = sorted(
+        ((r["k"], r["v"], r["__merged"]) for r in merge_upsert(t, s, "k").collect()),
+        key=str,
+    )
+    assert (None, "nullkey", 1) in rows
+    assert (1, "new", 1) in rows
+    assert len(rows) == 2
+
+
+def test_range_join_binned_exact_at_large_keys(spark):
+    """Bin assignment must be integer floor division: double division
+    misbins keys above ~2^53 and silently drops matches (review finding).
+    p = k*w - 1 with k*w near 2^60 rounds UP under double division."""
+    from quatrain_mapreduce_spark.operators.temporal import range_join_binned
+
+    w = 3600 * 1000 * 1000  # 1h in micros
+    k = (1 << 60) // w
+    p = k * w - 1           # belongs to bin k-1
+    points = spark.createDataFrame([(1, p)], "pid long, ts long")
+    ivals = spark.createDataFrame(
+        [(10, (k - 1) * w, k * w)], "iid long, s long, e long"
+    )
+    got = range_join_binned(points, ivals, "ts", "s", "e", w).collect()
+    assert len(got) == 1 and got[0]["iid"] == 10
