@@ -63,14 +63,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # tail (checked locally by tools/check_oracle.py) holds redundant shape
 # variants plus the rows-only approximate operators whose oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- r7 rotation rule (VERDICT r6 directive #1): ALL 34 oracled queries
-    # that have never had a driver-green row (computed from
-    # CORRECTNESS_r01..r06 by tools/coverage_rotation.py; every one a
-    # post-window-freeze r6 registration, each locally green on the engine
-    # AND the driver-mirroring vanilla session) are promoted this round.
-    # A green CORRECTNESS_r07 row for each makes lifetime driver-green
-    # coverage 178/178 oracled queries. r6-green unchanged rows are demoted
-    # to the locally-checked tail (tools/check_oracle.py) to make room.
+    # --- r8 rotation. The round-7 driver artifacts (CORRECTNESS_r07 /
+    # BENCH_r07) were never produced, so the r7 rotation below — staged
+    # exactly per VERDICT r6 directive #1 — was never attested: the ledger
+    # (tools/coverage_rotation.py, vs CORRECTNESS_r01..r06) now counts 88
+    # never-driver-green oracled queries. Only 50 fit. Rule for r8: every
+    # slot goes to a never-green row — the 41 rows staged for r7 KEEP their
+    # slots (unchanged since they were staged; each locally green on the
+    # engine AND the driver-mirroring vanilla session at two scales), and
+    # the 9 slots that held already-green module representatives are handed
+    # to the highest-risk rows of the 47-query r8 queue. The remaining 38
+    # queue for r9; no new oracled registrations enter the window ahead of
+    # them.
     # never-green: SQL-text surface (hive_sql)
     "sql_lateral_view", "sql_mapjoin_hint", "sql_distribute_sort_by",
     "sql_window_over", "sql_intersect_except", "json_struct_parse",
@@ -90,52 +94,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-green: data pipeline (linkage / dedup / retrieval / similarity)
     "record_linkage_fuzzy", "dedup_jaccard_prefix", "bm25_search",
     "user_similarity_knn",
-    # --- 16 remaining slots: 7 queries NEW in r7 (the approx swaps and the
-    # qcorpus family — in-window so they get a driver-green row the round
-    # they land) + 7 representatives keeping every module driver-visible
-    # (all r06-or-earlier driver-green; codec_roundtrip is re-validated
-    # here because r7 extends it with bzip2/lz4 rows). Everything else is
-    # in the locally-checked tail via tools/check_oracle.py.
-    "wordcount",                               # mrlib
-    "chain_map_wordcount",                     # udf_surface
-    "codec_roundtrip",                         # sources (extended r7: 4 codecs)
-    "sessionize_events", "stream_curation",    # streaming_queries
-    "dedup_components_lsh",                    # data_pipeline
-    # new r7 (VERDICT directive #2): the demonstrated 100 TB approx swaps,
-    # each an error-gated acceptance harness vs its exact twin; promoted in
-    # place of tpch_q3_shape and heavy_hitters_topk (green r05/r06,
-    # unchanged — analytics stays visible via the 10 promoted never-green
-    # rows above plus anomaly_mad_approx itself).
+    # never-green: registered r7 pre-freeze (approx swaps + qcorpus family;
+    # staged in the r7 window that was never checked)
     "profile_orders_approx", "anomaly_mad_approx",
-    # new r7 (VERDICT directive #3): the sql_qcorpus family — the remaining
-    # clientpositive golden shapes (join3-8, groupby3-8, udf1-4,
-    # sample2-7, subq/input nesting) replayed as fingerprinted rows;
-    # promoted in place of grep, counters_observe, orc_roundtrip,
-    # semantic_dedup and sql_groupby2 (all r06-or-earlier green, unchanged
-    # — their modules keep wordcount, chain_map_wordcount, codec_roundtrip,
-    # dedup_components_lsh and the 6 never-green hive_sql rows in-window).
     "sql_qcorpus_joins", "sql_qcorpus_groupby", "sql_qcorpus_scalar",
     "sql_qcorpus_sample", "sql_qcorpus_input",
-    "training_export",                         # curation_queries
-    "asof_join_events",                        # temporal_queries
-    "salted_join_orders",                      # relational
+    # --- 9 slots from the 47-query r8 queue, picked for family risk and
+    # module diversity (the other 38 queue for r9; all locally green at
+    # two scales on engine + vanilla sessions):
+    "tpch_q5_shape", "tpch_q7_shape", "tpch_q16_shape",  # TPC-H wave
+    "dedup_span_extract", "winnow_fingerprints",  # span-dedup family (reworked late r7)
+    "graph_summary",        # NULL-triangle bug fixed r7 — re-attest
+    "pagerank_scores",      # iterative fixpoint flagship
+    "sql_recursive_cte",    # Spark-4 SQL surface
+    "stream_auc_monitor",   # streaming family
 )
-# The r6-staged rotation queue of 34 never-green queries was executed above
-# in full this round (r7). The 7 queries REGISTERED in r7 before the window
-# freeze (profile_orders_approx, anomaly_mad_approx, sql_qcorpus_* x5) are
-# already in-window this round.
-#
-# r8 ROTATION QUEUE — the oracled queries registered after the r7
-# freeze (47 at end of round), each individually verified green on the
-# driver-mirroring vanilla session the day it was added. 47 fits the
-# 50-row window with 3 slots for per-module representatives; oracled
-# registration FROZE at 47 precisely so one rotation clears the queue. The
-# authoritative list is computed, not maintained by hand:
-#   python tools/coverage_rotation.py   # vs CORRECTNESS_r07.json
-# (its "STILL IN TAIL" rows — the stats/drift wave, the affinity/
-# attribution/metrics wave, TPC-H Q5/Q7/Q16, the Spark-4 SQL surfaces,
-# the curation/IVM/graph additions, the online-agg CI report, PageRank/
-# skyline, and the span-dedup/classifier pair.)
+# r9 ROTATION QUEUE — the 38 never-green oracled queries not in the window
+# above. Authoritative list is computed, not maintained by hand:
+#   python tools/coverage_rotation.py   # vs latest CORRECTNESS_r*.json
+# (the stats/drift wave, affinity/attribution/metrics wave, Spark-4 SQL
+# surfaces minus recursive CTE, curation/IVM additions, online-agg CI,
+# skyline, substring-dedup variants, plus whatever r8 registers.)
 #
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,
