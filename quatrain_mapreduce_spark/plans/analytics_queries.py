@@ -2575,6 +2575,94 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_summary_sampled",
+    oracle=f"""
+        WITH bi AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS INT) * 100
+                     + CAST(epoch_us(ts) // 86400000000 AS INT) % 30 AS item
+            FROM events WHERE event_type = 'purchase'
+        ), e AS (
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM bi x JOIN bi y ON x.item = y.item AND x.u < y.u
+        ), deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY v
+        ), s AS (
+            SELECT a, b FROM e
+            WHERE {_p16("(a * 1000000 + b)")} % 4 = 0
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM s e1 JOIN s e2 ON e1.b = e2.a
+                      JOIN s e3 ON e1.a = e3.a AND e2.b = e3.b
+        )
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+               CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+                 AS n_wedges,
+               CAST((SELECT t FROM tri) AS BIGINT) AS tri_sampled,
+               CAST((SELECT t * 64 FROM tri) AS BIGINT) AS n_triangles_est,
+               floor((SELECT 3.0 * t * 64 FROM tri)
+                     / (SELECT CAST(sum(d * (d - 1) / 2) AS DOUBLE)
+                        FROM deg)
+                     * 1000000 + 0.5) / 1000000 AS clustering_coeff_est
+    """,
+    doc="graph_summary's 100 TB production mode (VERDICT r8 directive #4): "
+        "identical vertex/edge/degree/wedge statistics — those are one "
+        "map-combinable aggregate each and scale fine — but the triangle "
+        "and transitivity terms come from the DOULION p=1/4 edge sample "
+        "(Tsourakakis KDD'09) instead of exact wedge enumeration, which "
+        "SCALING.md documents as >10 min at sf1 on the densified graph. "
+        "Sampling is the same deterministic portable-hash edge selection "
+        "as triangle_count_sampled, so the sampled count (and therefore "
+        "the 1/p^3 = 64x estimate and the estimated clustering "
+        "coefficient 3*tri_est/wedges) is fully oracle-checkable — no "
+        "randomness, no tolerance band. Exact graph_summary stays "
+        "registered as the ground-truth twin; a pipeline picks by graph "
+        "size. Wedge work on the sample drops ~1/p^2 = 16x.",
+    tags=("graph", "analytics", "profiling", "approx"),
+)
+def graph_summary_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = co_purchase_edges(ev)
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    )
+    degstats = deg.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+         .alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    sampled = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .where(F.expr(_edge_h16_sql() + " % 4 = 0"))
+    )
+    tri = triangle_counts(
+        sampled.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("bigint").alias("tri_sampled")
+    )
+    j = degstats.crossJoin(F.broadcast(ecount)).crossJoin(F.broadcast(tri))
+    return j.select(
+        "n_vertices", "n_edges", "max_degree", "n_wedges", "tri_sampled",
+        (F.col("tri_sampled") * 64).cast("bigint").alias("n_triangles_est"),
+        (F.floor(
+            3.0 * F.col("tri_sampled") * 64
+            / F.col("n_wedges").cast("double") * 1000000 + F.lit(0.5)
+        ) / 1000000).alias("clustering_coeff_est"),
+    )
+
+
+@register(
     "lpa_communities",
     # no oracle: iterative argmax fixpoint — like k_core_members, LPA is
     # not expressible in append-only recursive SQL. Parity is pytest-

@@ -100,8 +100,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "wordcount",             # mrlib rep (green since r01)
     "salted_agg",            # mrlib skew-safe 2-stage agg
     "order_by_limit",        # relational total-order sort
-    "join_semi_anti",        # relational semi/anti join
-    "topk_per_group",        # relational per-group top-k
+    "graph_summary_sampled",  # new r9: DOULION-mode graph summary (directive #4)
+    "c4_curation_pipeline",  # new r9: composed fingerprint->strip->dedup (directive #5)
     "dedup_components_lsh",  # flagship 100 TB dedup path
     "stream_sessionize",     # streaming native session_window
     "orc_roundtrip",         # sources rep
