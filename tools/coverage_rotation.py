@@ -9,7 +9,13 @@ has never been checked — the input for each round's window rotation
 (round-6 rule: every never-green oracled query gets promoted until the
 whole registry has >=1 historical green row; ledger kept in COVERAGE.md).
 
-Usage: python tools/coverage_rotation.py [--repo /root/repo]
+Usage: python tools/coverage_rotation.py [--repo /root/repo] [--emit-window]
+
+--emit-window prints ONE machine-readable JSON line instead of the human
+report: {"window": [...], "never_green": [...], "module_reps": [...]} — the
+never-green queue first, then one green representative per plan module, the
+exact composition rule DRIVER_WINDOW follows. A harness that reads this line
+needs no hand-staged rotation (see README "Proposal to the harness owner").
 """
 
 from __future__ import annotations
@@ -24,6 +30,8 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repo", default="/root/repo")
+    ap.add_argument("--emit-window", action="store_true",
+                    help="print one JSON line with the computed gate window")
     args = ap.parse_args()
     sys.path.insert(0, args.repo)
 
@@ -42,6 +50,27 @@ def main() -> int:
     rows_only = [n for n, q in qs.items() if q.oracle is None]
     never = [n for n in oracled if n not in first_green]
     in_window_now = [n for n in never if n in DRIVER_WINDOW]
+
+    if args.emit_window:
+        # composition rule mirrored from registry.DRIVER_WINDOW's header:
+        # never-green queue first, then one green oracled representative per
+        # plan module (prefer the earliest-green = most battle-tested row)
+        never_mods = {qs[n].fn.__module__.rsplit(".", 1)[-1] for n in never}
+        reps: list[str] = []
+        for n in sorted(first_green, key=lambda n: first_green[n]):
+            if n not in qs or qs[n].oracle is None:
+                continue
+            mod = qs[n].fn.__module__.rsplit(".", 1)[-1]
+            if mod not in never_mods and mod not in {
+                qs[r].fn.__module__.rsplit(".", 1)[-1] for r in reps
+            }:
+                reps.append(n)
+        print(json.dumps({
+            "window": never + reps,
+            "never_green": never,
+            "module_reps": reps,
+        }, separators=(",", ":")))
+        return 0
 
     print(f"registered: {len(qs)}  oracled: {len(oracled)}  rows-only: {len(rows_only)}")
     print(f"ever driver-green: {len(first_green)}")
