@@ -1,0 +1,54 @@
+"""Physical-plan fingerprinting — the machine-checkable half of the
+"would this survive 100×?" audit.
+
+A query's *result* is gated by the DuckDB oracle; its *plan shape* is what
+decides whether it survives a 1000-executor 100 TB run. This module reduces
+an executed-plan string to a small feature vector (shuffle exchanges,
+broadcast exchanges, join strategies, Python evaluation nodes, scans) so the
+shape can be snapshotted into ``PLAN_FINGERPRINTS.json`` and diffed per
+commit: an accidental extra shuffle, a broadcast join silently degrading to
+sort-merge, or a new Python node on a hot path becomes a red test instead of
+a slow cluster.
+
+Counts are taken from the pre-execution plan (AQE's ``isFinalPlan=false``
+rendering), which is deterministic for a fixed input layout — runtime AQE
+re-planning (skew splits, dynamic coalesce) intentionally doesn't affect the
+fingerprint.
+"""
+
+from __future__ import annotations
+
+import re
+
+# feature name -> regex counted over the executedPlan string. Ordered the
+# way a scale review reads them: data movement first, then join strategy,
+# then Python boundaries, then scan count.
+_FEATURES: dict[str, re.Pattern[str]] = {
+    # every shuffle: hash, range (total-order sorts) and single-partition
+    # collapses (global aggregates / limits)
+    "shuffles": re.compile(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+    ),
+    "broadcasts": re.compile(r"BroadcastExchange"),
+    "sort_merge_joins": re.compile(r"SortMergeJoin"),
+    "broadcast_hash_joins": re.compile(r"BroadcastHashJoin"),
+    "nested_loop_joins": re.compile(r"BroadcastNestedLoopJoin"),
+    "expands": re.compile(r"\bExpand\b"),
+    # Arrow-batched Python evaluation (the sanctioned Python path) — keep an
+    # eye on count creep; row-at-a-time BatchEvalPython is banned outright
+    # by the lint assertions, not merely fingerprinted
+    "python_nodes": re.compile(
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow"
+    ),
+    "scans": re.compile(r"Scan (?:parquet|orc|csv|json|text|JDBCRelation)"),
+}
+
+
+def plan_fingerprint(plan: str) -> dict[str, int]:
+    """Reduce an executed-plan string to its movement/strategy counts."""
+    return {name: len(rx.findall(plan)) for name, rx in _FEATURES.items()}
+
+
+def fingerprint_query(df) -> dict[str, int]:
+    """Fingerprint a DataFrame's executed plan without running it."""
+    return plan_fingerprint(df._jdf.queryExecution().executedPlan().toString())

@@ -45,12 +45,32 @@ _ROW_UDF_OK = {
 
 
 def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
+    """One pass over every registered plan: lint the hard bans AND diff each
+    query's movement/strategy fingerprint against PLAN_FINGERPRINTS.json, so
+    an accidental extra shuffle or a broadcast join degrading to sort-merge
+    fails here instead of on a cluster. Deliberate plan changes land with a
+    refreshed snapshot: ``python tools/plan_fingerprints.py --refresh``."""
+    import json
+    import os
+
+    from quatrain_mapreduce_spark.planaudit import plan_fingerprint
+
+    snap_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             "PLAN_FINGERPRINTS.json")
+    with open(snap_path) as fh:
+        snapshot = json.load(fh)
+
     qs = all_queries()
-    cartesian, row_udf, errors = [], [], []
+    cartesian, row_udf, errors, drifted = [], [], [], []
     for name, q in qs.items():
         if name in _SKIP:
             continue
         try:
+            # persisted fragments left registered by earlier queries (or
+            # earlier tests) would substitute InMemoryTableScan into this
+            # plan and make the fingerprint order-dependent — clean catalog
+            # per query, mirroring tools/plan_fingerprints.py
+            spark.catalog.clearCache()
             df = q.fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — collect, report all at once
@@ -60,6 +80,14 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
             cartesian.append(name)
         if "BatchEvalPython" in plan and name not in _ROW_UDF_OK:
             row_udf.append(name)
+        fp = plan_fingerprint(plan)
+        if fp != snapshot.get(name):
+            drifted.append(f"{name}: snapshot={snapshot.get(name)} current={fp}")
     assert not errors, errors
     assert not cartesian, f"non-broadcast cartesian products: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs on data paths: {row_udf}"
+    assert not drifted, (
+        "plan-shape drift vs PLAN_FINGERPRINTS.json (if deliberate, refresh "
+        "with `python tools/plan_fingerprints.py --refresh` in the same "
+        "commit):\n" + "\n".join(drifted)
+    )
