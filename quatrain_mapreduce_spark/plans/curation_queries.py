@@ -1242,10 +1242,19 @@ def c4_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.curation import strip_boilerplate
     from quatrain_mapreduce_spark.operators.dedup import substring_window_report
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     fp = _winnow_summary(docs).select("doc_id", "n_fp", "fp_sum")
+    # the strip is a multi-shuffle subplan (span explode -> count ->
+    # anti-join -> per-doc reassembly) consumed THREE times downstream
+    # (twice inside substring_window_report, once in the final join) —
+    # persist at the branch point or the whole strip recomputes 3x
+    # (A/B at sf1, cache cleared per rep: median 37 s -> 6.9 s, worst
+    # observed no-persist rep 204 s; the PLANS.md round-2 rule #5)
     cleaned = strip_boilerplate(docs, "doc_id", "text", "source",
-                                span_tokens=8, min_count=3)
+                                span_tokens=8, min_count=3
+                                ).persist(StorageLevel.MEMORY_AND_DISK)
     spans = substring_window_report(cleaned, "doc_id", "text_clean", w=8)
     return (
         cleaned.join(spans, "doc_id")
