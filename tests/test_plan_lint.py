@@ -34,6 +34,13 @@ _SKIP = {
     # test_bpe_train_matches_pure_python / test_bpe_apply_roundtrips
 }
 
+# Queries allowed to scan >=3 source files in the live plan:
+_MULTI_SCAN_OK = {
+    # round-trips FOUR differently-codec'd staged files by construction —
+    # four scans of four DIFFERENT files, not a re-executed subplan
+    "codec_roundtrip",
+}
+
 # Queries allowed to show BatchEvalPython, each with the reason the
 # row-oriented path is the semantic point, not an accident:
 _ROW_UDF_OK = {
@@ -53,7 +60,7 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
     import json
     import os
 
-    from quatrain_mapreduce_spark.planaudit import plan_fingerprint
+    from quatrain_mapreduce_spark.planaudit import live_scan_counts, plan_fingerprint
 
     snap_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                              "PLAN_FINGERPRINTS.json")
@@ -61,7 +68,7 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         snapshot = json.load(fh)
 
     qs = all_queries()
-    cartesian, row_udf, errors, drifted = [], [], [], []
+    cartesian, row_udf, errors, drifted, rescanned = [], [], [], [], []
     for name, q in qs.items():
         if name in _SKIP:
             continue
@@ -83,6 +90,10 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         fp = plan_fingerprint(plan)
         if fp != snapshot.get(name):
             drifted.append(f"{name}: snapshot={snapshot.get(name)} current={fp}")
+        if name not in _MULTI_SCAN_OK:
+            over = {t: c for t, c in live_scan_counts(df).items() if c >= 3}
+            if over:
+                rescanned.append(f"{name}: {over}")
     assert not errors, errors
     assert not cartesian, f"non-broadcast cartesian products: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs on data paths: {row_udf}"
@@ -90,4 +101,10 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         "plan-shape drift vs PLAN_FINGERPRINTS.json (if deliberate, refresh "
         "with `python tools/plan_fingerprints.py --refresh` in the same "
         "commit):\n" + "\n".join(drifted)
+    )
+    assert not rescanned, (
+        "live (uncached) table scanned 3+ times — an unpersisted "
+        "multi-consumer subplan re-executes its whole upstream per consumer "
+        "(the c4_curation_pipeline 5x-at-sf1 class); persist at the branch "
+        "point or whitelist with a reason:\n" + "\n".join(rescanned)
     )
