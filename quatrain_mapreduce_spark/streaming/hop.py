@@ -32,20 +32,38 @@ from pyspark.sql import functions as F
 
 
 def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
-    """FileStreamSource requires a *directory* source; the testdata table is a
-    single flat parquet file. Stage a symlink into a per-sf temp directory
-    (created once, idempotent) — the production shape is a real landing
-    directory fed by the upstream system."""
+    """FileStreamSource requires a *directory* source whose top level holds
+    the data FILES. The driver testdata table is a single flat parquet file
+    (symlinked as-is); a Spark-written table (e.g. the synthetic sf1 from
+    tools/make_sf1.py) is a DIRECTORY of part files — symlinking the
+    directory stages zero listable files, the stream fires zero
+    micro-batches, and a complete-mode drain has no snapshot to read
+    (r9 sf1-survival finding). So a directory source gets each part file
+    symlinked individually, which also replays as one micro-batch per part
+    under maxFilesPerTrigger=1 — the production landing-directory shape.
+    Idempotent per (sf_dir, table)."""
+    import glob
     import hashlib
     import os
     import tempfile
 
+    src = os.path.join(sf_dir, f"{table}.parquet")
     key = hashlib.md5(f"{os.path.realpath(sf_dir)}/{table}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"qms_stream_src_{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    if os.path.isdir(os.path.realpath(src)):
+        # drop a stale whole-directory symlink left by the old staging
+        stale = os.path.join(d, f"{table}.parquet")
+        if os.path.islink(stale):
+            os.unlink(stale)
+        for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+            link = os.path.join(d, os.path.basename(p))
+            if not os.path.exists(link):
+                os.symlink(p, link)
+    else:
+        link = os.path.join(d, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
