@@ -63,3 +63,62 @@ def test_staged_names_not_registered():
 
     live = set(all_queries())
     assert not (set(STAGED) & live)
+
+
+def test_chunks_cover_every_token_and_respect_stride(spark):
+    """Coverage invariant, independent of the oracle: with size 64 and
+    stride 48, chunk i starts at token 48*i, every token of every document
+    falls in at least one chunk, and consecutive chunks overlap by exactly
+    16 tokens (except the final short chunk). Verified in pure Python
+    against the documents fixture."""
+    rows = (
+        STAGED["doc_token_chunks"].fn(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(
+            {"chunk_id": "max", "n_toks": "sum", "*": "count"},
+        )
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    ntoks = dict(con.execute(
+        "SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> ''))"
+        f" FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall())
+    for r in rows:
+        d = r.asDict()
+        n, max_id, n_chunks = ntoks[d["doc_id"]], d["max(chunk_id)"], d["count(1)"]
+        # chunk ids are dense 0..max
+        assert n_chunks == max_id + 1
+        # last chunk starts before the end -> every token covered
+        assert max_id * 48 < max(n, 1)
+        # one more chunk would start past the end -> no empty tail chunks
+        assert (max_id + 1) * 48 >= min(n, max(n, 1) - 15) or n <= 64
+        # total sliced tokens = n + 16 overlap per interior boundary,
+        # truncated at the tail: n_toks summed equals sum over chunks of
+        # min(64, n - 48*i)
+        expect = sum(min(64, n - 48 * i) for i in range(max_id + 1)) if n else 0
+        assert d["sum(n_toks)"] == max(expect, 0), (d, n)
+
+
+def test_stratified_sample_is_exact_k_and_deterministic(spark):
+    """Per stratum: exactly min(k, |stratum|) rows, and two independent
+    plan executions pick the IDENTICAL member set (md5 rank has no RNG,
+    no partition-order dependence)."""
+    fn = STAGED["stratified_sample_exact"].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+    import duckdb
+
+    con = duckdb.connect()
+    sizes = dict(con.execute(
+        "SELECT c_mktsegment, count(*) FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet') GROUP BY 1"
+    ).fetchall())
+    from collections import Counter
+
+    got = Counter(seg for seg, _, _ in a)
+    for seg, n in sizes.items():
+        assert got[seg] == min(10, n)
