@@ -115,6 +115,74 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @stage(
+    "theta_cube_serving",
+    oracle="""
+        WITH b AS (
+            SELECT min(CAST(ts AS DATE)) + 2 AS d1,
+                   min(CAST(ts AS DATE)) + 8 AS d2
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               1 AS theta_ok
+        FROM events, b
+        WHERE CAST(ts AS DATE) BETWEEN b.d1 AND b.d2
+        GROUP BY event_type
+    """,
+    doc="Sketch CUBE serving — the stored-state form of the sketch tier: "
+        "per-(day, event_type) theta sketches are staged to parquet ONCE "
+        "(binary column, idempotent marker dir like the LSH/IVF indexes), "
+        "and an arbitrary date-range distinct-user question is answered by "
+        "theta_union_agg over the STORED sketches — days x types rows of "
+        "bytes, zero events scan at serve time. The exact twin (computed "
+        "from events in-plan, verification only) gates the estimate; the "
+        "oracle pins the flag. This is what replaces nightly full-corpus "
+        "COUNT(DISTINCT) at 100 TB: any rollup window is a merge of a "
+        "bounded sketch table, and theta (unlike HLL) keeps intersection/ "
+        "difference algebra available on the same stored state.",
+    tags=("analytics", "sketch", "approx", "staged"),
+)
+def theta_cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cube_dir = stage_dir(sf_dir, "thetacube")
+    marker = os.path.join(cube_dir, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+            .write.mode("overwrite").parquet(cube_dir)
+        )
+        open(marker, "w").close()
+    cube = spark.read.parquet(cube_dir)
+    bounds = ev.agg(
+        F.date_add(F.min(F.to_date("ts")), 2).alias("d1"),
+        F.date_add(F.min(F.to_date("ts")), 8).alias("d2"),
+    )
+    est = (
+        cube.join(F.broadcast(bounds),
+                  (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"))
+    )
+    exact = (
+        ev.select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .join(F.broadcast(bounds),
+              (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact",
+        ((F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")) <= 0.05)
+        .cast("int").alias("theta_ok"),
+    )
+
+
+@stage(
     "kll_quantile_rollup",
     oracle="""
         SELECT o_orderpriority,
