@@ -87,6 +87,23 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def stdout_line(times: dict[str, float], cold_total: float, sf: float) -> str:
+    """The ONE compact JSON line bench prints. The driver captures stdout
+    with a bounded tail (BENCH_r08 overflowed it and parsed as null), so
+    this carries only totals, sf, and warm rows at 2dp — the full summary
+    lives in BENCH_SUMMARY.json. tests/test_bench_contract.py pins the
+    serialized size against the tail bound."""
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    return json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in times.items()},
+        "cold_total": cold_total,
+        "sf": sf,
+    }, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -237,16 +254,8 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"bench: could not write BENCH_SUMMARY.json: {exc}", file=sys.stderr)
-    stdout_line = {
-        "metric": "bench_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in times.items()},
-        "cold_total": summary["cold_total"],
-        "sf": sf,
-    }
     sys.stderr.flush()
-    print(json.dumps(stdout_line, separators=(",", ":")), flush=True)
+    print(stdout_line(times, summary["cold_total"], sf), flush=True)
 
 
 if __name__ == "__main__":
