@@ -20,6 +20,38 @@ from __future__ import annotations
 
 import re
 
+# Queries whose fn() performs heavy side effects before returning a frame —
+# real micro-batch streams, staged-directory writes, or driver-paced
+# iteration rounds — so plan-building here would re-run them and only see
+# the read-side plan anyway. ONE copy, imported by tests/test_plan_lint.py
+# and tools/plan_fingerprints.py (they drifted when hand-mirrored).
+PLAN_BUILD_SKIP = frozenset({
+    "stream_tumbling_count", "online_agg_events",
+    "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
+    "stream_drift_monitor", "stream_auc_monitor",
+    "incremental_join_merge",
+    "k_core_members", "lpa_communities",
+    "bpe_train_merges", "bpe_encode_corpus",
+})
+
+
+def lint_session():
+    """The vanilla session plans are linted and fingerprinted on — ONE
+    builder shared by tests/conftest.py and tools/plan_fingerprints.py,
+    because a config divergence (e.g. broadcast threshold) silently changes
+    join strategies and produces false fingerprint drift. Deliberately
+    plain (mirrors the driver harness), NOT get_spark()."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("qms-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
 # feature name -> regex counted over the executedPlan string. Ordered the
 # way a scale review reads them: data movement first, then join strategy,
 # then Python boundaries, then scan count.
@@ -50,11 +82,21 @@ def plan_fingerprint(plan: str) -> dict[str, int]:
 
 
 def fingerprint_query(df) -> dict[str, int]:
-    """Fingerprint a DataFrame's executed plan without running it."""
-    return plan_fingerprint(df._jdf.queryExecution().executedPlan().toString())
+    """Full fingerprint of a DataFrame's executed plan without running it:
+    the string-level movement/strategy counts plus ``max_live_rescan`` —
+    the highest per-source live scan multiplicity (see live_scan_counts).
+    Pinning the multiplicity in the snapshot catches the unpersisted-
+    branch-point class as DRIFT (a count increasing) without hard-failing
+    the formulations where re-derivation measurably beats materialization
+    (graph family: exchange reuse already dedups the shuffled work — A/B
+    in PLANS.md round 9)."""
+    fp = plan_fingerprint(df._jdf.queryExecution().executedPlan().toString())
+    fp["max_live_rescan"] = max(live_scan_counts(df).values(), default=0)
+    return fp
 
 
-_LOCATION_RX = re.compile(r"Location: \w+\[([^\],]+)")
+# scan metadata renders as e.g. "Location: InMemoryFileIndex(1 paths)[file:/..."
+_LOCATION_RX = re.compile(r"Location: \w+(?:\(\d+ paths?\))?\[([^\],]+)")
 
 
 def live_scan_counts(df) -> dict[str, int]:
@@ -72,10 +114,18 @@ def live_scan_counts(df) -> dict[str, int]:
         cls = node.getClass().getSimpleName()
         if "InMemoryTableScan" in cls:
             return
+        if "AdaptiveSparkPlan" in cls:
+            # AQE wraps any exchange-bearing plan in a LEAF node — descend
+            # into the wrapped plan or the walk silently sees nothing
+            # (every shuffle-bearing query would count zero scans)
+            walk(node.inputPlan())
+            return
         if "FileSourceScan" in cls or "BatchScan" in cls:
             m = _LOCATION_RX.search(node.toString())
             key = m.group(1).rsplit("/", 1)[-1] if m else "scan"
             counts[key] = counts.get(key, 0) + 1
+        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
+            return  # physically executes once; don't double count its plan
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i))

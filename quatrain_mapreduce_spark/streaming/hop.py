@@ -43,26 +43,25 @@ def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     under maxFilesPerTrigger=1 — the production landing-directory shape.
     Idempotent per (sf_dir, table)."""
     import glob
-    import hashlib
     import os
-    import tempfile
 
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    # stage_dir keys on a CONTENT fingerprint of sf_dir, not just the path:
+    # a regenerated source (tools/make_sf1.py overwrite) gets a fresh
+    # staging dir instead of a dir of dangling symlinks from the previous
+    # data generation (the exact invalidation bug staging.py documents).
     src = os.path.join(sf_dir, f"{table}.parquet")
-    key = hashlib.md5(f"{os.path.realpath(sf_dir)}/{table}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"qms_stream_src_{key}")
+    d = stage_dir(sf_dir, f"streamsrc-{table}")
     os.makedirs(d, exist_ok=True)
     if os.path.isdir(os.path.realpath(src)):
-        # drop a stale whole-directory symlink left by the old staging
-        stale = os.path.join(d, f"{table}.parquet")
-        if os.path.islink(stale):
-            os.unlink(stale)
         for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
             link = os.path.join(d, os.path.basename(p))
-            if not os.path.exists(link):
+            if not os.path.lexists(link):  # lexists: never follow a dangling link
                 os.symlink(p, link)
     else:
         link = os.path.join(d, f"{table}.parquet")
-        if not os.path.exists(link):
+        if not os.path.lexists(link):
             os.symlink(src, link)
     return d
 

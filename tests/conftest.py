@@ -17,15 +17,11 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[8]")
-        .appName("qms-tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
+    # ONE builder shared with tools/plan_fingerprints.py: the fingerprint
+    # snapshot must be taken under the exact session the suite runs on
+    from quatrain_mapreduce_spark.planaudit import lint_session
+
+    yield lint_session()
 
 
 @pytest.fixture(scope="session")

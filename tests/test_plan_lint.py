@@ -22,24 +22,8 @@ from quatrain_mapreduce_spark.registry import all_queries
 # real micro-batch streams or staged-directory writes — so "lint" here would
 # re-run them and only ever see the read-side plan anyway (ADVICE r6). Each
 # has a dedicated end-to-end test: test_streaming*, test_incremental*.
-_SKIP = {
-    "stream_tumbling_count", "online_agg_events",
-    "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
-    "stream_drift_monitor", "stream_auc_monitor",
-    "incremental_join_merge",  # staged-view write on first serve
-    "k_core_members",          # driver-paced peel rounds inside fn()
-    "lpa_communities",         # driver-paced propagation rounds inside fn()
-    "bpe_train_merges", "bpe_encode_corpus",  # driver-paced merge rounds
-    # inside fn(); exact parity + loop behavior covered by
-    # test_bpe_train_matches_pure_python / test_bpe_apply_roundtrips
-}
-
-# Queries allowed to scan >=3 source files in the live plan:
-_MULTI_SCAN_OK = {
-    # round-trips FOUR differently-codec'd staged files by construction —
-    # four scans of four DIFFERENT files, not a re-executed subplan
-    "codec_roundtrip",
-}
+# Single shared copy (tools/plan_fingerprints.py imports the same set).
+from quatrain_mapreduce_spark.planaudit import PLAN_BUILD_SKIP as _SKIP
 
 # Queries allowed to show BatchEvalPython, each with the reason the
 # row-oriented path is the semantic point, not an accident:
@@ -60,7 +44,7 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
     import json
     import os
 
-    from quatrain_mapreduce_spark.planaudit import live_scan_counts, plan_fingerprint
+    from quatrain_mapreduce_spark.planaudit import fingerprint_query
 
     snap_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                              "PLAN_FINGERPRINTS.json")
@@ -68,7 +52,7 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         snapshot = json.load(fh)
 
     qs = all_queries()
-    cartesian, row_udf, errors, drifted, rescanned = [], [], [], [], []
+    cartesian, row_udf, errors, drifted = [], [], [], []
     for name, q in qs.items():
         if name in _SKIP:
             continue
@@ -87,13 +71,14 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
             cartesian.append(name)
         if "BatchEvalPython" in plan and name not in _ROW_UDF_OK:
             row_udf.append(name)
-        fp = plan_fingerprint(plan)
+        # fingerprint_query = string features + max_live_rescan (the live
+        # per-source scan multiplicity, cache-boundary aware) — an increase
+        # in any count, including a NEW live rescan of the same table (the
+        # unpersisted-branch-point class that cost c4_curation_pipeline 5x
+        # at sf1), fails as drift against the reviewed snapshot
+        fp = fingerprint_query(df)
         if fp != snapshot.get(name):
             drifted.append(f"{name}: snapshot={snapshot.get(name)} current={fp}")
-        if name not in _MULTI_SCAN_OK:
-            over = {t: c for t, c in live_scan_counts(df).items() if c >= 3}
-            if over:
-                rescanned.append(f"{name}: {over}")
     assert not errors, errors
     assert not cartesian, f"non-broadcast cartesian products: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs on data paths: {row_udf}"
@@ -101,10 +86,4 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         "plan-shape drift vs PLAN_FINGERPRINTS.json (if deliberate, refresh "
         "with `python tools/plan_fingerprints.py --refresh` in the same "
         "commit):\n" + "\n".join(drifted)
-    )
-    assert not rescanned, (
-        "live (uncached) table scanned 3+ times — an unpersisted "
-        "multi-consumer subplan re-executes its whole upstream per consumer "
-        "(the c4_curation_pipeline 5x-at-sf1 class); persist at the branch "
-        "point or whitelist with a reason:\n" + "\n".join(rescanned)
     )

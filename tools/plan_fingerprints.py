@@ -23,21 +23,11 @@ SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
                         "PLAN_FINGERPRINTS.json")
 SF_DIR = "/root/testdata/sf0.001"
 
-# Mirror of tests/test_plan_lint.py:_SKIP — queries whose fn() runs real
-# micro-batch streams or driver-paced rounds before returning a frame, so
-# "fingerprint" would re-run them and only see the read-side plan anyway.
-SKIP = {
-    "stream_tumbling_count", "online_agg_events",
-    "stream_cdc_apply", "incremental_rollup_merge", "sessionize_incremental",
-    "stream_drift_monitor", "stream_auc_monitor",
-    "incremental_join_merge",
-    "k_core_members", "lpa_communities",
-    "bpe_train_merges", "bpe_encode_corpus",
-}
-
-
 def current_fingerprints(spark) -> dict[str, dict[str, int]]:
-    from quatrain_mapreduce_spark.planaudit import fingerprint_query
+    from quatrain_mapreduce_spark.planaudit import (
+        PLAN_BUILD_SKIP as SKIP,
+        fingerprint_query,
+    )
     from quatrain_mapreduce_spark.registry import all_queries
 
     out: dict[str, dict[str, int]] = {}
@@ -54,19 +44,12 @@ def current_fingerprints(spark) -> dict[str, dict[str, int]]:
 
 
 def main() -> int:
-    # Mirror tests/conftest.py, NOT get_spark(): the snapshot must be taken
-    # under the exact session the suite lints with, or config-dependent join
-    # strategy choices would make the test flaky against the snapshot.
-    from pyspark.sql import SparkSession
+    # The ONE session builder shared with tests/conftest.py — the snapshot
+    # must be taken under the exact session the suite lints with, or
+    # config-dependent join strategy choices would make the test flaky.
+    from quatrain_mapreduce_spark.planaudit import lint_session
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("qms-plan-fingerprints")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = lint_session()
     cur = current_fingerprints(spark)
     if "--refresh" in sys.argv:
         with open(SNAPSHOT, "w") as fh:
