@@ -107,8 +107,19 @@ def live_scan_counts(df) -> dict[str, int]:
     unpersisted multi-consumer subplan: the same upstream work (and at
     100 TB, the same multi-TB scan) re-executes per consumer. This exact
     class cost c4_curation_pipeline a measured 5× at sf1 (37 s -> 6.9 s
-    once its strip subplan was persisted at the branch point)."""
+    once its strip subplan was persisted at the branch point).
+
+    Keys are the FULL matched location path (distinct sources that share a
+    basename — e.g. the same table staged under two directories — must not
+    merge into one inflated count); a scan whose Location line the regex
+    cannot parse gets a per-node unique key (``scan#<n>``) so unmatched
+    scans never merge either. Known blind spot: the walk covers the main
+    plan tree only — scans inside expression SUBQUERIES (``Subquery``/
+    ``ScalarSubquery`` plans hang off expressions, not ``children()``) are
+    not counted; subquery-heavy rescans need the string-level ``scans``
+    fingerprint feature, which counts every rendering."""
     counts: dict[str, int] = {}
+    unmatched = [0]
 
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
@@ -122,7 +133,11 @@ def live_scan_counts(df) -> dict[str, int]:
             return
         if "FileSourceScan" in cls or "BatchScan" in cls:
             m = _LOCATION_RX.search(node.toString())
-            key = m.group(1).rsplit("/", 1)[-1] if m else "scan"
+            if m:
+                key = m.group(1)
+            else:
+                key = f"scan#{unmatched[0]}"
+                unmatched[0] += 1
             counts[key] = counts.get(key, 0) + 1
         if "ReusedExchange" in cls or "ReusedSubquery" in cls:
             return  # physically executes once; don't double count its plan

@@ -2795,3 +2795,219 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("price_cents"),
     )
     return pareto_front(li, "qty", "price_cents")
+
+
+@register(
+    "theta_audience_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_overlap
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_overlap,
+               ca.n + cb.n - p.n_overlap AS n_union,
+               1 AS inter_ok, 1 AS union_ok
+        FROM pairs p
+        JOIN card ca ON ca.event_type = p.type_a
+        JOIN card cb ON cb.event_type = p.type_b
+    """,
+    doc="Theta-sketch set algebra (Datasketches theta_sketch_agg / "
+        "theta_union / theta_intersection): one sketch per event type, then "
+        "the FULL pairwise audience-overlap matrix answered from sketch "
+        "algebra alone — union AND intersection estimates without touching "
+        "events again. HLL only unions; theta intersects, which is why a "
+        "100 TB audience/segment cube stores theta state. Both estimates "
+        "are gated in-plan against the exact overlap (10%/5% tolerance; "
+        "oracle pins the ok-flags). The exact side costs one distinct "
+        "(user,type) shuffle + a per-user self-join (type sets are tiny); "
+        "at scale only the sketch side runs. Supersedes the reference's "
+        "exact-only UniqValueCount (MR/lib/aggregate/UniqValueCount.java). "
+        "Promoted from plans/staged.py in r10 (oracled + two-scale tested "
+        "since r9).",
+    tags=("analytics", "sketch", "approx"),
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    card = ut.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+    )
+    overlap = (
+        ut.alias("a")
+        .join(ut.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ca = card.select(F.col("event_type").alias("type_a"),
+                     F.col("n").alias("n_a"), F.col("sk").alias("sk_a"))
+    cb = card.select(F.col("event_type").alias("type_b"),
+                     F.col("n").alias("n_b"), F.col("sk").alias("sk_b"))
+    # the pair frame is (|types| choose 2) rows — broadcast-sized by
+    # construction; sketch algebra evaluates on that tiny frame
+    j = (
+        overlap.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b")
+        .withColumn("inter_est",
+                    F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))"))
+        .withColumn("union_est",
+                    F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))"))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_overlap"))
+    )
+    return j.select(
+        "type_a", "type_b", "n_a", "n_b", "n_overlap", "n_union",
+        ((F.abs(F.col("inter_est") - F.col("n_overlap")) / F.col("n_overlap"))
+         <= 0.10).cast("int").alias("inter_ok"),
+        ((F.abs(F.col("union_est") - F.col("n_union")) / F.col("n_union"))
+         <= 0.05).cast("int").alias("union_ok"),
+    )
+
+
+@register(
+    "theta_cube_serving",
+    oracle="""
+        WITH b AS (
+            SELECT min(CAST(ts AS DATE)) + 2 AS d1,
+                   min(CAST(ts AS DATE)) + 8 AS d2
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               1 AS theta_ok
+        FROM events, b
+        WHERE CAST(ts AS DATE) BETWEEN b.d1 AND b.d2
+        GROUP BY event_type
+    """,
+    doc="Sketch CUBE serving — the stored-state form of the sketch tier: "
+        "per-(day, event_type) theta sketches are staged to parquet ONCE "
+        "(binary column, idempotent marker dir like the LSH/IVF indexes), "
+        "and an arbitrary date-range distinct-user question is answered by "
+        "theta_union_agg over the STORED sketches — days x types rows of "
+        "bytes, zero events scan at serve time. The exact twin (computed "
+        "from events in-plan, verification only) gates the estimate; the "
+        "oracle pins the flag. This is what replaces nightly full-corpus "
+        "COUNT(DISTINCT) at 100 TB: any rollup window is a merge of a "
+        "bounded sketch table, and theta (unlike HLL) keeps intersection/ "
+        "difference algebra available on the same stored state. Promoted "
+        "from plans/staged.py in r10; the staged write is idempotent per "
+        "(sf_dir, data fingerprint) so plan-build lint triggers it at most "
+        "once, same as the LSH/IVF index queries.",
+    tags=("analytics", "sketch", "approx"),
+)
+def theta_cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cube_dir = stage_dir(sf_dir, "thetacube")
+    marker = os.path.join(cube_dir, "_STAGED")
+    if not os.path.exists(marker):
+        (
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+            .write.mode("overwrite").parquet(cube_dir)
+        )
+        open(marker, "w").close()
+    cube = spark.read.parquet(cube_dir)
+    bounds = ev.agg(
+        F.date_add(F.min(F.to_date("ts")), 2).alias("d1"),
+        F.date_add(F.min(F.to_date("ts")), 8).alias("d2"),
+    )
+    est = (
+        cube.join(F.broadcast(bounds),
+                  (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"))
+    )
+    exact = (
+        ev.select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .join(F.broadcast(bounds),
+              (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact",
+        ((F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")) <= 0.05)
+        .cast("int").alias("theta_ok"),
+    )
+
+
+@register(
+    "kll_quantile_rollup",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               1 AS p50_ok, 1 AS p95_ok
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL' AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               1 AS p50_ok, 1 AS p95_ok
+        FROM orders
+    """,
+    doc="Mergeable quantile sketches (Datasketches KLL, "
+        "kll_sketch_agg_double / kll_sketch_merge_double): one KLL sketch "
+        "of o_totalprice per priority, then the GLOBAL p50/p95 answered by "
+        "merging the per-group sketches — no corpus re-scan and, unlike "
+        "exact percentile(), no single-node sort of all values. Estimates "
+        "are gated in-plan against exact percentile BANDS (value at rank "
+        "p±5%; KLL k=400 has ~1% rank error only WITH HIGH PROBABILITY — "
+        "compaction is randomized, so a ±3% band had a small but nonzero "
+        "flake probability; ±5% puts the band ~5 sigma out while still "
+        "rejecting any broken merge), so the output is deterministic "
+        "despite KLL's randomized compaction; the oracle pins the ok-flags "
+        "and checks the exact group counts. The 100 TB shape: sketches are "
+        "algebraic map-side state, persistable as a daily quantile cube "
+        "(Karnin-Lang-Liberty, FOCS'16); exact twin kept as ground truth "
+        "the same way sketch_mergeable_rollup gates HLL. Promoted from "
+        "plans/staged.py in r10.",
+    tags=("analytics", "sketch", "approx"),
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("kll_sketch_agg_double(o_totalprice, 400)").alias("sk"),
+        # exact rank bands: the value at quantile p-5% and p+5% bracket any
+        # estimate whose rank error is under 5% — percentile() is exact
+        F.expr("percentile(o_totalprice, array(0.45, 0.55, 0.90, 1.0))").alias("band"),
+    )
+
+    def gated(df: DataFrame) -> DataFrame:
+        p50 = F.expr("kll_sketch_get_quantile_double(sk, 0.5)")
+        p95 = F.expr("kll_sketch_get_quantile_double(sk, 0.95)")
+        return df.select(
+            "o_orderpriority", "n_orders",
+            ((p50 >= F.col("band")[0]) & (p50 <= F.col("band")[1]))
+            .cast("int").alias("p50_ok"),
+            ((p95 >= F.col("band")[2]) & (p95 <= F.col("band")[3]))
+            .cast("int").alias("p95_ok"),
+        )
+
+    total = orders.agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(o_totalprice, array(0.45, 0.55, 0.90, 1.0))").alias("band"),
+    )
+    # rollup tier merges the per-group sketches — no rescan of orders.
+    # kll_sketch_merge_double is a PAIRWISE scalar (unlike hll_union_agg),
+    # so fold it over the collected group sketches — a |groups|-sized list.
+    merged = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    )
+    total_row = gated(
+        total.crossJoin(F.broadcast(merged))
+        .withColumn("o_orderpriority", F.lit("ALL"))
+    )
+    return gated(per).unionAll(total_row)

@@ -1379,3 +1379,104 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                " div (((n_tokens + 1023) div 1024) * 1024)").cast("bigint")
          .alias("pad_ppm"),
     )
+
+
+@register(
+    "stratified_sample_exact",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_custkey,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+                   ) AS rk
+            FROM customer
+        )
+        SELECT c_mktsegment, c_custkey, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10
+    """,
+    doc="Deterministic exact-k stratified sample: rank each stratum by "
+        "md5(key) — a uniform, engine-portable, seed-free permutation — and "
+        "keep the first k. Unlike TABLESAMPLE/rand() this is reproducible "
+        "bit-for-bit across engines, runs, and partition layouts, which is "
+        "what an eval-set carve-out or a human-review draw needs for "
+        "provenance. One hash shuffle on the stratum key; the rank window "
+        "never sees more than a stratum. At 100 TB strata are bounded "
+        "(segments/domains/languages), and heavy strata are exactly what "
+        "the existing salted/two-stage top-k handles (topk_per_group). "
+        "Reference analogue: the percent/md5 record filters of "
+        "SequenceFileInputFilter (MR/SequenceFileInputFilter.java) — this "
+        "is the per-stratum, exact-size form. Promoted from "
+        "plans/staged.py in r10.",
+    tags=("curation", "sampling"),
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        cust.select("c_mktsegment", "c_custkey",
+                    F.row_number().over(w).cast("bigint").alias("rk"))
+        .where(F.col("rk") <= 10)
+    )
+
+
+@register(
+    "doc_token_chunks",
+    oracle="""
+        WITH wt AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, toks,
+                   unnest(range(CAST(floor((greatest(len(toks), 1) - 1) / 48)
+                                     AS BIGINT) + 1)) AS chunk_id
+            FROM wt
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                    AS BIGINT) AS n_toks,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                   ' ')) AS chunk_md5
+        FROM spans
+    """,
+    doc="Context-window chunking: split every document into 64-token "
+        "windows with stride 48 (16-token overlap so no training span is "
+        "cut mid-context), emitting a content hash per chunk — the prep "
+        "step before packing sequences into fixed-length training rows "
+        "(packing_efficiency consumes exactly this shape). Scan-local: "
+        "tokenize once, explode per-doc chunk indices, slice — zero "
+        "shuffles, so at 100 TB it rides the document scan untouched. "
+        "Window arithmetic is shared with dedup's rolling fingerprints "
+        "(operators/dedup.py window_fingerprints); here the unit is the "
+        "training chunk, not the 50-gram. Promoted from plans/staged.py "
+        "in r10.",
+    tags=("curation", "tokenize"),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    spans = toks.select(
+        "doc_id", "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.greatest(F.size("toks"), F.lit(1)) - 1) / 48),
+            )
+        ).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * 48 + 1, 64)
+    return spans.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_toks"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

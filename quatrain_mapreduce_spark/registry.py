@@ -67,48 +67,47 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # holds redundant shape variants plus rows-only approximate operators whose
 # oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- r9 rotation. The r8 gate came back 50/50 green, clearing the 50
-    # highest-risk rows of the post-r7-skip backlog; these are the 38
-    # remaining never-driver-green oracled queries (all green in the local
-    # 232/232 sweep — attestation debt, not suspected breakage). One r9
-    # gate run closes lifetime driver-green to 232/232 oracled.
-    # never-green: relational integrity
-    "fd_violations",
-    # never-green: curation (C4-style boilerplate/lexical/packing wave)
-    "curation_reject_reasons", "boilerplate_strip", "lexical_stats",
-    "packing_efficiency",
-    # never-green: data pipeline (drift / ER / substring dedup / classifier)
-    "token_drift_kl", "entity_resolution_clusters", "dedup_substring_windows",
-    "text_classifier_linear", "dedup_substring_incremental",
-    "basket_affinity", "incremental_join_merge", "embedding_centroids",
-    # never-green: streaming
-    "stream_drift_monitor", "online_agg_ci",
-    # never-green: analytics (exact-stats wave r7/r8)
-    "skew_diagnosis", "window_value_funcs", "feature_scaling",
-    "correlation_matrix", "ks_test_values", "auc_mann_whitney",
-    "spearman_rank_corr", "calibration_bins", "cusum_changepoint",
-    "benford_digits", "gini_spend", "trend_break_slopes", "skyline_pareto",
-    # never-green: SQL-text surface (hive_sql) + UDF + sources
-    "sql_variant_shred", "sql_unpivot_groupall", "pandas_udaf_weighted_avg",
-    "csv_quoted_roundtrip", "nested_struct_pushdown",
-    # never-green: temporal
-    "seasonal_decompose", "interval_overlap_join", "attribution_multitouch",
-    "concurrency_peaks", "dau_wau_stickiness",
-    # --- 12 spare slots: module representatives (mrlib has no never-green
-    # rows left, so a green rep keeps the module-coverage invariant) plus
-    # flagship already-green re-attestations across the remaining modules.
-    "wordcount",             # mrlib rep (green since r01)
-    "salted_agg",            # mrlib skew-safe 2-stage agg
-    "order_by_limit",        # relational total-order sort
-    "graph_summary_sampled",  # new r9: DOULION-mode graph summary (directive #4)
-    "c4_curation_pipeline",  # new r9: composed fingerprint->strip->dedup (directive #5)
-    "dedup_components_lsh",  # flagship 100 TB dedup path
-    "stream_sessionize",     # streaming native session_window
-    "orc_roundtrip",         # sources rep
-    "udf_registered_sql",    # udf_surface rep
-    "sql_grouping_sets",     # hive_sql rep
-    "zorder_box_query",      # analytics Z-order pruning
-    "bloom_join_pruned",     # relational bloom semi-join pruning
+    # --- r10 rotation. The r9 gate came back 50/50 green and DRAINED the
+    # never-green ledger (lifetime driver-green: 234/234 oracled). The
+    # standing rule now means: queries NEW this round attest first, then
+    # one representative per plan module, then flagship re-attestations.
+    # tests/test_driver_window.py enforces the composition against the
+    # CORRECTNESS ledger (tools/coverage_rotation.py --emit-window logic),
+    # so this tuple can no longer silently diverge from the ledger.
+    # new r10: promoted sketch/sampling tier (staged + two-scale-oracled
+    # since r9; plans/staged.py is gone — these are plain registrations)
+    "theta_audience_overlap", "theta_cube_serving", "kll_quantile_rollup",
+    "stratified_sample_exact", "doc_token_chunks",
+    # --- re-attestation slots: one-or-more green representatives per
+    # module, weighted toward flagship 100 TB paths.
+    # relational
+    "groupby2_shape", "tpch_q1_shape", "join_multiway", "join_outer_full",
+    "join_semi_anti", "profile_orders_approx",
+    # mrlib
+    "grep", "topk_users", "secondary_sort", "uniq_value_count",
+    # data_pipeline (dedup/similarity/text flagships)
+    "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
+    "semantic_dedup", "leakage_safe_split", "bm25_search",
+    "record_linkage_fuzzy",
+    # curation
+    "c4_curation_pipeline", "gopher_rules", "decontaminate", "domain_cap",
+    "training_export", "sequence_pack",
+    # streaming
+    "stream_sessionize", "cq_sliding_window", "stream_late_data",
+    # hive_sql
+    "sql_grouping_sets", "sql_lateral_view", "sql_recursive_cte",
+    "sql_qcorpus_groupby",
+    # udf_surface
+    "udf_registered_sql", "transform_pipe_wordcount",
+    # sources
+    "orc_roundtrip", "codec_roundtrip", "dbcount_jdbc_roundtrip",
+    "nested_struct_pushdown",
+    # temporal
+    "asof_join_events", "scd2_pit_join", "funnel_analysis",
+    "interval_overlap_join",
+    # analytics
+    "tpch_q3_shape", "zorder_box_query", "sketch_mergeable_rollup",
+    "graph_summary_sampled", "heavy_hitters_topk",
 )
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,

@@ -52,6 +52,11 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         snapshot = json.load(fh)
 
     qs = all_queries()
+    # a DEREGISTERED query must not leave a stale snapshot entry behind —
+    # the drift loop below only walks live queries, so without this check a
+    # removed query's fingerprint would linger unnoticed (ADVICE r9)
+    stale = set(snapshot) - set(qs) - set(_SKIP)
+    assert not stale, f"PLAN_FINGERPRINTS.json entries for deregistered queries: {sorted(stale)}"
     cartesian, row_udf, errors, drifted = [], [], [], []
     for name, q in qs.items():
         if name in _SKIP:

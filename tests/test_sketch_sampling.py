@@ -1,11 +1,14 @@
-"""Staged-query gate: every entry in plans/staged.py must already pass the
-same Spark-vs-DuckDB compare the driver applies to registered queries, so
-promotion next round (move to a plan module + a driver-window slot) is a
-mechanical diff, not new risk.
+"""Sketch/sampling tier gate (the r9 staged queries, promoted to the live
+registry in r10): each must pass the same Spark-vs-DuckDB compare the driver
+applies, at TWO scale factors, so the oracle compare isn't tuned to one data
+shape. The queries live in their plan modules now (analytics_queries /
+curation_queries); this file keeps the two-scale pytest gate plus the
+semantic invariants no SQL oracle can express (chunk coverage, sample
+determinism).
 
 Compare mirrors tools/check_oracle.py: row count, column-name set, and
-values with columns sorted by name and rows sorted — exact (every staged
-query emits only ints/strings/md5 hex, no floats, by design)."""
+values with columns sorted by name and rows sorted — exact (every query
+here emits only ints/strings/md5 hex, no floats, by design)."""
 
 from __future__ import annotations
 
@@ -13,8 +16,16 @@ import duckdb
 import pytest
 
 from quatrain_mapreduce_spark.catalog import TABLES
-from quatrain_mapreduce_spark.plans.staged import STAGED
+from quatrain_mapreduce_spark.registry import all_queries
 from tests.conftest import SF_DIR, SF_DIR_MID
+
+PROMOTED = (
+    "theta_audience_overlap",
+    "theta_cube_serving",
+    "kll_quantile_rollup",
+    "stratified_sample_exact",
+    "doc_token_chunks",
+)
 
 
 def _normalize(rows, cols):
@@ -25,10 +36,10 @@ def _normalize(rows, cols):
     )
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", PROMOTED)
 @pytest.mark.parametrize("sf_dir_case", [SF_DIR, SF_DIR_MID])
-def test_staged_query_matches_oracle(spark, name, sf_dir_case):
-    q = STAGED[name]
+def test_sketch_sampling_query_matches_oracle(spark, name, sf_dir_case):
+    q = all_queries()[name]
     sdf = q.fn(spark, sf_dir_case)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
@@ -49,22 +60,6 @@ def test_staged_query_matches_oracle(spark, name, sf_dir_case):
     assert _normalize(srows, scols) == _normalize(drows, dcols), name
 
 
-def test_staged_plans_pass_lint(spark):
-    """Staged plans obey the same hard bans as registered ones."""
-    for name, q in STAGED.items():
-        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, name
-        assert "BatchEvalPython" not in plan, name
-
-
-def test_staged_names_not_registered():
-    """The freeze: staged queries must NOT leak into the live registry."""
-    from quatrain_mapreduce_spark.registry import all_queries
-
-    live = set(all_queries())
-    assert not (set(STAGED) & live)
-
-
 def test_chunks_cover_every_token_and_respect_stride(spark):
     """Coverage invariant, independent of the oracle: with size 64 and
     stride 48, chunk i starts at token 48*i, every token of every document
@@ -72,15 +67,13 @@ def test_chunks_cover_every_token_and_respect_stride(spark):
     16 tokens (except the final short chunk). Verified in pure Python
     against the documents fixture."""
     rows = (
-        STAGED["doc_token_chunks"].fn(spark, SF_DIR)
+        all_queries()["doc_token_chunks"].fn(spark, SF_DIR)
         .groupBy("doc_id")
         .agg(
             {"chunk_id": "max", "n_toks": "sum", "*": "count"},
         )
         .collect()
     )
-    import duckdb
-
     con = duckdb.connect()
     ntoks = dict(con.execute(
         "SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> ''))"
@@ -106,11 +99,10 @@ def test_stratified_sample_is_exact_k_and_deterministic(spark):
     """Per stratum: exactly min(k, |stratum|) rows, and two independent
     plan executions pick the IDENTICAL member set (md5 rank has no RNG,
     no partition-order dependence)."""
-    fn = STAGED["stratified_sample_exact"].fn
+    fn = all_queries()["stratified_sample_exact"].fn
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
-    import duckdb
 
     con = duckdb.connect()
     sizes = dict(con.execute(
