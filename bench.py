@@ -79,6 +79,13 @@ BENCH_QUERIES = [
     "incremental_join_merge",  # delta-algebra join-view maintenance (new r7)
     "dedup_substring_windows",  # span-level dedup: rolling window fingerprints (new r7)
     "text_classifier_linear",  # train->serve linear curation gate (new r7)
+    "training_data_pipeline",  # composed gate->dedup->decon->cap->pack pass (new r10)
+    "theta_cube_serving",      # date ranges served from STORED theta sketches (new r10)
+    "kll_quantile_rollup",     # mergeable KLL quantile cube (new r10)
+    # multimodal_decode deliberately NOT benched: its wall time is synthetic
+    # fixture encode+decode (Python), not engine throughput — and its row
+    # would push the stdout line past the driver's tail-capture bound
+    # (tests/test_bench_contract.py).
 ]
 
 

@@ -26,13 +26,17 @@ _STOP = "', '".join(STOPWORDS)
 
 # The portable quality expression (matches operators/text.quality_col and the
 # green text_quality oracle).
-_Q_SQL = f"""
-    0.3 * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
-           THEN len(list_filter(string_split(text, ' '), x -> x IN ('{_STOP}')))
-                / len(list_filter(string_split(text, ' '), x -> x <> ''))
+def _q_sql(col: str) -> str:
+    return f"""
+    0.3 * (CASE WHEN len(list_filter(string_split({col}, ' '), x -> x <> '')) > 0
+           THEN len(list_filter(string_split({col}, ' '), x -> x IN ('{_STOP}')))
+                / len(list_filter(string_split({col}, ' '), x -> x <> ''))
            ELSE 0.0 END)
-  + 0.7 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+  + 0.7 * least(len(list_filter(string_split({col}, ' '), x -> x <> '')) / 100.0, 1.0)
 """
+
+
+_Q_SQL = _q_sql("text")
 
 
 @register(
@@ -1479,4 +1483,177 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.size(chunk).cast("bigint").alias("n_toks"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source, text, {portable_h16_sql('doc_id')} AS h
+            FROM documents
+        ), evt AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM base WHERE h % 10 = 0
+        ), evg AS (
+            SELECT DISTINCT unnest(
+                CASE WHEN len(toks) >= 4
+                     THEN list_transform(generate_series(1, len(toks) - 3),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                               toks[i+2] || ' ' || toks[i+3])
+                     ELSE [] END) AS ng
+            FROM evt
+        ), gate AS (
+            SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM base WHERE h % 10 <> 0)
+            WHERE len(toks) BETWEEN 5 AND 100000
+              AND (CASE WHEN len(toks) > 0
+                   THEN round(list_sum(list_transform(toks, s -> CAST(length(s) AS BIGINT)))
+                              / CAST(len(toks) AS DOUBLE), 4) ELSE 0.0 END)
+                  BETWEEN 2 AND 12
+              AND (CASE WHEN len(toks) > 0
+                   THEN round(len(list_filter(toks, s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                              / CAST(len(toks) AS DOUBLE), 4) ELSE 0.0 END) < 0.1
+              AND len(list_intersect(list_distinct(toks),
+                                     ['the', 'a', 'of', 'and', 'to'])) >= 2
+        ), exact AS (
+            SELECT doc_id, source, text FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY text) AS mn FROM gate)
+            WHERE doc_id = mn
+        ), su AS (
+            SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM exact) z
+        ), ss AS (
+            SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS pos,
+                   string_agg(tok, ' ' ORDER BY ord) AS span
+            FROM su GROUP BY doc_id, (ord - 1) // 8
+        ), sw AS (
+            SELECT doc_id, pos, span,
+                   row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM ss
+        ), sd AS (
+            SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_spans_kept
+            FROM sw WHERE rn = 1 GROUP BY doc_id
+        ), tg AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 4
+                        THEN list_distinct(list_transform(generate_series(1, len(toks) - 3),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                  toks[i+2] || ' ' || toks[i+3]))
+                        ELSE [] END AS g
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text_dedup, ' '), x -> x <> '') AS toks
+                  FROM sd) z
+        ), clean AS (
+            SELECT sd.* FROM sd JOIN tg USING (doc_id)
+            WHERE NOT EXISTS (SELECT 1 FROM evg WHERE list_contains(tg.g, evg.ng))
+        ), q AS (
+            SELECT c.doc_id, b.source, c.text_dedup, c.n_spans_kept,
+                   {_q_sql('text_dedup')} AS q
+            FROM clean c JOIN base b USING (doc_id)
+        ), cap AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY q DESC, doc_id) AS rk
+                FROM q)
+            WHERE rk <= 10
+        ), pd AS (
+            SELECT doc_id, source, n_spans_kept,
+                   CAST(len(list_filter(string_split(text_dedup, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tok,
+                   {portable_h16_sql('doc_id')} % 64 AS shard,
+                   {portable_h16_sql('doc_id')} AS hkey
+            FROM cap
+        ), pc AS (
+            SELECT doc_id, source, n_spans_kept, n_tok, shard,
+                   sum(n_tok) OVER (ORDER BY shard, hkey, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS tok_end
+            FROM pd
+        )
+        SELECT doc_id, source, n_spans_kept, n_tok,
+               CAST(shard AS INTEGER) AS shard,
+               CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+               CAST(floor((tok_end - n_tok) / 1024.0) AS BIGINT) AS first_seq,
+               CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
+        FROM pc
+    """,
+    doc="The END-TO-END training-data pipeline, composed the way a "
+        "production corpus pass actually chains (r9 verdict directive #4 — "
+        "the Gridmix-class multi-stage workload, "
+        "reference src/benchmarks/gridmix/README:20-60): deterministic "
+        "eval carve-out (portable-hash 10%) -> Gopher quality gate -> "
+        "exact dedup (keep-min-id per identical text) -> span-level dedup "
+        "(corpus-wide keep-first 8-token spans, docs reassembled) -> "
+        "4-gram decontamination of the CLEANED text against the raw eval "
+        "slice -> per-source domain cap (top-10 by quality of the deduped "
+        "text) -> sequence-packing manifest (seq_len 1024, 64 shards, "
+        "distributed prefix sum). One row per doc that survives ALL "
+        "stages, with its packing coordinates — oracle-pinned per doc. "
+        "Composition is the point: the span-dedup output feeds THREE "
+        "consumers (decon grams, decon anti-join, cap input) so it is "
+        "persisted at the branch point (the c4_curation_pipeline lesson), "
+        "and the capped frame is persisted before the manifest's two-"
+        "branch prefix sum. Scale shape: every stage is corpus-linear "
+        "(scan-local gate, map-combinable span/gram aggregates, broadcast "
+        "eval grams, O(k)-per-domain window, within-shard windows + a "
+        "64-row offsets frame) — no stage sorts or self-joins the corpus.",
+    tags=("curation", "dedup", "llm-pipeline", "composed"),
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    from quatrain_mapreduce_spark.operators.curation import (
+        cap_per_domain, dedup_spans, gopher_rules, pack_manifest,
+    )
+    from quatrain_mapreduce_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    h = h16("doc_id")
+    eval_side = docs.where(h % 10 == 0)
+    train = docs.where(h % 10 != 0)
+
+    gated = (
+        gopher_rules(train, "text")
+        .where(F.col("passes") == 1)
+        .select("doc_id", "source", "text")
+    )
+    # exact dedup: min-id per identical text is a map-combinable aggregate
+    # (never a row_number window over the text key), then a semi join back
+    winners = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact = gated.join(winners, "doc_id", "semi")
+
+    # span dedup output feeds three consumers (gram explode, decon anti
+    # join, cap input) — persist at the branch point or the whole
+    # gate->exact->span subplan recomputes per consumer (the measured
+    # c4_curation_pipeline class: 37 s -> 6.9 s at sf1)
+    sd = dedup_spans(exact, "doc_id", "text", span_tokens=8)         .persist(StorageLevel.MEMORY_AND_DISK)
+
+    eval_grams = (
+        eval_side.select(F.explode(word_shingles("text", 4)).alias("ng")).distinct()
+    )
+    contaminated = (
+        sd.select("doc_id", F.explode(word_shingles("text_dedup", 4)).alias("ng"))
+        .join(eval_grams, "ng", "semi")
+        .select("doc_id").distinct()
+    )
+    clean = (
+        sd.join(contaminated, "doc_id", "anti")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+
+    capped = cap_per_domain(clean, "doc_id", "source", "text_dedup", k=10)         .persist(StorageLevel.MEMORY_AND_DISK)
+    d = capped.select(
+        "doc_id",
+        F.size(F.filter(F.split("text_dedup", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    manifest = pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)
+    return manifest.join(
+        capped.select("doc_id", "source", F.col("n_spans_kept").cast("bigint").alias("n_spans_kept")),
+        "doc_id",
+    ).select(
+        "doc_id", "source", "n_spans_kept", "n_tok",
+        "shard", "tok_start", "first_seq", "last_seq",
     )

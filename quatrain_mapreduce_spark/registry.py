@@ -78,6 +78,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # since r9; plans/staged.py is gone — these are plain registrations)
     "theta_audience_overlap", "theta_cube_serving", "kll_quantile_rollup",
     "stratified_sample_exact", "doc_token_chunks",
+    # new r10: real PPM/BMP decode (retires the r9 image stub)
+    "multimodal_decode",
+    # new r10: the composed end-to-end training-data pipeline (gate ->
+    # exact+span dedup -> decontaminate -> domain cap -> pack manifest)
+    "training_data_pipeline",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -88,7 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # data_pipeline (dedup/similarity/text flagships)
     "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
     "semantic_dedup", "leakage_safe_split", "bm25_search",
-    "record_linkage_fuzzy",
     # curation
     "c4_curation_pipeline", "gopher_rules", "decontaminate", "domain_cap",
     "training_export", "sequence_pack",
@@ -103,8 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orc_roundtrip", "codec_roundtrip", "dbcount_jdbc_roundtrip",
     "nested_struct_pushdown",
     # temporal
-    "asof_join_events", "scd2_pit_join", "funnel_analysis",
-    "interval_overlap_join",
+    "asof_join_events", "scd2_pit_join", "interval_overlap_join",
     # analytics
     "tpch_q3_shape", "zorder_box_query", "sketch_mergeable_rollup",
     "graph_summary_sampled", "heavy_hitters_topk",

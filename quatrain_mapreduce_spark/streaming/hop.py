@@ -54,15 +54,30 @@ def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     src = os.path.join(sf_dir, f"{table}.parquet")
     d = stage_dir(sf_dir, f"streamsrc-{table}")
     os.makedirs(d, exist_ok=True)
+    staged = 0
     if os.path.isdir(os.path.realpath(src)):
-        for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
-            link = os.path.join(d, os.path.basename(p))
+        # recursive: a partitionBy-written or otherwise nested table keeps
+        # its data files in subdirectories — a top-level-only glob stages
+        # ZERO files and silently reproduces the zero-micro-batch bug this
+        # function exists to fix (ADVICE r9). Flattened link names keep
+        # FileStreamSource's oldest-first ordering deterministic.
+        for p in sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
+                                  recursive=True)):
+            rel = os.path.relpath(p, src).replace(os.sep, "__")
+            link = os.path.join(d, rel)
             if not os.path.lexists(link):  # lexists: never follow a dangling link
                 os.symlink(p, link)
+            staged += 1
     else:
         link = os.path.join(d, f"{table}.parquet")
         if not os.path.lexists(link):
             os.symlink(src, link)
+        staged = 1
+    if staged == 0:
+        raise FileNotFoundError(
+            f"stream staging found no *.parquet data files under {src!r} — "
+            "an empty staged dir would fire zero micro-batches silently"
+        )
     return d
 
 

@@ -536,3 +536,68 @@ def test_online_agg_ci_converges_and_final_is_exact(spark, sf_dir):
         # every running estimate lands within ~4 sigma of the truth
         for k in (1, 2, 3):
             assert abs(ks[k]["est_sum_cents"] - truth[t]) < 2.1 * hw[k - 1]
+
+
+def test_stream_staging_handles_nested_tables_and_fails_loud():
+    """ADVICE r9: a partitionBy-written (nested) table must stage its leaf
+    data files (recursive glob, flattened names), and a directory with NO
+    data files must raise instead of silently producing a zero-micro-batch
+    stream."""
+    import os
+
+    import pytest as _pytest
+
+    from quatrain_mapreduce_spark.streaming.hop import _stage_stream_dir
+
+    sf = tempfile.mkdtemp(prefix="qms_test_nest_")
+    src = os.path.join(sf, "events.parquet")
+    for sub in ("day=1", "day=2"):
+        os.makedirs(os.path.join(src, sub))
+        with open(os.path.join(src, sub, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+    staged = sorted(os.listdir(_stage_stream_dir(sf, "events")))
+    assert staged == ["day=1__part-0.parquet", "day=2__part-0.parquet"]
+
+    sf_empty = tempfile.mkdtemp(prefix="qms_test_nestempty_")
+    os.makedirs(os.path.join(sf_empty, "events.parquet"))
+    with _pytest.raises(FileNotFoundError):
+        _stage_stream_dir(sf_empty, "events")
+
+
+def test_online_agg_snapshots_converge_monotonically_to_exact(spark, sf_dir):
+    """r9 stretch #8 — the HOP online-aggregation convergence property
+    (MR/ReduceTask.java:631-669: full reduce over data-so-far per progress
+    quantum): over an 8-slice bounded replay, every snapshot is a PARTIAL
+    of the exact batch answer (no key overshoots), per-key counts are
+    non-decreasing in ingest fraction, total L1 error to the exact answer
+    is non-increasing, and the error reaches exactly 0 at fraction 1."""
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="qms_test_conv_src_")
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(src)
+
+    def agg_fn(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    total = ev.count()
+    runner = OnlineAggregator(
+        spark, src, spark.read.parquet(src).schema, agg_fn, total_rows=total
+    )
+    runner.run()
+    exact = {r["event_type"]: r["cnt"] for r in agg_fn(ev).collect()}
+
+    assert len(runner.snapshots) >= 4
+    prev_counts: dict = {}
+    prev_err = None
+    for i, (progress, _) in enumerate(runner.snapshots):
+        snap = {r["event_type"]: r["cnt"] for r in runner.snapshot_df(i).collect()}
+        # partial-of-exact: no overshoot on any key, no phantom keys
+        assert set(snap) <= set(exact)
+        assert all(snap[k] <= exact[k] for k in snap), (progress, i)
+        # per-key monotone in ingest fraction
+        assert all(snap.get(k, 0) >= v for k, v in prev_counts.items()), i
+        # total L1 error non-increasing
+        err = sum(exact[k] - snap.get(k, 0) for k in exact)
+        if prev_err is not None:
+            assert err <= prev_err, (i, err, prev_err)
+        prev_counts, prev_err = snap, err
+    assert prev_err == 0  # fraction 1.0 == exact batch answer

@@ -56,9 +56,36 @@ def test_multimodal_pipeline_shape_and_determinism(spark):
     assert row["n_bytes"] == 16                  # md5-derived payload: 16 bytes
 
 
-def test_decode_image_is_honest_stub():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00")
+def test_decode_image_ppm_roundtrip():
+    """PPM P6 encode→decode is the identity, including a comment header."""
+    import numpy as np
+
+    from quatrain_mapreduce_spark.operators.multimodal import encode_ppm_p6
+
+    img = (np.arange(5 * 7 * 3) % 256).astype(np.uint8).reshape(7, 5, 3)
+    assert np.array_equal(decode_image(encode_ppm_p6(img)), img)
+    # header torture: comments + extra whitespace are legal netpbm
+    weird = b"P6\n# a comment\n 5  7 \n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(weird), img)
+
+
+def test_decode_image_bmp_roundtrip_flips_rows_and_channels():
+    """BMP decode must strip per-row padding, flip bottom-up storage, and
+    swap BGR→RGB — a width NOT divisible by 4 forces nonzero padding, and
+    an asymmetric image catches a missing flip/swap."""
+    import numpy as np
+
+    from quatrain_mapreduce_spark.operators.multimodal import encode_bmp24
+
+    img = (np.arange(3 * 6 * 3) * 37 % 256).astype(np.uint8).reshape(6, 3, 3)
+    payload = encode_bmp24(img)
+    assert payload[:2] == b"BM" and (len(payload) - 54) == 6 * 12  # stride 12 = 9+3 pad
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_decode_image_rejects_unknown_format():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n not actually decodable here")
 
 
 def test_resize_images_shapes_and_determinism(spark, sf_dir):

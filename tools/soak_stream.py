@@ -1,22 +1,44 @@
-"""Streaming soak: bounded-state proof under a continuous rate source.
+"""Streaming soak: bounded-state proof under a continuous rate source, plus
+a kill/restart exactly-once soak (r8 directive #6, delivered r10).
 
-VERDICT r6 stretch #8. Runs the engine's stateful sessionization shape
-(native session_window + watermark — streaming/hop.py:216) against Spark's
-rate source for N minutes and records, per micro-batch, the state store's
-row count and memory from StreamingQuery progress. A WATERMARKED session
-aggregation must hold state only for sessions the watermark hasn't closed
-yet; with a fixed key universe and steady event rate the state curve must
-go FLAT after the first gap+watermark horizon. Unbounded growth here is
-exactly the bug class that kills a 100 TB streaming deployment weeks in —
-a missing watermark, a state key leak, or an eviction regression.
+Mode ``flat`` (default — VERDICT r6 stretch #8). Runs the engine's stateful
+sessionization shape (native session_window + watermark — streaming/hop.py)
+against Spark's rate source for N minutes and records, per micro-batch, the
+state store's row count and memory from StreamingQuery progress. A
+WATERMARKED session aggregation must hold state only for sessions the
+watermark hasn't closed yet; with a rotating key universe and steady event
+rate the state curve must go FLAT after the first gap+watermark horizon.
+Unbounded growth here is exactly the bug class that kills a 100 TB
+streaming deployment weeks in. FAILS (exit 1) unless the late-half state
+rows stay under tolerance x the post-warmup median.
 
-The harness FAILS (exit 1) if late-half state rows trend above
-tolerance x the post-warmup median — a flat curve is asserted, not
-eyeballed.
+Mode ``kill-restart`` (r8 directive #6). The same sessionization runs in a
+CHILD process, but with event time and keys derived purely from the rate
+source's ``value`` column — the input becomes a deterministic function of
+committed offsets, so it replays identically across restarts. The parent:
 
-Usage: python tools/soak_stream.py [--minutes 10] [--rate 500]
+  phase 1: runs the child, then SIGKILLs its whole process group mid-run
+           (real driver+JVM death — uncommitted sink files are left on
+           disk, exactly what the file-sink commit log must mask);
+  phase 2: restarts from the same checkpoint, then requests a GRACEFUL
+           query.stop() via a stop-file;
+  phase 3: restarts again and lets it run out the clock.
+
+Then it machine-asserts exactly-once: reading the sink THROUGH SPARK (which
+honors the ``_spark_metadata`` commit log — a raw directory listing would
+see the orphaned post-kill files) and recomputing the sessions in BATCH
+from ``spark.range(N)`` (N = rows the checkpoint committed), the sink must
+contain (a) ZERO duplicate session keys, (b) ONLY sessions the batch twin
+also derives, with identical n_events, and (c) EVERY batch session the
+final watermark had closed. (a)+(b) catch replays/corruption from the
+kill; (c) catches loss. Exit 1 on any violation.
+
+Usage:
+  python tools/soak_stream.py [--mode flat] [--minutes 10] [--rate 500] ...
+  python tools/soak_stream.py --mode kill-restart [--minutes 10] [--rate 500]
        [--keys 1000] [--gap-seconds 10] [--watermark-seconds 30]
 Writes one JSON line per sampled batch to stdout and a summary line last.
+``--mode child`` is internal (the orchestrated worker).
 """
 
 from __future__ import annotations
@@ -24,6 +46,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
+import subprocess
 import sys
 import tempfile
 import time
@@ -31,28 +55,257 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--minutes", type=float, default=10.0)
-    ap.add_argument("--rate", type=int, default=500, help="rows/sec")
-    ap.add_argument("--keys", type=int, default=1000)
-    ap.add_argument("--gap-seconds", type=int, default=10)
-    ap.add_argument("--watermark-seconds", type=int, default=30)
-    ap.add_argument("--tolerance", type=float, default=1.5,
-                    help="late-half state rows must stay under tol x median")
-    args = ap.parse_args()
-
+def _session(app: str):
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    spark = (
+    return (
         SparkSession.builder.master("local[8]")
-        .appName("qms-soak")
+        .appName(app)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+
+
+def _deterministic_source(spark, rate: int, keys: int):
+    """Rate stream whose event time AND key derive only from ``value``:
+    ts = value/rate seconds since epoch, user block rotates every 30
+    value-seconds. Deterministic given the committed offset range, so a
+    restart (even after a SIGKILL + wall-clock gap) resumes the exact same
+    logical input — the property the exactly-once assertion needs. The
+    wall-clock ``timestamp`` column is deliberately unused."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+    )
+    return _derive_cols(src, rate, keys)
+
+
+def _derive_cols(df, rate: int, keys: int):
+    """Shared stream/batch derivation (same code path on both sides, the
+    Structured Streaming contract)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        (
+            (F.col("value") % keys)
+            + keys * (F.floor(F.col("value") / (30 * rate)) % 8)
+        ).alias("user_id"),
+        F.timestamp_seconds(F.col("value") / rate).alias("ts"),
+    )
+
+
+def _sessionize(src, gap_s: int, wm_s: int):
+    from pyspark.sql import functions as F
+
+    return (
+        src.withWatermark("ts", f"{wm_s} seconds")
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _run_child(args) -> int:
+    """One streaming run: resume from checkpoint, append to the parquet
+    sink, log per-batch state metrics + watermark to --log (JSONL), stop
+    gracefully when --stop-file appears or --run-seconds elapse."""
+    spark = _session("qms-soak-child")
+    spark.sparkContext.setLogLevel("ERROR")
+    sessions = _sessionize(
+        _deterministic_source(spark, args.rate, args.keys),
+        args.gap_seconds, args.watermark_seconds,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", args.sink)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + args.run_seconds
+    seen: set[int] = set()
+    with open(args.log, "a") as log:
+        while time.monotonic() < deadline and not os.path.exists(args.stop_file):
+            time.sleep(2)
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                ops = p.get("stateOperators") or []
+                if bid in seen or not ops:
+                    continue
+                seen.add(bid)
+                log.write(json.dumps({
+                    "phase": args.phase,
+                    "batch": bid,
+                    "state_rows": ops[0].get("numRowsTotal"),
+                    "rows_removed": ops[0].get("numRowsRemoved"),
+                    "input_rows": p.get("numInputRows"),
+                    "watermark": (p.get("eventTime") or {}).get("watermark"),
+                    "t": time.time(),
+                }) + "\n")
+                log.flush()
+    q.stop()
+    q.awaitTermination()
+    return 0
+
+
+def _committed_value_count(checkpoint: str, rate: int) -> int:
+    """N = values the checkpoint committed. The rate source's offset is the
+    number of elapsed source-seconds; a committed batch b covers values
+    [0, offsets[b] * rate). Read the LAST batch id in commits/ and its
+    offsets/ entry (offsets are written before commit, so commits/ is the
+    exactly-once authority)."""
+    commits = [int(f) for f in os.listdir(os.path.join(checkpoint, "commits"))
+               if f.isdigit()]
+    last = max(commits)
+    with open(os.path.join(checkpoint, "offsets", str(last))) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    # file = "v1", metadata json, then one offset json per source
+    off = json.loads(lines[-1])
+    return int(off) * rate
+
+
+def _kill_restart(args) -> int:
+    work = tempfile.mkdtemp(prefix="qms_soak_kr_")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    log = os.path.join(work, "progress.jsonl")
+    stop_file = os.path.join(work, "STOP")
+    total = args.minutes * 60
+    phases = [  # (label, run_seconds, how it ends)
+        ("pre-kill", total * 0.4, "SIGKILL"),
+        ("post-kill", total * 0.3, "graceful stop-file"),
+        ("final", total * 0.3, "runs out the clock"),
+    ]
+    child_base = [
+        sys.executable, os.path.abspath(__file__), "--mode", "child",
+        "--rate", str(args.rate), "--keys", str(args.keys),
+        "--gap-seconds", str(args.gap_seconds),
+        "--watermark-seconds", str(args.watermark_seconds),
+        "--sink", sink, "--checkpoint", ckpt, "--log", log,
+        "--stop-file", stop_file,
+    ]
+    for i, (label, run_s, ending) in enumerate(phases):
+        if os.path.exists(stop_file):
+            os.unlink(stop_file)
+        # run_seconds generous: the parent controls actual phase length
+        proc = subprocess.Popen(
+            child_base + ["--run-seconds", str(int(run_s) + 120),
+                          "--phase", label],
+            start_new_session=True,  # own process group: SIGKILL takes the JVM too
+        )
+        t0 = time.monotonic()
+        if i == 0:
+            time.sleep(run_s)
+            os.killpg(proc.pid, signal.SIGKILL)  # driver AND JVM die mid-commit
+            proc.wait()
+            print(json.dumps({"phase": label, "ended_by": ending,
+                              "ran_s": round(time.monotonic() - t0, 1)}), flush=True)
+        else:
+            time.sleep(run_s)
+            open(stop_file, "w").close()  # graceful query.stop() inside the child
+            rc = proc.wait(timeout=180)
+            print(json.dumps({"phase": label, "ended_by": ending, "rc": rc,
+                              "ran_s": round(time.monotonic() - t0, 1)}), flush=True)
+    return _assert_exactly_once(args, sink, ckpt, log)
+
+
+def _assert_exactly_once(args, sink: str, ckpt: str, log: str) -> int:
+    from pyspark.sql import functions as F
+
+    spark = _session("qms-soak-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_committed = _committed_value_count(ckpt, args.rate)
+    # Spark read honors the file-sink commit log — orphaned post-SIGKILL
+    # part files are invisible here (raw listing would double count)
+    got = spark.read.parquet(sink).collect()
+    n_sink = len(got)
+
+    # batch twin over the exact committed value range — same derivation +
+    # sessionization code path as the stream
+    batch = (
+        _derive_cols(spark.range(n_committed).select(F.col("id").alias("value")),
+                     args.rate, args.keys)
+        .groupBy("user_id", F.session_window("ts", f"{args.gap_seconds} seconds").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events")
+    ).collect()
+
+    # All three checks run DRIVER-SIDE over the collected session sets
+    # (bounded: ~2 sessions per key per 4-minute rotation — a few 10k rows
+    # even at hour-long soaks). The first formulation filtered
+    # session_end < watermark in the PLAN, and Catalyst pushed the
+    # window-end predicate BELOW the session-merge aggregation — valid for
+    # tumbling windows, session-chopping for session windows (events after
+    # the cutoff vanish before merging, so long sessions reappear as
+    # 1-event fragments that are "missing" from the sink). Python-side set
+    # comparison is immune to that class entirely.
+    sink_map: dict[tuple, int] = {}
+    dup_keys = 0
+    for r in got:
+        k = (r["user_id"], r["session_start"])
+        if k in sink_map:
+            dup_keys += 1
+        sink_map[k] = r["n_events"]
+    batch_map = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in batch
+    }
+    # any sink row not matched exactly (key + count) by the batch twin is a
+    # replayed/corrupt row
+    phantom = sum(
+        1 for k, n in sink_map.items()
+        if k not in batch_map or batch_map[k][0] != n
+    )
+
+    # completeness: every session the FINAL watermark closed must be present
+    wm = None
+    with open(log) as fh:
+        for ln in fh:
+            w = json.loads(ln).get("watermark")
+            if w:
+                wm = w  # last non-null wins
+    missing = -1
+    if wm:
+        from datetime import datetime
+
+        wm_dt = datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(tzinfo=None)
+        missing = sum(
+            1 for k, (n, end) in batch_map.items()
+            if end < wm_dt and sink_map.get(k) != n
+        )
+
+    ok = dup_keys == 0 and phantom == 0 and missing == 0 and n_sink > 0
+    print(json.dumps({
+        "verdict": "EXACTLY_ONCE" if ok else "VIOLATED",
+        "committed_values": n_committed,
+        "sink_sessions": n_sink,
+        "duplicate_keys": dup_keys,
+        "phantom_rows": phantom,
+        "missing_closed_sessions": missing,
+        "final_watermark": wm,
+        "minutes": args.minutes,
+        "workdir": os.path.dirname(sink),
+    }), flush=True)
+    return 0 if ok else 1
+
+
+def _flat(args) -> int:
+    from pyspark.sql import functions as F
+
+    spark = _session("qms-soak")
     spark.sparkContext.setLogLevel("ERROR")
 
     # The key universe ROTATES: each 30 s window activates a different block
@@ -147,6 +400,30 @@ def main() -> int:
         "keys": args.keys,
     }), flush=True)
     return 0 if (flat and removed_any) else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["flat", "kill-restart", "child"],
+                    default="flat")
+    ap.add_argument("--minutes", type=float, default=10.0)
+    ap.add_argument("--rate", type=int, default=500, help="rows/sec")
+    ap.add_argument("--keys", type=int, default=1000)
+    ap.add_argument("--gap-seconds", type=int, default=10)
+    ap.add_argument("--watermark-seconds", type=int, default=30)
+    ap.add_argument("--tolerance", type=float, default=1.5,
+                    help="flat mode: late-half state rows under tol x median")
+    # child-mode internals (set by the orchestrator)
+    ap.add_argument("--sink"), ap.add_argument("--checkpoint")
+    ap.add_argument("--log"), ap.add_argument("--stop-file")
+    ap.add_argument("--run-seconds", type=float, default=0)
+    ap.add_argument("--phase", default="")
+    args = ap.parse_args()
+    if args.mode == "child":
+        return _run_child(args)
+    if args.mode == "kill-restart":
+        return _kill_restart(args)
+    return _flat(args)
 
 
 if __name__ == "__main__":
