@@ -2874,15 +2874,15 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theta_cube_serving",
     oracle="""
         WITH b AS (
-            SELECT min(CAST(ts AS DATE)) + 2 AS d1,
-                   min(CAST(ts AS DATE)) + 8 AS d2
+            SELECT min(epoch_us(ts) // 86400000000) + 2 AS d1,
+                   min(epoch_us(ts) // 86400000000) + 8 AS d2
             FROM events
         )
         SELECT event_type,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
                1 AS theta_ok
         FROM events, b
-        WHERE CAST(ts AS DATE) BETWEEN b.d1 AND b.d2
+        WHERE epoch_us(ts) // 86400000000 BETWEEN b.d1 AND b.d2
         GROUP BY event_type
     """,
     doc="Sketch CUBE serving — the stored-state form of the sketch tier: "
@@ -2898,7 +2898,12 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difference algebra available on the same stored state. Promoted "
         "from plans/staged.py in r10; the staged write is idempotent per "
         "(sf_dir, data fingerprint) so plan-build lint triggers it at most "
-        "once, same as the LSH/IVF index queries.",
+        "once, same as the LSH/IVF index queries. Day buckets are INTEGER "
+        "day numbers (unix_micros div 86400000000, the engine-wide "
+        "TZ-stable pattern) — the staged-era to_date(ts) form shifted day "
+        "boundaries on non-UTC sessions and failed the vanilla "
+        "America/Chicago sweep (caught r10; the UTC-only staged pytest "
+        "could not see it).",
     tags=("analytics", "sketch", "approx"),
 )
 def theta_cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2907,19 +2912,23 @@ def theta_cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.staging import stage_dir
 
     ev = load_table(spark, sf_dir, "events")
-    cube_dir = stage_dir(sf_dir, "thetacube")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    # tag bumped thetacube -> thetacubed when the day column changed from
+    # DATE to day-number: stage_dir keys on (path, tag, data fingerprint),
+    # so a schema change needs a new tag to invalidate staged state
+    cube_dir = stage_dir(sf_dir, "thetacubed")
     marker = os.path.join(cube_dir, "_STAGED")
     if not os.path.exists(marker):
         (
-            ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            ev.groupBy(day.alias("day"), "event_type")
             .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
             .write.mode("overwrite").parquet(cube_dir)
         )
         open(marker, "w").close()
     cube = spark.read.parquet(cube_dir)
     bounds = ev.agg(
-        F.date_add(F.min(F.to_date("ts")), 2).alias("d1"),
-        F.date_add(F.min(F.to_date("ts")), 8).alias("d2"),
+        (F.min(day) + 2).alias("d1"),
+        (F.min(day) + 8).alias("d2"),
     )
     est = (
         cube.join(F.broadcast(bounds),
@@ -2928,7 +2937,7 @@ def theta_cube_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"))
     )
     exact = (
-        ev.select("user_id", "event_type", F.to_date("ts").alias("day"))
+        ev.select("user_id", "event_type", day.alias("day"))
         .join(F.broadcast(bounds),
               (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")))
         .groupBy("event_type")
