@@ -1067,11 +1067,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     """,
     doc="Multimodal plumbing: binary payload column + metadata struct → "
-        "Arrow-batched mapInPandas feature extraction (decode stubbed, "
-        "deterministic; schema/batch shape real). Oracle decodes the md5 "
-        "payload's bytes from hex digit positions — the mean-byte feature "
-        "IS portable SQL, so the Python mapInPandas path is value-checked "
-        "end to end, not just rows-counted.",
+        "Arrow-batched mapInPandas feature extraction over md5-derived "
+        "fixture payloads (REAL image decode lives in multimodal_decode; "
+        "this query pins the generic binary-feature path). Oracle decodes "
+        "the md5 payload's bytes from hex digit positions — the mean-byte "
+        "feature IS portable SQL, so the Python mapInPandas path is "
+        "value-checked end to end, not just rows-counted.",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,8 +1091,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Frame sampling (video-style row expansion, 1 payload -> n frames) "
         "via mapInPandas: the 16-byte md5 stand-in payload yields 4 frames "
         "of 4 bytes per document — cardinality and frame metadata are "
-        "oracle-checked; frame byte content is pytest-checked (decode "
-        "honestly stubbed).",
+        "oracle-checked; frame byte content is pytest-checked (video "
+        "container decode is a stand-in; IMAGE decode is real — see "
+        "multimodal_decode).",
     tags=("multimodal",),
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,26 @@ def copy_of(df: DataFrame, table: str, i: int, sp: dict[str, int]) -> DataFrame:
     out = df
     for col, span_key in KEYED.get(table, {}).items():
         out = out.withColumn(col, F.col(col) + F.lit(i * sp[span_key]))
+    if table == "events" and i > 0:
+        # offset the item key inside props too (same disjointness rule as
+        # the id columns): props.k feeds the co-purchase item key of the
+        # whole graph tier, and WITHOUT the offset every copy shares one
+        # item catalog — users-per-item × copies, candidate pairs ×
+        # copies², so the graph fixture densifies QUADRATICALLY in sf and
+        # any graph algorithm looks superlinear on it. Found at sf10
+        # (copies=100): the co-purchase self-join shuffle exceeded 70 GB
+        # and filled the disk. With the offset the scaled graph is
+        # `copies` disjoint replicas of the sf0.1 graph — work must scale
+        # linearly, which is what a slope probe needs to measure.
+        out = out.withColumn(
+            "props",
+            F.concat(
+                F.lit('{"k": '),
+                (F.get_json_object("props", "$.k").cast("int")
+                 + F.lit(i * 100)).cast("string"),
+                F.lit("}"),
+            ),
+        )
     if table == "documents" and i > 0:
         suffixed = F.array_join(
             F.transform(F.split("text", " "), lambda w: F.concat(w, F.lit(f"_{i}"))), " "

@@ -39,6 +39,9 @@ SKIP_WALLS = {
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/qms_sf1")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: sweep just these "
+                         "(targeted re-check of a round's new queries)")
     args = ap.parse_args()
 
     from quatrain_mapreduce_spark import get_spark
@@ -48,8 +51,13 @@ def main() -> int:
     qs = all_queries()
     walls: dict[str, float] = {}
     failed: dict[str, str] = {}
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
     for name, q in qs.items():
-        if name in SKIP_WALLS:
+        if name in SKIP_WALLS or (only and name not in only):
             continue
         spark.catalog.clearCache()
         t0 = time.monotonic()
