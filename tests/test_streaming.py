@@ -601,3 +601,75 @@ def test_online_agg_snapshots_converge_monotonically_to_exact(spark, sf_dir):
             assert err <= prev_err, (i, err, prev_err)
         prev_counts, prev_err = snap, err
     assert prev_err == 0  # fraction 1.0 == exact batch answer
+
+
+def test_sigkill_mid_stream_restart_is_exactly_once(spark):
+    """The hard half of exactly-once (tools/soak_stream.py --mode
+    kill-restart is the 10-minute soak form; this is the fast CI gate): a
+    CHILD process streams a 30-file source into a parquet sink one file
+    per trigger, and the parent SIGKILLs its whole process group mid-run —
+    driver and JVM die unannounced, free to leave uncommitted part files
+    in the sink. A restart from the same checkpoint (availableNow) must
+    drain the remainder so that reading the sink THROUGH the commit log
+    yields every row exactly once: no loss, no replay, regardless of where
+    the kill landed."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    work = tempfile.mkdtemp(prefix="qms_test_kill_")
+    src, out, ckpt = (os.path.join(work, d) for d in ("src", "out", "ckpt"))
+    spark.range(0, 300).repartitionByRange(30, "id") \
+        .write.mode("overwrite").parquet(src)
+
+    child_code = textwrap.dedent(f"""
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("qms-kill-child")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        q = (spark.readStream.schema("id long")
+             .option("maxFilesPerTrigger", 1).parquet({src!r})
+             .writeStream.format("parquet")
+             .option("path", {out!r})
+             .option("checkpointLocation", {ckpt!r})
+             .trigger(processingTime="1 second").start())
+        q.awaitTermination()
+    """)
+    script = os.path.join(work, "child.py")
+    with open(script, "w") as fh:
+        fh.write(child_code)
+    proc = subprocess.Popen([sys.executable, script],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    # wait until some batches committed (mid-run), then kill driver+JVM
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.monotonic() + 90
+    while time.monotonic() < deadline:
+        if os.path.isdir(commits) and len(os.listdir(commits)) >= 3:
+            break
+        time.sleep(0.5)
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    n_committed_before = len([f for f in os.listdir(commits) if f.isdigit()]) \
+        if os.path.isdir(commits) else 0
+    assert n_committed_before >= 1, "child never committed a batch before the kill"
+
+    # restart from the same checkpoint and drain the remainder
+    q2 = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+
+    got = [r["id"] for r in spark.read.parquet(out).collect()]
+    assert len(got) == 300 and set(got) == set(range(300)), (
+        f"exactly-once violated: {len(got)} rows, "
+        f"{len(set(got))} distinct after SIGKILL restart"
+    )
