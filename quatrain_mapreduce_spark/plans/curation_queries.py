@@ -1486,10 +1486,11 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "training_data_pipeline",
-    oracle=f"""
-        WITH base AS (
+# The composed training-data pipeline's shared stage chain — ONE copy of
+# the CTEs, consumed by training_data_pipeline's oracle (+ packing tail)
+# and training_pipeline_funnel's oracle (+ per-stage aggregates). The
+# Spark twin of the same sharing is _tdp_stages below.
+_TDP_CTES = f"""base AS (
             SELECT doc_id, source, text, {portable_h16_sql('doc_id')} AS h
             FROM documents
         ), evt AS (
@@ -1560,7 +1561,13 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ORDER BY q DESC, doc_id) AS rk
                 FROM q)
             WHERE rk <= 10
-        ), pd AS (
+        )"""
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+        WITH {_TDP_CTES}, pd AS (
             SELECT doc_id, source, n_spans_kept,
                    CAST(len(list_filter(string_split(text_dedup, ' '),
                                         x -> x <> '')) AS BIGINT) AS n_tok,
@@ -1603,10 +1610,31 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "dedup", "llm-pipeline", "composed"),
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import pack_manifest
+
+    st = _tdp_stages(spark, sf_dir)
+    capped = st["capped"]
+    d = capped.select(
+        "doc_id",
+        F.size(F.filter(F.split("text_dedup", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    manifest = pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)
+    return manifest.join(
+        capped.select("doc_id", "source", F.col("n_spans_kept").cast("bigint").alias("n_spans_kept")),
+        "doc_id",
+    ).select(
+        "doc_id", "source", "n_spans_kept", "n_tok",
+        "shard", "tok_start", "first_seq", "last_seq",
+    )
+
+
+def _tdp_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The composed pipeline's stage frames — the Spark twin of _TDP_CTES
+    (one copy, consumed by training_data_pipeline and the funnel)."""
     from pyspark.storagelevel import StorageLevel
 
     from quatrain_mapreduce_spark.operators.curation import (
-        cap_per_domain, dedup_spans, gopher_rules, pack_manifest,
+        cap_per_domain, dedup_spans, gopher_rules,
     )
     from quatrain_mapreduce_spark.operators.dedup import word_shingles
 
@@ -1629,7 +1657,8 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, cap input) — persist at the branch point or the whole
     # gate->exact->span subplan recomputes per consumer (the measured
     # c4_curation_pipeline class: 37 s -> 6.9 s at sf1)
-    sd = dedup_spans(exact, "doc_id", "text", span_tokens=8)         .persist(StorageLevel.MEMORY_AND_DISK)
+    sd = dedup_spans(exact, "doc_id", "text", span_tokens=8) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     eval_grams = (
         eval_side.select(F.explode(word_shingles("text", 4)).alias("ng")).distinct()
@@ -1644,16 +1673,58 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
     )
 
-    capped = cap_per_domain(clean, "doc_id", "source", "text_dedup", k=10)         .persist(StorageLevel.MEMORY_AND_DISK)
-    d = capped.select(
-        "doc_id",
-        F.size(F.filter(F.split("text_dedup", " "), lambda x: x != "")).alias("n_tok"),
-    )
-    manifest = pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)
-    return manifest.join(
-        capped.select("doc_id", "source", F.col("n_spans_kept").cast("bigint").alias("n_spans_kept")),
-        "doc_id",
-    ).select(
-        "doc_id", "source", "n_spans_kept", "n_tok",
-        "shard", "tok_start", "first_seq", "last_seq",
-    )
+    capped = cap_per_domain(clean, "doc_id", "source", "text_dedup", k=10) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    return {
+        "train": train, "gated": gated, "exact": exact,
+        "sd": sd, "clean": clean, "capped": capped,
+    }
+
+
+@register(
+    "training_pipeline_funnel",
+    oracle=f"""
+        WITH {_TDP_CTES}
+        SELECT 'a_train' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM base WHERE h % 10 <> 0
+        UNION ALL
+        SELECT 'b_gate', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM gate
+        UNION ALL
+        SELECT 'c_exact', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM exact
+        UNION ALL
+        SELECT 'd_span', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM sd
+        UNION ALL
+        SELECT 'e_decon', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM clean
+        UNION ALL
+        SELECT 'f_cap', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT) FROM cap
+    """,
+    doc="Per-stage survival funnel of the composed training_data_pipeline "
+        "— the provenance/debugging view a production corpus pass ships "
+        "next to its output (the curation_reject_reasons pattern, extended "
+        "to the full composed chain): how many docs (and which, via the "
+        "id-sum membership witness) survive the eval split, quality gate, "
+        "exact dedup, span dedup, decontamination, and domain cap. Stage "
+        "names carry an ordering prefix so the funnel reads top-down under "
+        "the driver's column-sorted compare. Shares the stage frames with "
+        "training_data_pipeline (_tdp_stages — one copy of the "
+        "composition, so the funnel can never drift from the pipeline it "
+        "describes); the aggregates ride the same two persisted branch "
+        "points, adding only count/sum reads.",
+    tags=("curation", "llm-pipeline", "composed", "provenance"),
+)
+def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _tdp_stages(spark, sf_dir)
+    rows = [
+        ("a_train", st["train"]), ("b_gate", st["gated"]),
+        ("c_exact", st["exact"]), ("d_span", st["sd"]),
+        ("e_decon", st["clean"]), ("f_cap", st["capped"]),
+    ]
+    out = None
+    for name, frame in rows:
+        agg = frame.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "id_sum")
+        out = agg if out is None else out.unionAll(agg)
+    return out

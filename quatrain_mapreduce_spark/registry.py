@@ -82,7 +82,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_decode",
     # new r10: the composed end-to-end training-data pipeline (gate ->
     # exact+span dedup -> decontaminate -> domain cap -> pack manifest)
-    "training_data_pipeline",
+    # and its per-stage provenance funnel
+    "training_data_pipeline", "training_pipeline_funnel",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -110,7 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_join_events", "scd2_pit_join", "interval_overlap_join",
     # analytics
     "tpch_q3_shape", "zorder_box_query", "sketch_mergeable_rollup",
-    "graph_summary_sampled", "heavy_hitters_topk",
+    "graph_summary_sampled",
 )
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,
