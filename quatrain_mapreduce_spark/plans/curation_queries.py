@@ -1728,3 +1728,103 @@ def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("stage"), "n_docs", "id_sum")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+@register(
+    "decontaminate_incremental",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, text, {portable_h16_sql('doc_id')} AS h
+            FROM documents
+        ), g AS (
+            SELECT doc_id, lang, h,
+                   CASE WHEN len(toks) >= 4
+                        THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - 3),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                                  toks[i+2] || ' ' || toks[i+3]))
+                        ELSE [] END AS grams
+            FROM (SELECT doc_id, lang, h,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                  FROM base) z
+        ), idx AS (  -- the stored gram index from the BASE pass
+            SELECT DISTINCT unnest(grams) AS ng FROM g WHERE h % 10 = 0
+        ), newg AS (  -- grams the eval INCREMENT adds that the index lacks
+            SELECT DISTINCT unnest(grams) AS ng FROM g WHERE h % 10 = 5
+            EXCEPT SELECT ng FROM idx
+        ), train AS (
+            SELECT doc_id, lang, grams FROM g WHERE h % 10 NOT IN (0, 5)
+        ), survivors AS (  -- the stored survivor set from the BASE pass
+            SELECT doc_id, lang, grams FROM train t
+            WHERE NOT EXISTS (SELECT 1 FROM idx WHERE list_contains(t.grams, idx.ng))
+        ), newly AS (
+            SELECT doc_id, lang FROM survivors s
+            WHERE EXISTS (SELECT 1 FROM newg WHERE list_contains(s.grams, newg.ng))
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_newly_dropped,
+               CAST(sum(doc_id) AS BIGINT) AS dropped_id_sum
+        FROM newly GROUP BY lang
+    """,
+    doc="Incremental benchmark decontamination — the update path real "
+        "pipelines run when an eval suite gains a release: the BASE pass's "
+        "outputs are staged once as stored state (the distinct eval-gram "
+        "index and the surviving train doc ids, idempotent marker dirs "
+        "like the LSH/span indexes), and a NEW eval slice is handled by "
+        "(1) anti-joining its grams against the STORED index — only grams "
+        "the index lacks can newly contaminate — then (2) probing only "
+        "the STORED survivors against that (broadcast-small) new-gram "
+        "set. Per-update work is one survivors scan keyed on the "
+        "increment's novel grams, never a re-match against the full gram "
+        "index or the already-dropped docs: the same work-proportional-"
+        "to-increment contract as dedup_incremental_lsh / "
+        "dedup_substring_incremental, completing the incremental family "
+        "for the curation tier. Output: per-lang count + id-sum witness "
+        "of the NEWLY dropped docs.",
+    tags=("curation", "incremental", "llm-pipeline"),
+)
+def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.dedup import word_shingles
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = h16("doc_id")
+    grams4 = lambda frame, col: frame.select(  # noqa: E731
+        "doc_id", F.explode(word_shingles(col, 4)).alias("ng")
+    )
+
+    # --- staged state from the BASE pass (built once, reused) ---
+    idx_dir = stage_dir(sf_dir, "evalgram4")
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        grams4(docs.where(h % 10 == 0), "text").select("ng").distinct()             .write.mode("overwrite").parquet(idx_dir)
+    surv_dir = stage_dir(sf_dir, "deconsurvivors4")
+    if not os.path.exists(os.path.join(surv_dir, "_SUCCESS")):
+        train = docs.where((h % 10 != 0) & (h % 10 != 5))
+        dropped = (
+            grams4(train, "text")
+            .join(spark.read.parquet(idx_dir), "ng", "semi")
+            .select("doc_id").distinct()
+        )
+        train.join(dropped, "doc_id", "anti").select("doc_id")             .write.mode("overwrite").parquet(surv_dir)
+
+    # --- the increment pass: work proportional to the update ---
+    idx = spark.read.parquet(idx_dir)
+    survivors = spark.read.parquet(surv_dir)
+    new_grams = (
+        grams4(docs.where(h % 10 == 5), "text").select("ng").distinct()
+        .join(idx, "ng", "anti")
+    )
+    newly = (
+        grams4(docs.join(survivors, "doc_id", "semi"), "text")
+        .join(new_grams, "ng", "semi")
+        .select("doc_id").distinct()
+    )
+    return (
+        docs.join(newly, "doc_id", "semi")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_newly_dropped"),
+            F.sum("doc_id").cast("bigint").alias("dropped_id_sum"),
+        )
+    )

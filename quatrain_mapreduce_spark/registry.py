@@ -84,13 +84,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # exact+span dedup -> decontaminate -> domain cap -> pack manifest)
     # and its per-stage provenance funnel
     "training_data_pipeline", "training_pipeline_funnel",
+    # new r10: incremental decontamination (stored gram-index + survivor
+    # state; per-update work keyed on the increment's novel grams)
+    "decontaminate_incremental",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
     "groupby2_shape", "tpch_q1_shape", "join_multiway", "join_outer_full",
     "join_semi_anti", "profile_orders_approx",
     # mrlib
-    "grep", "topk_users", "secondary_sort", "uniq_value_count",
+    "grep", "topk_users", "secondary_sort",
     # data_pipeline (dedup/similarity/text flagships)
     "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
     "semantic_dedup", "leakage_safe_split", "bm25_search",

@@ -472,3 +472,17 @@ def test_packing_efficiency_conserves_tokens_and_bounds_pad(spark, sf_dir):
     for r in rows:
         assert 0 <= r["pad_tokens"] < 1024
         assert r["n_seqs"] * 1024 == r["n_tokens"] + r["pad_tokens"]
+
+
+def test_decontaminate_incremental_probes_stored_state(spark, sf_dir):
+    """The incremental contract: the executed plan must READ the staged
+    base-pass artifacts (eval-gram index + survivor list) rather than
+    re-deriving them — the plan therefore scans the two staged parquet
+    dirs, and per-update work is keyed on the increment's novel grams."""
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    df = all_queries()["decontaminate_incremental"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert stage_dir(sf_dir, "evalgram4") in plan
+    assert stage_dir(sf_dir, "deconsurvivors4") in plan
