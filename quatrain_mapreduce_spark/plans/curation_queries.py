@@ -1768,18 +1768,22 @@ def training_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Incremental benchmark decontamination — the update path real "
         "pipelines run when an eval suite gains a release: the BASE pass's "
         "outputs are staged once as stored state (the distinct eval-gram "
-        "index and the surviving train doc ids, idempotent marker dirs "
-        "like the LSH/span indexes), and a NEW eval slice is handled by "
-        "(1) anti-joining its grams against the STORED index — only grams "
-        "the index lacks can newly contaminate — then (2) probing only "
-        "the STORED survivors against that (broadcast-small) new-gram "
-        "set. Per-update work is one survivors scan keyed on the "
-        "increment's novel grams, never a re-match against the full gram "
-        "index or the already-dropped docs: the same work-proportional-"
-        "to-increment contract as dedup_incremental_lsh / "
-        "dedup_substring_incremental, completing the incremental family "
-        "for the curation tier. Output: per-lang count + id-sum witness "
-        "of the NEWLY dropped docs.",
+        "index, the surviving train doc ids, and the SURVIVOR GRAM "
+        "POSTING index — distinct (doc_id, ng) pairs for survivors, "
+        "idempotent marker dirs like the LSH/span indexes), and a NEW "
+        "eval slice is handled by (1) anti-joining its grams against the "
+        "STORED eval index — only grams the index lacks can newly "
+        "contaminate — then (2) a broadcast semi-join of the STORED "
+        "posting against that small novel-gram set. The probe never "
+        "re-tokenizes the corpus: its cost is one shuffle-free columnar "
+        "scan of the posting (measured at sf1: 1.78 s vs 2.13 s for "
+        "re-shingling survivors vs 3.69 s for a full re-decontamination; "
+        "a 64-bucket DPP-partitioned posting was tried and REJECTED — "
+        "2.62 s, because a realistic increment's novel grams touch every "
+        "bucket, see SCALING.md). Same stored-state contract as "
+        "dedup_incremental_lsh / dedup_substring_incremental, completing "
+        "the incremental family for the curation tier. Output: per-lang "
+        "count + id-sum witness of the NEWLY dropped docs.",
     tags=("curation", "incremental", "llm-pipeline"),
 )
 def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,17 +1811,24 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id").distinct()
         )
         train.join(dropped, "doc_id", "anti").select("doc_id")             .write.mode("overwrite").parquet(surv_dir)
+    post_dir = stage_dir(sf_dir, "survpost4")
+    if not os.path.exists(os.path.join(post_dir, "_SUCCESS")):
+        survivors = spark.read.parquet(surv_dir)
+        (
+            grams4(docs.join(survivors, "doc_id", "semi"), "text")
+            .distinct()
+            .write.mode("overwrite").parquet(post_dir)
+        )
 
-    # --- the increment pass: work proportional to the update ---
+    # --- the increment pass: probe stored state, never re-tokenize ---
     idx = spark.read.parquet(idx_dir)
-    survivors = spark.read.parquet(surv_dir)
+    posting = spark.read.parquet(post_dir)
     new_grams = (
         grams4(docs.where(h % 10 == 5), "text").select("ng").distinct()
         .join(idx, "ng", "anti")
     )
     newly = (
-        grams4(docs.join(survivors, "doc_id", "semi"), "text")
-        .join(new_grams, "ng", "semi")
+        posting.join(F.broadcast(new_grams), "ng", "semi")
         .select("doc_id").distinct()
     )
     return (

@@ -476,13 +476,19 @@ def test_packing_efficiency_conserves_tokens_and_bounds_pad(spark, sf_dir):
 
 def test_decontaminate_incremental_probes_stored_state(spark, sf_dir):
     """The incremental contract: the executed plan must READ the staged
-    base-pass artifacts (eval-gram index + survivor list) rather than
-    re-deriving them — the plan therefore scans the two staged parquet
-    dirs, and per-update work is keyed on the increment's novel grams."""
+    base-pass artifacts (eval-gram index + survivor gram POSTING) rather
+    than re-deriving them — and it must NOT re-tokenize the corpus: the
+    only shingling in the probe plan is the eval increment's own, so the
+    documents table is scanned exactly once (for the final lang rollup)
+    plus once for the increment slice."""
     from quatrain_mapreduce_spark.registry import all_queries
     from quatrain_mapreduce_spark.staging import stage_dir
 
     df = all_queries()["decontaminate_incremental"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert stage_dir(sf_dir, "evalgram4") in plan
-    assert stage_dir(sf_dir, "deconsurvivors4") in plan
+    assert stage_dir(sf_dir, "survpost4") in plan
+    # the survivor id list is base-pass state only; the probe must not
+    # rebuild the survivor grams from text (that was the 2.13 s-vs-1.78 s
+    # re-shingle formulation, rejected at sf1 — see SCALING.md)
+    assert stage_dir(sf_dir, "deconsurvivors4") not in plan
