@@ -3020,3 +3020,104 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderpriority", F.lit("ALL"))
     )
     return gated(per).unionAll(total_row)
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS tok
+            FROM documents
+        ), probes AS (
+            SELECT tok, i,
+                   ((position(substr(md5(concat(concat(tok,'|',i),'')),1,1) IN '0123456789abcdef')-1)*4096
+                   +(position(substr(md5(concat(concat(tok,'|',i),'')),2,1) IN '0123456789abcdef')-1)*256
+                   +(position(substr(md5(concat(concat(tok,'|',i),'')),3,1) IN '0123456789abcdef')-1)*16
+                   +(position(substr(md5(concat(concat(tok,'|',i),'')),4,1) IN '0123456789abcdef')-1)) % 1024 AS b
+            FROM toks, (SELECT unnest(['1','2','3','4']) AS i) r
+        ), cells AS (
+            SELECT i, b, CAST(count(*) AS BIGINT) AS c
+            FROM probes GROUP BY i, b
+        ), exact AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+            FROM toks GROUP BY tok
+        ), top AS (
+            SELECT tok, n_exact FROM exact
+            ORDER BY n_exact DESC, tok LIMIT 20
+        ), topprobes AS (
+            SELECT t.tok, t.n_exact, i,
+                   ((position(substr(md5(concat(concat(t.tok,'|',i),'')),1,1) IN '0123456789abcdef')-1)*4096
+                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),2,1) IN '0123456789abcdef')-1)*256
+                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),3,1) IN '0123456789abcdef')-1)*16
+                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),4,1) IN '0123456789abcdef')-1)) % 1024 AS b
+            FROM top t, (SELECT unnest(['1','2','3','4']) AS i) r
+        )
+        SELECT p.tok AS token, p.n_exact,
+               CAST(min(c.c) AS BIGINT) AS cms_est,
+               CAST(min(c.c) >= p.n_exact AS INT) AS one_sided_ok
+        FROM topprobes p JOIN cells c ON c.i = p.i AND c.b = p.b
+        GROUP BY p.tok, p.n_exact
+    """,
+    doc="Count-min heavy hitters (Cormode-Muthukrishnan '05) — the "
+        "frequency member of the mergeable-sketch tier (theta = distinct "
+        "algebra, KLL = quantiles, CMS = point frequencies). The sketch is "
+        "d=4 rows x w=1024 buckets of plain counts, built in ONE corpus "
+        "pass as a map-combinable groupBy over (row, portable-hash bucket) "
+        "— partial aggregation collapses every task to <=4096 cells before "
+        "the (tiny, bounded) shuffle, and cell tables from different "
+        "corpus shards MERGE BY ADDITION, so at 100 TB this is per-shard "
+        "state folded like the theta cube, never a token-domain-sized "
+        "shuffle. Estimates (min over the 4 probed cells) are DETERMINISTIC "
+        "because the hash is the engine-portable md5-nibble h16: the "
+        "oracle replays the identical arithmetic and the compare is an "
+        "exact hash match, not a tolerance band. The exact token groupBy "
+        "twin (verification only, same pattern as kll_quantile_rollup's "
+        "percentile bands) supplies the true top-20 and pins the one-sided "
+        "guarantee est >= exact. Supersedes the reference's exact-only "
+        "frequency aggregates (MR/lib/aggregate/ValueHistogram.java:36, "
+        "LongValueSum) with bounded mergeable state.",
+    tags=("analytics", "sketch", "approx", "llm-pipeline"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .alias("tok")
+    )
+    W = 1024
+
+    def probe_cols(tok_expr: str) -> F.Column:
+        # one (row-id, bucket) struct per hash row; the '|i' salt makes the
+        # 4 rows independent draws of the same portable 16-bit hash
+        return F.array(*[
+            F.struct(
+                F.lit(str(i)).alias("i"),
+                (F.expr(portable_h16_sql(f"concat({tok_expr},'|{i}')")) % W)
+                .alias("b"),
+            )
+            for i in (1, 2, 3, 4)
+        ])
+
+    cells = (
+        toks.select(F.explode(probe_cols("tok")).alias("rb"))
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), "tok").limit(20)
+    probes = top.select(
+        "tok", "n_exact", F.explode(probe_cols("tok")).alias("rb")
+    ).select("tok", "n_exact", F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy(F.col("tok").alias("token"), "n_exact")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .select(
+            "token", "n_exact", "cms_est",
+            (F.col("cms_est") >= F.col("n_exact")).cast("int")
+            .alias("one_sided_ok"),
+        )
+    )

@@ -87,6 +87,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r10: incremental decontamination (stored gram-index + survivor
     # state; per-update work keyed on the increment's novel grams)
     "decontaminate_incremental",
+    # new r10: count-min heavy hitters (the frequency member of the
+    # mergeable-sketch tier; deterministic portable-hash CMS, exact oracle)
+    "heavy_hitters_cms",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -113,7 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # temporal
     "asof_join_events", "scd2_pit_join", "interval_overlap_join",
     # analytics
-    "tpch_q3_shape", "zorder_box_query", "sketch_mergeable_rollup",
+    "zorder_box_query", "sketch_mergeable_rollup",
     "graph_summary_sampled",
 )
 # Rows-only by design (no SQL-expressible oracle; each differential- or

@@ -25,6 +25,8 @@ PROMOTED = (
     "kll_quantile_rollup",
     "stratified_sample_exact",
     "doc_token_chunks",
+    # r10 late addition: the frequency member of the sketch tier
+    "heavy_hitters_cms",
 )
 
 
@@ -114,3 +116,51 @@ def test_stratified_sample_is_exact_k_and_deterministic(spark):
     got = Counter(seg for seg, _, _ in a)
     for seg, n in sizes.items():
         assert got[seg] == min(10, n)
+
+
+def test_cms_cells_merge_by_addition_across_corpus_shards(spark):
+    """The 100 TB property: CMS state built per corpus shard and folded by
+    cell-wise ADDITION equals the whole-corpus sketch — so shards never
+    need a token-domain shuffle, only a <=4096-row merge. Split documents
+    into two halves by doc_id parity, build cells per half through the
+    same arithmetic as the registered query, sum, and compare against the
+    whole-corpus cells; then pin the one-sided guarantee on the output."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def cells_of(frame):
+        toks = frame.select(
+            F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+            .alias("tok")
+        )
+        rb = F.array(*[
+            F.struct(
+                F.lit(str(i)).alias("i"),
+                (F.expr(portable_h16_sql(f"concat(tok,'|{i}')")) % 1024)
+                .alias("b"),
+            )
+            for i in (1, 2, 3, 4)
+        ])
+        return (
+            toks.select(F.explode(rb).alias("rb"))
+            .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    whole = {(r["i"], r["b"]): r["c"] for r in cells_of(docs).collect()}
+    merged: dict = {}
+    for half in (docs.where(F.col("doc_id") % 2 == 0),
+                 docs.where(F.col("doc_id") % 2 == 1)):
+        for r in cells_of(half).collect():
+            k = (r["i"], r["b"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
+
+    out = all_queries()["heavy_hitters_cms"].fn(spark, SF_DIR).collect()
+    assert len(out) == 20
+    assert all(r["one_sided_ok"] == 1 for r in out)  # est >= exact, always
+    assert all(r["cms_est"] >= r["n_exact"] for r in out)
