@@ -1839,3 +1839,75 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("dropped_id_sum"),
         )
     )
+
+
+@register(
+    "weighted_sample_systematic",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS BIGINT) AS n_toks,
+                   {portable_h16_sql('doc_id')} AS hkey
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, n_toks,
+                   sum(n_toks) OVER (ORDER BY hkey % 64, hkey, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cend
+            FROM d
+        ), t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot FROM d)
+        SELECT doc_id, lang, n_toks,
+               CAST(((cend * 100 + tot - 1) // tot)
+                  - (((cend - n_toks) * 100 + tot - 1) // tot) AS INT)
+                 AS n_draws
+        FROM c, t
+        WHERE ((cend * 100 + tot - 1) // tot)
+            > (((cend - n_toks) * 100 + tot - 1) // tot)
+    """,
+    doc="Weighted importance sampling with ZERO randomness — systematic "
+        "(Madow) sampling proportional to token count, the op a training "
+        "mixture uses to draw a token-budget-proportional subset without "
+        "an RNG seed to version. Lay every document's tokens end-to-end "
+        "in the deterministic corpus order (the pack_manifest distributed "
+        "prefix sum: within-shard window + 64-row offset side input — no "
+        "global sort), place k=100 equally spaced sample points on the "
+        "token stream, and keep each doc whose token interval contains a "
+        "point; long docs can be drawn more than once (n_draws), which is "
+        "exactly importance-sampling semantics. All arithmetic is BIGINT "
+        "ceil-division (positions*k stays under 2^53 even at 10^14 corpus "
+        "tokens), so the DuckDB oracle — which computes the SAME positions "
+        "with a plain global window — matches exactly, no float rounding "
+        "anywhere. Inclusion probability of a doc is n_toks*k/T up to the "
+        "integer grid, verified by a pytest expectation check. Supersedes "
+        "the reference's unweighted percent/md5 samplers "
+        "(MR/SequenceFileInputFilter.java:177,213) with weight-aware, "
+        "merge-deterministic draws.",
+    tags=("curation", "sampling", "llm-pipeline"),
+)
+def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.curation import pack_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long").alias("n_toks"),
+    )
+    m = pack_manifest(d, "doc_id", "n_toks", seq_len=512)
+    tot = m.agg(F.sum("n_toks").cast("bigint").alias("tot"))
+    sel = (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("fe", F.expr(
+            "((tok_start + n_toks) * 100 + tot - 1) div tot"))
+        .withColumn("fs", F.expr("(tok_start * 100 + tot - 1) div tot"))
+        .where(F.col("fe") > F.col("fs"))
+        .select(
+            "doc_id", "n_toks",
+            (F.col("fe") - F.col("fs")).cast("int").alias("n_draws"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(sel), "doc_id")
+        .select("doc_id", "lang", "n_toks", "n_draws")
+    )

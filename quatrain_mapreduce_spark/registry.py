@@ -90,6 +90,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r10: count-min heavy hitters (the frequency member of the
     # mergeable-sketch tier; deterministic portable-hash CMS, exact oracle)
     "heavy_hitters_cms",
+    # new r10: RNG-free weighted importance sampling (systematic/Madow over
+    # the pack_manifest prefix sum; BIGINT-exact oracle)
+    "weighted_sample_systematic",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -101,7 +104,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
     "semantic_dedup", "leakage_safe_split", "bm25_search",
     # curation
-    "c4_curation_pipeline", "gopher_rules", "decontaminate", "domain_cap",
+    "c4_curation_pipeline", "gopher_rules", "decontaminate",
     "training_export", "sequence_pack",
     # streaming
     "stream_sessionize", "cq_sliding_window", "stream_late_data",

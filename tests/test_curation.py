@@ -492,3 +492,34 @@ def test_decontaminate_incremental_probes_stored_state(spark, sf_dir):
     # rebuild the survivor grams from text (that was the 2.13 s-vs-1.78 s
     # re-shingle formulation, rejected at sf1 — see SCALING.md)
     assert stage_dir(sf_dir, "deconsurvivors4") not in plan
+
+
+def test_weighted_systematic_sample_draw_invariants(spark, sf_dir):
+    """Madow-sampling invariants no SQL oracle expresses directly:
+    (1) total draws is EXACTLY k=100 (each of the k grid points lands in
+    exactly one token interval); (2) any doc with weight >= T/k is
+    guaranteed selection (its interval spans a full grid step); (3) the
+    draw is deterministic across independent plan executions."""
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    fn = all_queries()["weighted_sample_systematic"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert sum(r["n_draws"] for r in rows) == 100
+
+    import duckdb
+
+    con = duckdb.connect()
+    tot, big = con.execute(
+        "WITH w AS ("
+        "  SELECT CAST(len(list_filter(string_split(text,' '), x -> x <> ''))"
+        "         AS BIGINT) AS n"
+        f"  FROM read_parquet('{sf_dir}/documents.parquet'))"
+        " SELECT (SELECT sum(n) FROM w),"
+        "        (SELECT count(*) FROM w WHERE n * 100 >= (SELECT sum(n) FROM w))"
+    ).fetchone()
+    # every doc holding >= 1/k of the token mass must appear
+    heavy_drawn = [r for r in rows if r["n_toks"] * 100 >= tot]
+    assert len(heavy_drawn) == big
+
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
