@@ -1511,6 +1511,40 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """BM25 scores for the fixed query {hash, join} (k1=1.2, b=0.75) —
+    shared by bm25_search and hybrid_search_rrf so both rankings are the
+    identical rational expression of integers on both engines."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == F.lit("hash")))
+          .cast("bigint").alias("tf_hash"),
+        F.size(F.filter(toks, lambda x: x == F.lit("join")))
+          .cast("bigint").alias("tf_join"),
+    )
+    corpus = stats.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count(F.when(F.col("tf_hash") > 0, 1)).alias("df_hash"),
+        F.count(F.when(F.col("tf_join") > 0, 1)).alias("df_join"),
+    )
+
+    def part(tf, df):
+        rawidf = (F.col("n") - df + 0.5) / (df + 0.5)
+        norm = tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return rawidf * (tf * 2.2) / norm
+
+    return stats.crossJoin(F.broadcast(corpus)).select(
+        "doc_id", "dl", "tf_hash", "tf_join",
+        (
+            part(F.col("tf_hash"), F.col("df_hash"))
+            + part(F.col("tf_join"), F.col("df_join"))
+        ).alias("score"),
+    )
+
+
 @register(
     "bm25_search",
     oracle="""
@@ -1568,34 +1602,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    stats = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("dl"),
-        F.size(F.filter(toks, lambda x: x == F.lit("hash")))
-          .cast("bigint").alias("tf_hash"),
-        F.size(F.filter(toks, lambda x: x == F.lit("join")))
-          .cast("bigint").alias("tf_join"),
-    )
-    corpus = stats.agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count(F.when(F.col("tf_hash") > 0, 1)).alias("df_hash"),
-        F.count(F.when(F.col("tf_join") > 0, 1)).alias("df_join"),
-    )
-
-    def part(tf, df):
-        rawidf = (F.col("n") - df + 0.5) / (df + 0.5)
-        norm = tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-        return rawidf * (tf * 2.2) / norm
-
-    scored = stats.crossJoin(F.broadcast(corpus)).select(
-        "doc_id", "dl", "tf_hash", "tf_join",
-        (
-            part(F.col("tf_hash"), F.col("df_hash"))
-            + part(F.col("tf_join"), F.col("df_join"))
-        ).alias("score"),
-    )
+    scored = _bm25_scored(docs)
     top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.select(
@@ -2160,4 +2167,130 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_windows",
         F.coalesce("hit_windows", F.lit(0)).cast("bigint").alias("hit_windows"),
         F.coalesce("hit_pos_sum", F.lit(0)).cast("bigint").alias("hit_pos_sum"),
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                     AS toks
+            FROM documents
+        ), stats AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS dl,
+                   CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT)
+                     AS tf_hash,
+                   CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT)
+                     AS tf_join
+            FROM d
+        ), corpus AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   CAST(count(*) FILTER (WHERE tf_hash > 0) AS BIGINT)
+                     AS df_hash,
+                   CAST(count(*) FILTER (WHERE tf_join > 0) AS BIGINT)
+                     AS df_join
+            FROM stats
+        ), scored AS (
+            SELECT doc_id,
+                   (n - df_hash + 0.5) / (df_hash + 0.5)
+                     * (tf_hash * 2.2)
+                     / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + (n - df_join + 0.5) / (df_join + 0.5)
+                     * (tf_join * 2.2)
+                     / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     AS score
+            FROM stats CROSS JOIN corpus
+        ), btop AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS bm25_rank
+            FROM scored WHERE doc_id <> 0
+            QUALIFY bm25_rank <= 50
+        ), v AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))::DOUBLE) AS nrm
+            FROM embeddings
+        ), vs AS (
+            SELECT c.vec_id AS doc_id,
+                   round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.embedding AS DOUBLE[]))::DOUBLE
+                         / (q.nrm * c.nrm), 6) AS cos
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id = 0
+        ), vtop AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                        AS INT) AS cos_rank
+            FROM vs QUALIFY cos_rank <= 50
+        ), fused AS (
+            SELECT COALESCE(b.doc_id, v2.doc_id) AS doc_id,
+                   b.bm25_rank, v2.cos_rank,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + b.bm25_rank), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + v2.cos_rank), 0)
+                     AS rrf
+            FROM btop b FULL JOIN vtop v2 ON b.doc_id = v2.doc_id
+        )
+        SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf_r,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                 AS fused_rank
+        FROM fused QUALIFY fused_rank <= 20
+    """,
+    doc="Hybrid retrieval — reciprocal-rank fusion (Cormack et al. "
+        "SIGIR'09, k=60) of the BM25 lexical ranking (query {hash, join}, "
+        "shared _bm25_scored expression with bm25_search) and the exact "
+        "cosine ranking against query embedding vec_id=0 "
+        "(brute_force_topk, the ANN ground-truth path). Each side "
+        "produces its top-50 as a 2-stage TakeOrdered (never a global "
+        "sort); fusion is a full outer join of two 50-row frames — "
+        "driver-negligible at any corpus size, since both lists are "
+        "top-k-bounded BEFORE the join. RRF terms are 1/(60+rank) on "
+        "INTEGER ranks, so the fused scores are IEEE-identical on both "
+        "engines and the full fused ranking hash-matches exactly — no "
+        "tolerance bands. This is the retrieval shape modern RAG/search "
+        "stacks run (lexical + dense, fused rank-side), composing two "
+        "already-oracled operators; at scale the cosine side swaps to "
+        "similarity_ivf/lsh candidates with identical fusion semantics.",
+    tags=("similarity", "search", "ranking", "llm-pipeline"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    b = _bm25_scored(docs).where(F.col("doc_id") != 0)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    btop = (
+        b.orderBy(F.desc("score"), "doc_id").limit(50)
+        .select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
+    )
+    vtop = (
+        brute_force_topk(
+            emb.where(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=50
+        )
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rk").cast("int").alias("cos_rank"))
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0).cast("double") / (F.col("bm25_rank") + 60),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0).cast("double") / (F.col("cos_rank") + 60),
+                     F.lit(0.0))
+    )
+    fused = btop.join(vtop, "doc_id", "full").select(
+        "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf")
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+        .select(
+            "doc_id", "bm25_rank", "cos_rank",
+            F.round("rrf", 6).alias("rrf_r"),
+            F.row_number().over(wf).alias("fused_rank"),
+        )
     )

@@ -93,6 +93,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r10: RNG-free weighted importance sampling (systematic/Madow over
     # the pack_manifest prefix sum; BIGINT-exact oracle)
     "weighted_sample_systematic",
+    # new r10: hybrid retrieval — RRF fusion of the BM25 and cosine
+    # rankings (composes two already-oracled operators rank-side)
+    "hybrid_search_rrf",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -102,7 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grep", "topk_users", "secondary_sort",
     # data_pipeline (dedup/similarity/text flagships)
     "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
-    "semantic_dedup", "leakage_safe_split", "bm25_search",
+    "semantic_dedup", "leakage_safe_split",
     # curation
     "c4_curation_pipeline", "gopher_rules", "decontaminate",
     "training_export", "sequence_pack",

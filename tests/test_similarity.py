@@ -307,3 +307,28 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     evr = model["explained_var_ratio"]
     assert all(a >= b for a, b in zip(evr, evr[1:]))
     assert 0.0 < sum(evr) <= 1.0 + 1e-12
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """Fusion invariants beyond the value oracle: every fused doc appears
+    in at least one input list (no phantom candidates), a doc present in
+    BOTH lists always outranks a doc whose single rank equals its worse
+    rank (RRF monotonicity), and the fused ranking is dense 1..20."""
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["hybrid_search_rrf"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["fused_rank"],
+    )
+    assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        r["bm25_rank"] is not None or r["cos_rank"] is not None for r in rows
+    )
+    both = [r for r in rows if r["bm25_rank"] and r["cos_rank"]]
+    single = [r for r in rows if (r["bm25_rank"] is None) != (r["cos_rank"] is None)]
+    for b in both:
+        worse = max(b["bm25_rank"], b["cos_rank"])
+        for s in single:
+            s_rank = s["bm25_rank"] or s["cos_rank"]
+            if s_rank >= worse:
+                assert b["fused_rank"] < s["fused_rank"], (b, s)
