@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "training_data_pipeline",  # composed gate->dedup->decon->cap->pack pass (new r10)
     "theta_cube_serving",      # date ranges served from STORED theta sketches (new r10)
     "kll_quantile_rollup",     # mergeable KLL quantile cube (new r10)
+    # heavy_hitters_cms / weighted_sample_systematic / hybrid_search_rrf
+    # (late r10) are NOT benched here: adding their names overflows the
+    # driver's stdout tail bound (tests/test_bench_contract.py — worst
+    # case went 1567 > 1500 bytes), and all three are overhead-dominated
+    # flat rows whose decade measurements live in SCALING.md
+    # "Round-10: the late-round additions across a decade".
     # multimodal_decode deliberately NOT benched: its wall time is synthetic
     # fixture encode+decode (Python), not engine throughput — and its row
     # would push the stdout line past the driver's tail-capture bound
