@@ -62,6 +62,22 @@ def h16(id_col: str) -> F.Column:
     return F.expr(portable_h16_sql(id_col))
 
 
+def cms_probes(tok_expr: str, d: int = 4, w: int = 1024) -> F.Column:
+    """Count-min probe array for a token expression: one (row-id, bucket)
+    struct per hash row, the '|i' salt making the d rows independent draws
+    of the same engine-portable 16-bit hash. Shared by the batch
+    (heavy_hitters_cms) and streaming (stream_heavy_hitters) sketches so
+    their cell tables are the identical deterministic arithmetic."""
+    return F.array(*[
+        F.struct(
+            F.lit(str(i)).alias("i"),
+            (F.expr(portable_h16_sql(f"concat({tok_expr},'|{i}')")) % w)
+            .alias("b"),
+        )
+        for i in range(1, d + 1)
+    ])
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, stratum_col: str, quotas: dict[str, int],
     default_quota: int = 1000,

@@ -3022,9 +3022,10 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated(per).unionAll(total_row)
 
 
-@register(
-    "heavy_hitters_cms",
-    oracle="""
+# Shared by heavy_hitters_cms and stream_heavy_hitters: the streaming
+# sketch's cells equal the batch cells by CMS mergeability (micro-batch =
+# corpus shard), so the SAME batch SQL is the oracle for both.
+CMS_ORACLE = """
         WITH toks AS (
             SELECT unnest(list_filter(string_split(lower(text), ' '),
                           x -> x <> '')) AS tok
@@ -3058,7 +3059,12 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(min(c.c) >= p.n_exact AS INT) AS one_sided_ok
         FROM topprobes p JOIN cells c ON c.i = p.i AND c.b = p.b
         GROUP BY p.tok, p.n_exact
-    """,
+"""
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=CMS_ORACLE,
     doc="Count-min heavy hitters (Cormode-Muthukrishnan '05) — the "
         "frequency member of the mergeable-sketch tier (theta = distinct "
         "algebra, KLL = quantiles, CMS = point frequencies). The sketch is "
@@ -3080,36 +3086,30 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "sketch", "approx", "llm-pipeline"),
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
         .alias("tok")
     )
-    W = 1024
-
-    def probe_cols(tok_expr: str) -> F.Column:
-        # one (row-id, bucket) struct per hash row; the '|i' salt makes the
-        # 4 rows independent draws of the same portable 16-bit hash
-        return F.array(*[
-            F.struct(
-                F.lit(str(i)).alias("i"),
-                (F.expr(portable_h16_sql(f"concat({tok_expr},'|{i}')")) % W)
-                .alias("b"),
-            )
-            for i in (1, 2, 3, 4)
-        ])
-
     cells = (
-        toks.select(F.explode(probe_cols("tok")).alias("rb"))
+        toks.select(F.explode(cms_probes("tok")).alias("rb"))
         .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    return cms_serve_top20(toks, cells)
+
+
+def cms_serve_top20(toks: DataFrame, cells: DataFrame) -> DataFrame:
+    """Probe a CMS cell table for the exact top-20 tokens (verification
+    twin) — shared by the batch and streaming sketch queries."""
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
+
     exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), "tok").limit(20)
     probes = top.select(
-        "tok", "n_exact", F.explode(probe_cols("tok")).alias("rb")
+        "tok", "n_exact", F.explode(cms_probes("tok")).alias("rb")
     ).select("tok", "n_exact", F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
     return (
         probes.join(F.broadcast(cells), ["i", "b"])

@@ -1010,3 +1010,57 @@ def online_agg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("n").cast("double")) * 10000 + F.lit(0.5)
         ) / 10000).alias("ci_halfwidth_cents"),
     )
+
+
+from quatrain_mapreduce_spark.plans.analytics_queries import (  # noqa: E402
+    CMS_ORACLE, cms_serve_top20,
+)
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=CMS_ORACLE,  # shared with the batch twin — see doc
+    doc="Streaming count-min sketch — the CMS cells maintained as a "
+        "COMPLETE-mode streaming aggregation over the document stream "
+        "(one staged file per micro-batch), then the top-20 served by "
+        "probing the drained cell snapshot with the shared "
+        "cms_serve_top20. The reason complete mode is safe here is the "
+        "whole point of the sketch: streaming state is bounded at "
+        "d*w<=4096 rows NO MATTER how much data flows through, unlike a "
+        "per-token streaming count whose state grows with the vocabulary. "
+        "Cells accumulated across micro-batches equal the batch cells by "
+        "CMS mergeability (micro-batch = corpus shard — the property "
+        "test_cms_cells_merge_by_addition_across_corpus_shards pins), so "
+        "the oracle is the IDENTICAL batch SQL as heavy_hitters_cms. "
+        "Supersedes the reference's continuous-query aggregates "
+        "(MR/ReduceTask.java:631-669 snapshot path) with bounded-state "
+        "frequency summaries.",
+    tags=("streaming", "sketch", "approx", "llm-pipeline"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
+    from quatrain_mapreduce_spark.staging import stage_dir
+
+    d = stage_dir(sf_dir, "docslices4")
+    if not os.path.exists(os.path.join(d, "_STAGED")):
+        load_table(spark, sf_dir, "documents").repartition(4) \
+            .write.mode("overwrite").parquet(d)
+        open(os.path.join(d, "_STAGED"), "w").close()
+    schema = spark.read.parquet(d).schema
+    tok_expr = F.explode(
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    ).alias("tok")
+    cells_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(tok_expr)
+        .select(F.explode(cms_probes("tok")).alias("rb"))
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    name = f"qms_stream_cms_{next(_stream_counter)}"
+    cells = drain_to_parquet(cells_stream, name, output_mode="complete")
+    toks = load_table(spark, sf_dir, "documents").select(tok_expr)
+    return cms_serve_top20(toks, cells)

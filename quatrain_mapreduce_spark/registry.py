@@ -96,6 +96,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new r10: hybrid retrieval — RRF fusion of the BM25 and cosine
     # rankings (composes two already-oracled operators rank-side)
     "hybrid_search_rrf",
+    # new r10: streaming CMS — bounded-state complete-mode sketch whose
+    # drained cells equal the batch twin by mergeability
+    "stream_heavy_hitters",
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
@@ -110,7 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "c4_curation_pipeline", "gopher_rules", "decontaminate",
     "training_export", "sequence_pack",
     # streaming
-    "stream_sessionize", "cq_sliding_window", "stream_late_data",
+    "stream_sessionize", "cq_sliding_window",
     # hive_sql
     "sql_grouping_sets", "sql_lateral_view", "sql_recursive_cte",
     "sql_qcorpus_groupby",

@@ -673,3 +673,39 @@ def test_sigkill_mid_stream_restart_is_exactly_once(spark):
         f"exactly-once violated: {len(got)} rows, "
         f"{len(set(got))} distinct after SIGKILL restart"
     )
+
+
+def test_stream_cms_state_is_bounded_and_matches_batch_cells(spark, sf_dir):
+    """The property that makes a COMPLETE-mode streaming aggregate safe
+    here: CMS state never exceeds d*w = 4096 rows however much data
+    streams through, and the drained cells are exactly the batch cells
+    (mergeability: micro-batch = corpus shard)."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
+    from quatrain_mapreduce_spark.registry import all_queries
+    from quatrain_mapreduce_spark.staging import stage_dir
+    import os
+
+    all_queries()["stream_heavy_hitters"].fn(spark, sf_dir).collect()
+    # the staged slices exist now; rebuild the batch cells for comparison
+    d = stage_dir(sf_dir, "docslices4")
+    assert os.path.exists(os.path.join(d, "_STAGED"))
+    batch_cells = sorted(map(tuple, (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("tok"))
+        .select(F.explode(cms_probes("tok")).alias("rb"))
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    ).collect()))
+    assert len(batch_cells) <= 4096
+    # drained snapshot dirs are qms_drain_qms_stream_cms_*; find the newest
+    import glob
+    snaps = sorted(glob.glob("/tmp/qms_drain_qms_stream_cms_*/snapshot"),
+                   key=os.path.getmtime)
+    assert snaps, "stream drain left no snapshot"
+    stream_cells = sorted(map(tuple, spark.read.parquet(snaps[-1]).collect()))
+    assert stream_cells == batch_cells
