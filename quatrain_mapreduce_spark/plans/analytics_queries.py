@@ -3024,18 +3024,22 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared by heavy_hitters_cms and stream_heavy_hitters: the streaming
 # sketch's cells equal the batch cells by CMS mergeability (micro-batch =
-# corpus shard), so the SAME batch SQL is the oracle for both.
-CMS_ORACLE = """
+# corpus shard), so the SAME batch SQL is the oracle for both. The bucket
+# expression interpolates portable_h16_sql — the SAME generator the engine
+# side (operators.curation.cms_probes) uses — so a change to the portable
+# hash can never diverge the oracle's arithmetic from the engine's.
+from quatrain_mapreduce_spark.operators.curation import (  # noqa: E402
+    portable_h16_sql as _h16sql,
+)
+
+CMS_ORACLE = f"""
         WITH toks AS (
             SELECT unnest(list_filter(string_split(lower(text), ' '),
                           x -> x <> '')) AS tok
             FROM documents
         ), probes AS (
             SELECT tok, i,
-                   ((position(substr(md5(concat(concat(tok,'|',i),'')),1,1) IN '0123456789abcdef')-1)*4096
-                   +(position(substr(md5(concat(concat(tok,'|',i),'')),2,1) IN '0123456789abcdef')-1)*256
-                   +(position(substr(md5(concat(concat(tok,'|',i),'')),3,1) IN '0123456789abcdef')-1)*16
-                   +(position(substr(md5(concat(concat(tok,'|',i),'')),4,1) IN '0123456789abcdef')-1)) % 1024 AS b
+                   ({_h16sql("concat(tok,'|',i)")}) % 1024 AS b
             FROM toks, (SELECT unnest(['1','2','3','4']) AS i) r
         ), cells AS (
             SELECT i, b, CAST(count(*) AS BIGINT) AS c
@@ -3048,10 +3052,7 @@ CMS_ORACLE = """
             ORDER BY n_exact DESC, tok LIMIT 20
         ), topprobes AS (
             SELECT t.tok, t.n_exact, i,
-                   ((position(substr(md5(concat(concat(t.tok,'|',i),'')),1,1) IN '0123456789abcdef')-1)*4096
-                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),2,1) IN '0123456789abcdef')-1)*256
-                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),3,1) IN '0123456789abcdef')-1)*16
-                   +(position(substr(md5(concat(concat(t.tok,'|',i),'')),4,1) IN '0123456789abcdef')-1)) % 1024 AS b
+                   ({_h16sql("concat(t.tok,'|',i)")}) % 1024 AS b
             FROM top t, (SELECT unnest(['1','2','3','4']) AS i) r
         )
         SELECT p.tok AS token, p.n_exact,
@@ -3082,7 +3083,12 @@ CMS_ORACLE = """
         "percentile bands) supplies the true top-20 and pins the one-sided "
         "guarantee est >= exact. Supersedes the reference's exact-only "
         "frequency aggregates (MR/lib/aggregate/ValueHistogram.java:36, "
-        "LongValueSum) with bounded mergeable state.",
+        "LongValueSum) with bounded mergeable state. The toks branch point "
+        "(cells + exact twin) is deliberately NOT persisted: measured at "
+        "sf1 it is a dead tie (2.64 s vs 2.65 s, the rescan is cheaper "
+        "than materializing a corpus-sized exploded token frame), and at "
+        "100 TB the exact twin does not run at all — only the bounded "
+        "cell aggregation does.",
     tags=("analytics", "sketch", "approx", "llm-pipeline"),
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:

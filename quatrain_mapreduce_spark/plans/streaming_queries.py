@@ -254,16 +254,10 @@ def cq_moving_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "no-sql-plan"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from quatrain_mapreduce_spark.operators.dedup import normalized_text
-    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
 
-    d = stage_dir(sf_dir, "docslices4")
-    if not os.path.exists(os.path.join(d, "_STAGED")):
-        load_table(spark, sf_dir, "documents").repartition(4) \
-            .write.mode("overwrite").parquet(d)
-        open(os.path.join(d, "_STAGED"), "w").close()
+    d = stage_doc_slices(spark, sf_dir)
     schema = spark.read.parquet(d).schema
     stream = (
         spark.readStream.schema(schema)
@@ -581,18 +575,12 @@ def stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "curation", "no-sql-plan"),
 )
 def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from quatrain_mapreduce_spark.operators.curation import (
         EMAIL_RE, PHONE_RE, gopher_rules, scrub_pii,
     )
-    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
 
-    d = stage_dir(sf_dir, "docslices4")
-    if not os.path.exists(os.path.join(d, "_STAGED")):
-        load_table(spark, sf_dir, "documents").repartition(4) \
-            .write.mode("overwrite").parquet(d)
-        open(os.path.join(d, "_STAGED"), "w").close()
+    d = stage_doc_slices(spark, sf_dir)
     schema = spark.read.parquet(d).schema
     injected = (
         spark.readStream.schema(schema)
@@ -1038,16 +1026,10 @@ from quatrain_mapreduce_spark.plans.analytics_queries import (  # noqa: E402
     tags=("streaming", "sketch", "approx", "llm-pipeline"),
 )
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from quatrain_mapreduce_spark.operators.curation import cms_probes
-    from quatrain_mapreduce_spark.staging import stage_dir
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
 
-    d = stage_dir(sf_dir, "docslices4")
-    if not os.path.exists(os.path.join(d, "_STAGED")):
-        load_table(spark, sf_dir, "documents").repartition(4) \
-            .write.mode("overwrite").parquet(d)
-        open(os.path.join(d, "_STAGED"), "w").close()
+    d = stage_doc_slices(spark, sf_dir)
     schema = spark.read.parquet(d).schema
     tok_expr = F.explode(
         F.expr("filter(split(lower(text), ' '), x -> x <> '')")
@@ -1061,6 +1043,6 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     name = f"qms_stream_cms_{next(_stream_counter)}"
-    cells = drain_to_parquet(cells_stream, name, output_mode="complete")
+    cells = run_available_now(cells_stream, name)
     toks = load_table(spark, sf_dir, "documents").select(tok_expr)
     return cms_serve_top20(toks, cells)

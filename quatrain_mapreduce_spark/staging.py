@@ -78,6 +78,22 @@ def stage_event_slices(
     return d
 
 
+def stage_doc_slices(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the documents table as ``n_files`` parquet slices for file
+    streams (one micro-batch per slice via maxFilesPerTrigger=1). The
+    single copy of the pattern shared by stream_dedup / stream_curation /
+    stream_heavy_hitters; idempotent per (sf_dir, data fingerprint)."""
+    from quatrain_mapreduce_spark.catalog import load_table
+
+    d = stage_dir(sf_dir, f"docslices{n_files}")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").repartition(n_files) \
+            .write.mode("overwrite").parquet(d)
+        open(marker, "w").close()
+    return d
+
+
 def stage_late_slices(spark: SparkSession, sf_dir: str, recent_hours: int = 6) -> str:
     """Stage events as THREE mtime-ordered slices engineering real late-data
     drops under an append-mode watermark (delay D, D << recent_hours):

@@ -128,25 +128,19 @@ def test_cms_cells_merge_by_addition_across_corpus_shards(spark):
     from pyspark.sql import functions as F
 
     from quatrain_mapreduce_spark.catalog import load_table
-    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
 
     docs = load_table(spark, SF_DIR, "documents")
 
     def cells_of(frame):
+        # the registered query's own probe builder — the mergeability
+        # claim must hold for the actual arithmetic, not a transcription
         toks = frame.select(
             F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
             .alias("tok")
         )
-        rb = F.array(*[
-            F.struct(
-                F.lit(str(i)).alias("i"),
-                (F.expr(portable_h16_sql(f"concat(tok,'|{i}')")) % 1024)
-                .alias("b"),
-            )
-            for i in (1, 2, 3, 4)
-        ])
         return (
-            toks.select(F.explode(rb).alias("rb"))
+            toks.select(F.explode(cms_probes("tok")).alias("rb"))
             .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
             .agg(F.count("*").cast("bigint").alias("c"))
         )

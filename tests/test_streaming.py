@@ -704,8 +704,12 @@ def test_stream_cms_state_is_bounded_and_matches_batch_cells(spark, sf_dir):
     assert len(batch_cells) <= 4096
     # drained snapshot dirs are qms_drain_qms_stream_cms_*; find the newest
     import glob
-    snaps = sorted(glob.glob("/tmp/qms_drain_qms_stream_cms_*/snapshot"),
-                   key=os.path.getmtime)
+    import tempfile
+    snaps = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(),
+                               "qms_drain_qms_stream_cms_*", "snapshot")),
+        key=os.path.getmtime,
+    )
     assert snaps, "stream drain left no snapshot"
     stream_cells = sorted(map(tuple, spark.read.parquet(snaps[-1]).collect()))
     assert stream_cells == batch_cells
