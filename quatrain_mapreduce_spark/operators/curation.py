@@ -62,18 +62,28 @@ def h16(id_col: str) -> F.Column:
     return F.expr(portable_h16_sql(id_col))
 
 
-def cms_probes(tok_expr: str, d: int = 4, w: int = 1024) -> F.Column:
+def cms_probes(
+    tok_expr: str, d: int = 4, w: int = 1024, hash: str = "portable"
+) -> F.Column:
     """Count-min probe array for a token expression: one (row-id, bucket)
     struct per hash row, the '|i' salt making the d rows independent draws
-    of the same engine-portable 16-bit hash. Shared by the batch
-    (heavy_hitters_cms) and streaming (stream_heavy_hitters) sketches so
-    their cell tables are the identical deterministic arithmetic."""
+    of the hash. Shared by the batch (heavy_hitters_cms) and streaming
+    (stream_heavy_hitters) sketches so their cell tables are the identical
+    deterministic arithmetic.
+
+    ``hash='portable'`` (the oracled queries) uses the md5-nibble h16 that
+    DuckDB replays verbatim; ``hash='xxhash64'`` is the production tier —
+    one JVM intrinsic per probe instead of an md5 string round-trip (the
+    sf10 data term is ~10x smaller), same cell algebra, differentially
+    tested against the portable tier's guarantees in
+    tests/test_sketch_sampling.py."""
+    def bucket(i: int) -> F.Column:
+        if hash == "xxhash64":
+            return F.pmod(F.xxhash64(F.expr(tok_expr), F.lit(i)), F.lit(w))
+        return F.expr(portable_h16_sql(f"concat({tok_expr},'|{i}')")) % w
+
     return F.array(*[
-        F.struct(
-            F.lit(str(i)).alias("i"),
-            (F.expr(portable_h16_sql(f"concat({tok_expr},'|{i}')")) % w)
-            .alias("b"),
-        )
+        F.struct(F.lit(str(i)).alias("i"), bucket(i).cast("int").alias("b"))
         for i in range(1, d + 1)
     ])
 

@@ -3107,15 +3107,18 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_serve_top20(toks, cells)
 
 
-def cms_serve_top20(toks: DataFrame, cells: DataFrame) -> DataFrame:
+def cms_serve_top20(
+    toks: DataFrame, cells: DataFrame, hash: str = "portable"
+) -> DataFrame:
     """Probe a CMS cell table for the exact top-20 tokens (verification
-    twin) — shared by the batch and streaming sketch queries."""
+    twin) — shared by the batch and streaming sketch queries. ``hash``
+    must match the one the cells were built with."""
     from quatrain_mapreduce_spark.operators.curation import cms_probes
 
     exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), "tok").limit(20)
     probes = top.select(
-        "tok", "n_exact", F.explode(cms_probes("tok")).alias("rb")
+        "tok", "n_exact", F.explode(cms_probes("tok", hash=hash)).alias("rb")
     ).select("tok", "n_exact", F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
     return (
         probes.join(F.broadcast(cells), ["i", "b"])

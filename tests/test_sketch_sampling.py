@@ -158,3 +158,52 @@ def test_cms_cells_merge_by_addition_across_corpus_shards(spark):
     assert len(out) == 20
     assert all(r["one_sided_ok"] == 1 for r in out)  # est >= exact, always
     assert all(r["cms_est"] >= r["n_exact"] for r in out)
+
+
+def test_cms_xxhash64_production_tier_holds_the_same_guarantees(spark):
+    """The production hash tier (xxhash64 intrinsic instead of the
+    oracle-portable md5 nibbles) must satisfy the same sketch contract:
+    bounded cells, shard mergeability, and the one-sided est >= exact
+    guarantee for the true top-20. No SQL oracle exists for this tier
+    (DuckDB has no xxhash64) — this differential test IS its gate."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
+    from quatrain_mapreduce_spark.plans.analytics_queries import (
+        cms_serve_top20,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .alias("tok")
+    )
+
+    def cells_of(frame):
+        return (
+            frame.select(F.explode(cms_probes("tok", hash="xxhash64")).alias("rb"))
+            .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    cells = cells_of(toks)
+    assert cells.count() <= 4096
+
+    # mergeability across doc_id-parity shards (same property as portable)
+    whole = {(r["i"], r["b"]): r["c"] for r in cells.collect()}
+    merged: dict = {}
+    for half in (docs.where(F.col("doc_id") % 2 == 0),
+                 docs.where(F.col("doc_id") % 2 == 1)):
+        htoks = half.select(
+            F.explode(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+            .alias("tok")
+        )
+        for r in cells_of(htoks).collect():
+            k = (r["i"], r["b"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
+
+    out = cms_serve_top20(toks, cells, hash="xxhash64").collect()
+    assert len(out) == 20
+    assert all(r["one_sided_ok"] == 1 for r in out)
