@@ -2170,6 +2170,44 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_top50(docs: DataFrame) -> DataFrame:
+    """The exact lexical ranking both hybrid variants share."""
+    from pyspark.sql import Window
+
+    b = _bm25_scored(docs).where(F.col("doc_id") != 0)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        b.orderBy(F.desc("score"), "doc_id").limit(50)
+        .select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
+    )
+
+
+def _rrf_fuse(btop: DataFrame, vtop: DataFrame) -> DataFrame:
+    """RRF (k=60) fusion of a (doc_id, bm25_rank) and a (doc_id, cos_rank)
+    top-k list into the fused top-20 — shared by the exact and IVF hybrid
+    variants so the fusion semantics cannot diverge."""
+    from pyspark.sql import Window
+
+    rrf = (
+        F.coalesce(F.lit(1.0).cast("double") / (F.col("bm25_rank") + 60),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0).cast("double") / (F.col("cos_rank") + 60),
+                     F.lit(0.0))
+    )
+    fused = btop.join(vtop, "doc_id", "full").select(
+        "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf")
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+        .select(
+            "doc_id", "bm25_rank", "cos_rank",
+            F.round("rrf", 6).alias("rrf_r"),
+            F.row_number().over(wf).alias("fused_rank"),
+        )
+    )
+
+
 @register(
     "hybrid_search_rrf",
     oracle="""
@@ -2258,17 +2296,8 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "search", "ranking", "llm-pipeline"),
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-
-    b = _bm25_scored(docs).where(F.col("doc_id") != 0)
-    wb = Window.orderBy(F.desc("score"), "doc_id")
-    btop = (
-        b.orderBy(F.desc("score"), "doc_id").limit(50)
-        .select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
-    )
     vtop = (
         brute_force_topk(
             emb.where(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=50
@@ -2276,21 +2305,44 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"),
                 F.col("rk").cast("int").alias("cos_rank"))
     )
-    rrf = (
-        F.coalesce(F.lit(1.0).cast("double") / (F.col("bm25_rank") + 60),
-                   F.lit(0.0))
-        + F.coalesce(F.lit(1.0).cast("double") / (F.col("cos_rank") + 60),
-                     F.lit(0.0))
-    )
-    fused = btop.join(vtop, "doc_id", "full").select(
-        "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf")
-    )
-    wf = Window.orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
-        .select(
-            "doc_id", "bm25_rank", "cos_rank",
-            F.round("rrf", 6).alias("rrf_r"),
-            F.row_number().over(wf).alias("fused_rank"),
+    return _rrf_fuse(_bm25_top50(docs), vtop)
+
+
+@register(
+    "hybrid_search_rrf_ivf",
+    oracle=None,  # approximate dense side by construction — differential
+                  # fused-overlap gate vs the exact hybrid in
+                  # tests/test_similarity.py
+    doc="The 100 TB form of hybrid_search_rrf: identical BM25 lexical list "
+        "and identical _rrf_fuse semantics, but the dense side comes from "
+        "the IVF index (partition-pruned inverted lists) instead of "
+        "brute-force cosine — at corpus scale the exact all-pairs dense "
+        "ranking is not runnable, so this is the variant a deployment "
+        "actually serves. nprobe=8 of n_lists=16 here because the "
+        "synthetic embeddings are near-UNIFORM — the worst geometry for "
+        "IVF (a random query's true neighbors spread across all lists; "
+        "measured fused-top-20 overlap vs exact: 12-13/20 at nprobe=4, "
+        "15-16/20 at nprobe=8). Clustered real corpora run far smaller "
+        "probe fractions at higher recall (test_ivf_recall_vs_brute_force "
+        "holds >=0.9 at nprobe=4/16 on clustered vectors). No SQL oracle "
+        "(the dense side is approximate by construction); the "
+        "differential pytest gates fused overlap against the exact twin "
+        "and pins that the lexical side and agreeing-rank fused scores "
+        "are identical.",
+    tags=("similarity", "search", "ranking", "llm-pipeline", "no-oracle"),
+)
+def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.operators.similarity import ivf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    vtop = (
+        ivf_topk(
+            emb.where(F.col("vec_id") == 0), emb, "vec_id", "embedding",
+            dim=dim, k=50, n_lists=16, nprobe=8,
         )
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rk").cast("int").alias("cos_rank"))
     )
+    return _rrf_fuse(_bm25_top50(docs), vtop)

@@ -132,7 +132,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,
 # similarity_pq, similarity_ivfpq, profile_orders_hll (float-codebook /
 # HLL internals), k_core_members (anti-monotone peeling fixpoint),
-# lpa_communities (iterative argmax propagation).
+# lpa_communities (iterative argmax propagation), hybrid_search_rrf_ivf
+# (approximate dense side; fused-overlap differential vs the exact twin).
 
 
 def all_queries() -> dict[str, Query]:

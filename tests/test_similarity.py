@@ -332,3 +332,27 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
             s_rank = s["bm25_rank"] or s["cos_rank"]
             if s_rank >= worse:
                 assert b["fused_rank"] < s["fused_rank"], (b, s)
+
+
+def test_hybrid_rrf_ivf_tracks_the_exact_twin(spark, sf_dir):
+    """The scale variant must agree with the exact hybrid wherever the
+    dense side agrees: the BM25 list is identical by construction, the
+    fused top-20 overlap must stay high (IVF recall gates elsewhere at
+    nprobe=4/16), and any doc whose ranks are identical in both variants
+    must receive the identical fused score."""
+    from quatrain_mapreduce_spark.registry import all_queries
+
+    exact = {r["doc_id"]: r for r in
+             all_queries()["hybrid_search_rrf"].fn(spark, sf_dir).collect()}
+    approx = {r["doc_id"]: r for r in
+              all_queries()["hybrid_search_rrf_ivf"].fn(spark, sf_dir).collect()}
+    assert len(exact) == 20 and len(approx) == 20
+    overlap = len(set(exact) & set(approx))
+    # >=14 on the near-uniform synthetic fixture (IVF's worst geometry;
+    # measured 15-16/20 at nprobe=8 — the registered query's setting)
+    assert overlap >= 14, f"fused top-20 overlap {overlap}/20"
+    for doc_id in set(exact) & set(approx):
+        e, a = exact[doc_id], approx[doc_id]
+        assert e["bm25_rank"] == a["bm25_rank"]  # lexical side is exact in both
+        if e["cos_rank"] == a["cos_rank"]:
+            assert e["rrf_r"] == a["rrf_r"]
