@@ -46,15 +46,26 @@ def decode_image(payload: bytes):
     uncompressed BMP. Anything else raises ValueError naming the format.
     """
     try:
-        import io
-
         from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        Image = None
+    if Image is not None:
+        # PIL decodes everything it can; normalize its failure (an
+        # OSError/UnidentifiedImageError) to the documented ValueError so
+        # callers have ONE exception contract with or without PIL. The
+        # import is the only thing the ImportError guard covers — a PIL
+        # plugin failure must not silently fall through to the NumPy
+        # parsers and surface as a misleading unsupported-format error.
+        import io
 
         import numpy as np
 
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-    except ImportError:
-        pass
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception as exc:
+            raise ValueError(
+                f"image payload failed PIL decode (magic {payload[:2]!r}): {exc}"
+            ) from exc
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":

@@ -1630,7 +1630,20 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tdp_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The composed pipeline's stage frames — the Spark twin of _TDP_CTES
-    (one copy, consumed by training_data_pipeline and the funnel)."""
+    (one copy of the COMPOSITION, consumed by training_data_pipeline and
+    the funnel).
+
+    Deliberately NOT memoized across calls (review finding considered and
+    REJECTED by measurement): a session running both registered consumers
+    does persist the sd/capped lineages twice, but the repo's measurement
+    protocol calls spark.catalog.clearCache() between queries/reps, which
+    strips the persist markers off memoized frames — the fingerprint tool
+    showed the memoized funnel re-running with max_live_rescan 18 instead
+    of 6, i.e. the memo silently reintroduced the unpersisted-branch-point
+    class the plan lint exists to catch. Fresh frames per call re-persist
+    on first materialization; the double-copy cost is bounded (two
+    MEMORY_AND_DISK copies of the span-deduped text, evictable) and only
+    paid when both consumers run in one session without clearCache."""
     from pyspark.storagelevel import StorageLevel
 
     from quatrain_mapreduce_spark.operators.curation import (

@@ -81,6 +81,18 @@ def copy_of(df: DataFrame, table: str, i: int, sp: dict[str, int]) -> DataFrame:
         # and filled the disk. With the offset the scaled graph is
         # `copies` disjoint replicas of the sf0.1 graph — work must scale
         # linearly, which is what a slope probe needs to measure.
+        #
+        # KNOWN TRADE (review finding): the offset changes k's VALUE
+        # distribution — copies >= 1 have k in [i*100, i*100+99], so any
+        # query thresholding on raw k (nested_struct_pushdown's k >= 90,
+        # json_field_extract's per-k groups) sees ~91% selectivity /
+        # 100*copies groups on this fixture instead of the base 10% /
+        # 100 groups. Within-copy selectivity is preserved; one scalar
+        # field cannot be simultaneously value-stable and per-copy
+        # disjoint, and the graph tier's disjointness is the property the
+        # scale probes cannot do without. SCALING.md's
+        # nested_struct_pushdown row carries the re-measured post-fix
+        # numbers with this caveat.
         out = out.withColumn(
             "props",
             F.concat(

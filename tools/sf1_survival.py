@@ -56,6 +56,13 @@ def main() -> int:
         unknown = only - set(qs)
         if unknown:
             raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+        # an explicit request to run a documented-wall query must be loud,
+        # not silently dropped (review finding) — name what was skipped so
+        # an empty sweep can't read as "ran with nothing to report"
+        walled = sorted(only & SKIP_WALLS)
+        if walled:
+            print(f"SKIPPED (documented exact-mode walls, see SKIP_WALLS): "
+                  f"{walled}", file=sys.stderr, flush=True)
     for name, q in qs.items():
         if name in SKIP_WALLS or (only and name not in only):
             continue
