@@ -1840,8 +1840,14 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams4(docs.where(h % 10 == 5), "text").select("ng").distinct()
         .join(idx, "ng", "anti")
     )
+    # no F.broadcast hint on new_grams: a real eval increment is usually
+    # broadcast-small and AQE converts the join at runtime when it is, but
+    # the FORCED hint overrode Spark's size check and OOM'd the broadcast
+    # build at sf10, where the synthetic fixture's per-copy token suffixes
+    # make the increment's gram vocabulary corpus-sized (found by the
+    # third-decade probe; see SCALING.md)
     newly = (
-        posting.join(F.broadcast(new_grams), "ng", "semi")
+        posting.join(new_grams, "ng", "semi")
         .select("doc_id").distinct()
     )
     return (
