@@ -152,7 +152,12 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        # no broadcast hint: dfreq is VOCABULARY-sized (distinct words),
+        # which grows with the corpus — at web scale it is not
+        # broadcast-safe, and a forced hint overrides Spark's size check
+        # (the decontaminate_incremental sf10 OOM class). AQE converts
+        # the join at runtime whenever the vocab IS small.
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
     )
@@ -535,7 +540,10 @@ def count_discriminant_classifier(
         .agg(F.count("*").alias("tf"))
     )
     scores = (
-        tf.join(F.broadcast(model), "token")
+        # no broadcast hint: the LM weight table is observed-bigram-sized
+        # (grows with the corpus; same unbounded-build-side class as
+        # tfidf's dfreq) — let AQE convert at runtime when small
+        tf.join(model, "token")
         .groupBy(id_col)
         .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
     )

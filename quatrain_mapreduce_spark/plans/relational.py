@@ -1124,7 +1124,10 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         " o_orderdate)"
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        # no broadcast hint: the q>250 orderkey set grows LINEARLY with
+        # the corpus (high-selectivity but unbounded) — AQE broadcasts at
+        # runtime when it fits, a forced hint OOMs when it does not
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(

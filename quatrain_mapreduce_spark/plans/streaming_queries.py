@@ -810,11 +810,14 @@ def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.unix_micros("ts") >= cutoff_us)
         .select("user_id").distinct()
     )
+    # no broadcast hints: an increment's user set is increment-sized,
+    # not bounded — a day of users at corpus scale overruns a forced
+    # broadcast build. AQE converts both joins at runtime when small.
     updated = sessionize(
-        ev.join(F.broadcast(inc_users), "user_id", "left_semi"),
+        ev.join(inc_users, "user_id", "left_semi"),
         "user_id", "ts", gap_minutes=30,
     )
-    untouched = stored.join(F.broadcast(inc_users), "user_id", "left_anti")
+    untouched = stored.join(inc_users, "user_id", "left_anti")
     return untouched.unionByName(updated)
 
 
