@@ -66,13 +66,26 @@ def decode_image(payload: bytes):
             raise ValueError(
                 f"image payload failed PIL decode (magic {payload[:2]!r}): {exc}"
             ) from exc
-    if payload[:2] == b"P6":
-        return _decode_ppm_p6(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp24(payload)
+    # ONE exception contract with or without PIL (ADVICE r10): a truncated
+    # or malformed payload must surface as the documented ValueError, not as
+    # struct.error / IndexError / zlib.error leaking from the parsers below
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm_p6(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp24(payload)
+    except ValueError:
+        raise  # already the documented contract, message intact
+    except Exception as exc:
+        raise ValueError(
+            f"malformed image payload (magic {payload[:2]!r}): "
+            f"{type(exc).__name__}: {exc}"
+        ) from exc
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); without PIL only "
-        "PPM P6 and 24-bit BI_RGB BMP decode here"
+        "PNG (8-bit, non-interlaced), PPM P6 and 24-bit BI_RGB BMP decode here"
     )
 
 
@@ -121,6 +134,149 @@ def _decode_bmp24(payload: bytes):
     if not top_down:
         img = img[::-1]  # bottom-up storage -> logical top-down
     return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """PNG via stdlib only (r11 — the sandbox-complete compressed format):
+    IHDR/IDAT chunk walk, ``zlib.decompress``, per-row defilter for all five
+    filter types (None/Sub/Up/Average/Paeth — PNG spec §9), 8-bit
+    gray/RGB/RGBA, non-interlaced. Gray broadcasts to 3 channels; RGBA
+    drops alpha (matching PIL's ``convert("RGB")`` on unassociated alpha).
+    PIL still wins when importable — this path exists so a compressed
+    real-world format decodes end to end without media libs. Up is fully
+    vectorized; Sub/Average/Paeth carry a sequential in-row dependency, so
+    those rows defilter in a per-pixel loop — fine for parity fixtures,
+    and clusters with PIL never reach it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat, ihdr = len(_PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos:pos + length]
+        if len(data) < length:
+            raise ValueError(f"PNG truncated inside {ctype!r} chunk")
+        pos += length + 4  # skip CRC (integrity is the transport's job here)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} unsupported (8-bit gray/RGB/RGBA, "
+            "non-interlaced only without PIL)"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels  # filters operate per byte at bpp offsets (8-bit depth)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:     # None
+            cur = line
+        elif ftype == 2:   # Up — no in-row dependency, vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in-row
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img, filter_types=None) -> bytes:
+    """Inverse of _decode_png (fixture/test encoder). ``filter_types`` picks
+    the per-row filter (cycled), defaulting to all-None — tests pass
+    [0,1,2,3,4] so every defilter branch is exercised by one image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, channels = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    flat = img.reshape(h, stride).astype(np.int32)
+    filter_types = filter_types or [0]
+    bpp = channels
+
+    def shift_left(row):
+        return np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur, ft = flat[y], int(filter_types[y % len(filter_types)])
+        left = shift_left(cur)
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = (cur - left) & 0xFF
+        elif ft == 2:
+            filt = (cur - prev) & 0xFF
+        elif ft == 3:
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            upleft = shift_left(prev)
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"filter type {ft} invalid")
+        rows.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
 
 
 def encode_ppm_p6(img) -> bytes:
@@ -185,9 +341,11 @@ DECODE_STATS_SCHEMA = StructType([
 def encode_fixture_images(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic REAL image fixtures: per id, a (4 + id%5) x (3 + id%4)
     RGB image whose flattened pixel bytes follow the ramp (7*id + i) % 256,
-    serialized as PPM P6 for even ids and 24-bit BMP for odd ids. The ramp
-    gives every image a closed-form pixel sum a SQL oracle can compute, so
-    the decode round trip is value-checked end to end."""
+    serialized as PPM P6 (id%3==0), 24-bit BMP (id%3==1), or zlib-compressed
+    PNG cycling all five row filters (id%3==2, r11 — the compressed format
+    exercised end to end). The ramp gives every image a closed-form pixel
+    sum a SQL oracle can compute, so each decode round trip is
+    value-checked end to end."""
     _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,12 +357,15 @@ def encode_fixture_images(df: DataFrame, id_col: str) -> DataFrame:
                 i = int(doc_id)
                 w, h = 4 + i % 5, 3 + i % 4
                 img = ((7 * i + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     types.append("image/ppm")
                     payloads.append(encode_ppm_p6(img))
-                else:
+                elif i % 3 == 1:
                     types.append("image/bmp")
                     payloads.append(encode_bmp24(img))
+                else:
+                    types.append("image/png")
+                    payloads.append(encode_png(img, filter_types=[0, 1, 2, 3, 4]))
                 ids.append(i)
             yield pd.DataFrame({"doc_id": ids, "media_type": types, "payload": payloads})
 

@@ -97,6 +97,29 @@ def fingerprint_query(df) -> dict[str, int]:
 
 # scan metadata renders as e.g. "Location: InMemoryFileIndex(1 paths)[file:/..."
 _LOCATION_RX = re.compile(r"Location: \w+(?:\(\d+ paths?\))?\[([^\],]+)")
+# attribute expression ids (`l_orderkey#123L`) differ between two scan
+# instances of the SAME source within one plan — strip them before hashing
+# an unmatched scan node so identical scans merge (same key), distinct
+# sources don't (different column set / paths still differ)
+_EXPR_ID_RX = re.compile(r"#\d+")
+
+
+def _scan_key(node) -> str:
+    """Stable identity for one scan node. Prefer the full Location path;
+    when the Location line is unparseable, fall back to a digest of the
+    node's rendering with expression ids normalized away — so two physical
+    scans of the same unparseable source still MERGE into one key (a
+    duplicate-scan regression there must stay visible to max_live_rescan;
+    ADVICE r10: a monotonic counter made each one a singleton and hid it),
+    while scans of genuinely different sources keep distinct keys."""
+    rendering = node.toString()
+    m = _LOCATION_RX.search(rendering)
+    if m:
+        return m.group(1)
+    import hashlib
+
+    normalized = _EXPR_ID_RX.sub("#", rendering)
+    return "scan~" + hashlib.md5(normalized.encode()).hexdigest()[:12]
 
 
 def live_scan_counts(df) -> dict[str, int]:
@@ -112,19 +135,21 @@ def live_scan_counts(df) -> dict[str, int]:
     Keys are the FULL matched location path (distinct sources that share a
     basename — e.g. the same table staged under two directories — must not
     merge into one inflated count); a scan whose Location line the regex
-    cannot parse gets a per-node unique key (``scan#<n>``) so unmatched
-    scans never merge either. Known blind spot: the walk covers the main
-    plan tree only — scans inside expression SUBQUERIES (``Subquery``/
-    ``ScalarSubquery`` plans hang off expressions, not ``children()``) are
-    not counted; subquery-heavy rescans need the string-level ``scans``
-    fingerprint feature, which counts every rendering."""
+    cannot parse is keyed by a digest of its expression-id-normalized
+    rendering (see _scan_key), so identical unparseable scans merge and
+    distinct ones don't. The walk descends into expression SUBQUERIES
+    (``node.subqueries()`` — Scalar/In/DPP subquery plans hang off
+    expressions, not ``children()``), skipping ``ReusedSubquery`` wrappers,
+    so a table re-scanned inside a filter subquery counts toward its live
+    multiplicity like any other consumer."""
     counts: dict[str, int] = {}
-    unmatched = [0]
 
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
         if "InMemoryTableScan" in cls:
             return
+        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
+            return  # physically executes once; don't double count its plan
         if "AdaptiveSparkPlan" in cls:
             # AQE wraps any exchange-bearing plan in a LEAF node — descend
             # into the wrapped plan or the walk silently sees nothing
@@ -132,15 +157,11 @@ def live_scan_counts(df) -> dict[str, int]:
             walk(node.inputPlan())
             return
         if "FileSourceScan" in cls or "BatchScan" in cls:
-            m = _LOCATION_RX.search(node.toString())
-            if m:
-                key = m.group(1)
-            else:
-                key = f"scan#{unmatched[0]}"
-                unmatched[0] += 1
+            key = _scan_key(node)
             counts[key] = counts.get(key, 0) + 1
-        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
-            return  # physically executes once; don't double count its plan
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            walk(subqueries.apply(i))
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i))

@@ -1120,29 +1120,32 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dims
         )
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'image/ppm' ELSE 'image/bmp' END
-                   AS media_type,
+               CASE doc_id % 3 WHEN 0 THEN 'image/ppm'
+                               WHEN 1 THEN 'image/bmp'
+                               ELSE 'image/png' END AS media_type,
                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                CAST(c * 32640 + r * a + r * (r - 1) // 2
                     - 256 * greatest(0, a + r - 256) AS BIGINT) AS pix_sum,
                CAST(a AS BIGINT) AS first_px
         FROM spec
     """,
-    doc="REAL image decode end to end (r10 — retires the r9 stub for "
-        "uncompressed formats): per document a deterministic ramp image "
-        "((7*doc_id + i) % 256) is serialized as an actual PPM P6 (even "
-        "ids) or 24-bit bottom-up BGR BMP (odd ids) in one Arrow-batched "
+    doc="REAL image decode end to end (r10 uncompressed, r11 adds the "
+        "compressed format): per document a deterministic ramp image "
+        "((7*doc_id + i) % 256) is serialized as an actual PPM P6 "
+        "(id%3==0), 24-bit bottom-up BGR BMP (id%3==1), or zlib-compressed "
+        "PNG cycling all five row filters (id%3==2) in one Arrow-batched "
         "stage, and a SECOND mapInPandas stage decodes the bytes with "
-        "operators/multimodal.decode_image (pure NumPy; PIL hook when "
-        "installed) and emits dimensions, exact pixel sum, and the (0,0) R "
-        "channel. The oracle computes all three in closed form, so a "
-        "decoder that misparses the header, includes BMP row padding, "
-        "skips the bottom-up flip, or forgets BGR->RGB fails the value "
-        "hash — first_px is the orientation/channel canary the "
-        "order-invariant sum can't see. Scan-local: zero shuffles; both "
-        "stages ride the documents scan. Reference analogue: none (the "
-        "reference has no binary-payload story); this is the LLM-pipeline "
-        "multimodal tier made honest.",
+        "operators/multimodal.decode_image (pure NumPy + stdlib zlib; PIL "
+        "hook when installed) and emits dimensions, exact pixel sum, and "
+        "the (0,0) R channel. The oracle computes all three in closed "
+        "form, so a decoder that misparses a header, includes BMP row "
+        "padding, skips the bottom-up flip, forgets BGR->RGB, or "
+        "mis-defilters any PNG filter type fails the value hash — "
+        "first_px is the orientation/channel canary the order-invariant "
+        "sum can't see. Scan-local: zero shuffles; both stages ride the "
+        "documents scan. Reference analogue: none (the reference has no "
+        "binary-payload story); this is the LLM-pipeline multimodal tier "
+        "made honest.",
     tags=("multimodal",),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,3 +92,73 @@ def test_no_cartesian_product_and_no_row_python_udfs(spark, sf_dir):
         "with `python tools/plan_fingerprints.py --refresh` in the same "
         "commit):\n" + "\n".join(drifted)
     )
+
+
+def _counts_for(df):
+    from quatrain_mapreduce_spark.planaudit import live_scan_counts
+
+    return live_scan_counts(df)
+
+
+def test_live_scan_counts_sees_subquery_embedded_scans(spark, sf_dir):
+    """A table re-scanned inside a filter's scalar subquery is a live
+    consumer like any other — pre-r11 the walk covered children() only and
+    a subquery-embedded rescan was invisible to max_live_rescan (ADVICE r9
+    residual; the walk now descends node.subqueries())."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.createOrReplaceTempView("pa_nation_sq")
+    df = spark.sql(
+        "SELECT n_name FROM pa_nation_sq "
+        "WHERE n_nationkey > (SELECT avg(n_nationkey) FROM pa_nation_sq)"
+    )
+    counts = _counts_for(df)
+    nation_counts = [v for k, v in counts.items() if "nation.parquet" in k]
+    assert nation_counts and max(nation_counts) >= 2, counts
+
+
+def test_live_scan_counts_keys_by_full_path_not_basename(spark, tmp_path):
+    """Two distinct sources sharing a basename (same table staged under two
+    directories) must NOT merge into one inflated count — and the same
+    path scanned twice must."""
+    import pyspark.sql.functions as F
+
+    a_dir, b_dir = str(tmp_path / "a" / "t.parquet"), str(tmp_path / "b" / "t.parquet")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(a_dir)
+    spark.range(10).withColumn("v", F.col("id") * 3).write.parquet(b_dir)
+    two_sources = spark.read.parquet(a_dir).unionAll(spark.read.parquet(b_dir))
+    counts = _counts_for(two_sources)
+    assert len(counts) == 2 and set(counts.values()) == {1}, counts
+
+    same_twice = spark.read.parquet(a_dir).unionAll(spark.read.parquet(a_dir))
+    counts2 = _counts_for(same_twice)
+    assert len(counts2) == 1 and set(counts2.values()) == {2}, counts2
+
+
+def test_unmatched_location_scans_merge_by_identity(spark, tmp_path, monkeypatch):
+    """When the Location line is unparseable, identical scans must still
+    MERGE (a genuine duplicate-scan regression on such a source stays
+    visible) while distinct sources keep distinct keys — ADVICE r10: the
+    old scan#<n> counter made every unmatched scan a singleton."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from quatrain_mapreduce_spark import planaudit
+
+    x_dir, y_dir = str(tmp_path / "x.parquet"), str(tmp_path / "y.parquet")
+    spark.range(5).write.parquet(x_dir)
+    spark.range(5).withColumn("w", F.lit(1)).write.parquet(y_dir)
+    # "a^" can never match (an 'a' followed by start-of-string); the group
+    # keeps the regex shape _scan_key expects
+    monkeypatch.setattr(planaudit, "_LOCATION_RX", _re.compile(r"a^(never)"))
+
+    same_twice = spark.read.parquet(x_dir).unionAll(spark.read.parquet(x_dir))
+    counts = planaudit.live_scan_counts(same_twice)
+    assert len(counts) == 1, counts
+    (key, n), = counts.items()
+    assert key.startswith("scan~") and n == 2, counts
+
+    mixed = spark.read.parquet(x_dir).join(spark.read.parquet(y_dir), "id")
+    counts2 = planaudit.live_scan_counts(mixed)
+    scan_keys = [k for k in counts2 if k.startswith("scan~")]
+    assert len(scan_keys) == 2 and all(counts2[k] == 1 for k in scan_keys), counts2

@@ -83,9 +83,54 @@ def test_decode_image_bmp_roundtrip_flips_rows_and_channels():
     assert np.array_equal(decode_image(payload), img)
 
 
+def test_decode_image_png_roundtrip_all_filter_types():
+    """PNG encode→decode is the identity for every per-row filter type
+    (None/Sub/Up/Average/Paeth — the five defilter branches of spec §9),
+    for RGB, RGBA (alpha dropped), and grayscale (broadcast to 3ch)."""
+    import numpy as np
+
+    from quatrain_mapreduce_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ft in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(decode_image(encode_png(img, filter_types=ft)), img), ft
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgba, filter_types=[4])),
+                          rgba[:, :, :3])
+    gray = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(gray, filter_types=[3])),
+                          np.repeat(gray[:, :, None], 3, axis=2))
+
+
 def test_decode_image_rejects_unknown_format():
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n not actually decodable here")
+    with pytest.raises(ValueError):
+        decode_image(b"??no such format")
+
+
+def test_decode_image_single_exception_contract_on_malformed_payloads():
+    """ADVICE r10: without PIL, truncated/garbage payloads must raise the
+    documented ValueError — never struct.error (short BMP), IndexError /
+    bare int() ValueError with an unhelpful message (chopped PPM header),
+    or zlib.error (chopped PNG)."""
+    import numpy as np
+
+    from quatrain_mapreduce_spark.operators.multimodal import encode_png
+
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8), filter_types=[2])
+    malformed = [
+        b"BM" + b"\x00" * 18,          # 20-byte BMP: header unpack out of range
+        b"P6",                          # PPM with no header fields
+        b"P6 4",                        # PPM header chopped mid-field
+        b"P6\n4 3\n255\n" + b"\x01" * 5,  # PPM raster shorter than w*h*3
+        b"\x89PNG\r\n\x1a\n",          # PNG magic only
+        png[:30],                       # PNG truncated inside IDAT
+    ]
+    for payload in malformed:
+        with pytest.raises(ValueError):
+            decode_image(payload)
 
 
 def test_resize_images_shapes_and_determinism(spark, sf_dir):

@@ -22,7 +22,10 @@ committed offsets, so it replays identically across restarts. The parent:
            disk, exactly what the file-sink commit log must mask);
   phase 2: restarts from the same checkpoint, then requests a GRACEFUL
            query.stop() via a stop-file;
-  phase 3: restarts again and lets it run out the clock.
+  phase 3: restarts again (a SECOND recovery from the same lineage) and,
+           like phase 2, ends by graceful stop-file once its share of the
+           clock elapses — the phase exists for the extra restart, not for
+           a distinct termination mode.
 
 Then it machine-asserts exactly-once: reading the sink THROUGH SPARK (which
 honors the ``_spark_metadata`` commit log — a raw directory listing would
@@ -185,7 +188,11 @@ def _kill_restart(args) -> int:
     phases = [  # (label, run_seconds, how it ends)
         ("pre-kill", total * 0.4, "SIGKILL"),
         ("post-kill", total * 0.3, "graceful stop-file"),
-        ("final", total * 0.3, "runs out the clock"),
+        # ADVICE r10: this phase was labeled "runs out the clock" but the
+        # loop ends every i>0 phase the same way (sleep run_s, write the
+        # stop-file; --run-seconds is padded +120s so it never fires first)
+        # — the telemetry now says what actually happens
+        ("final", total * 0.3, "graceful stop-file"),
     ]
     child_base = [
         sys.executable, os.path.abspath(__file__), "--mode", "child",
