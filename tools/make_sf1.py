@@ -17,7 +17,13 @@ table can be extended one more decade:
 - embedding element 0 is nudged by copy*0.37 for the same reason (identical
   vectors would turn ANN buckets into 10x pileups).
 
+- scaled copies DROP the h16(doc_id)%10==5 hash slice of documents (the
+  engine's "new eval release" selector), so the incremental-
+  decontamination increment stays release-sized (copy-0's) at every SF
+  while everything else grows — see the in-code comment for the trade.
+
 Usage: python tools/make_sf1.py [--out /tmp/qms_sf1] [--copies 10]
+                                [--tables documents,embeddings]
 """
 
 from __future__ import annotations
@@ -107,6 +113,21 @@ def copy_of(df: DataFrame, table: str, i: int, sp: dict[str, int]) -> DataFrame:
             F.transform(F.split("text", " "), lambda w: F.concat(w, F.lit(f"_{i}"))), " "
         )
         out = out.withColumn("text", suffixed).withColumn("n_chars", F.length("text"))
+        # RELEASE-SIZED EVAL INCREMENT (r11, VERDICT r10 #3): the engine's
+        # incremental-decontamination queries treat h16(doc_id)%10==5 as the
+        # "new eval release". A real release is a FIXED-size artifact, but
+        # suffixed copies would land ~10% of EVERY copy in that slice, so at
+        # sf10 the increment's gram vocabulary was corpus-sized — an
+        # unrepresentative wall (SCALING.md round-10). Dropping the
+        # increment-slice rows from scaled copies keeps the increment
+        # exactly the base corpus's (copy-0's) — fixed at every SF — while
+        # the eval base, train corpus, and posting index keep growing
+        # linearly. Trade: scaled copies carry ~90% of base rows (uniform,
+        # documented); within-copy near-dup structure is untouched because
+        # the drop is a hash slice, not a content filter.
+        from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+        out = out.where(F.expr(f"({portable_h16_sql('doc_id')}) % 10 <> 5"))
     if table == "embeddings" and i > 0:
         nudge = F.lit(float(i) * 0.37)
         out = out.withColumn(
@@ -123,7 +144,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/qms_sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to stage (default: all). "
+                         "Lets a probe rebuild one table (e.g. documents "
+                         "after a fixture-scheme change) or stage a "
+                         "documents-only sf100 without paying for lineitem.")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     from quatrain_mapreduce_spark.session import get_spark
 
@@ -131,20 +158,32 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     sp = spans(spark)
     for table in UNCHANGED:
+        if only is not None and table not in only:
+            continue
         dst = f"{args.out}/{table}.parquet"
         if not os.path.exists(dst):
             spark.read.parquet(f"{SRC}/{table}.parquet").write.mode("overwrite").parquet(dst)
         print(f"{table}: copied unchanged")
     for table in KEYED:
+        if only is not None and table not in only:
+            continue
         dst = f"{args.out}/{table}.parquet"
         if os.path.exists(dst):
             print(f"{table}: exists, skipping")
             continue
         base = spark.read.parquet(f"{SRC}/{table}.parquet")
-        full = copy_of(base, table, 0, sp)
-        for i in range(1, args.copies):
-            full = full.unionByName(copy_of(base, table, i, sp))
-        full.repartition(32).write.mode("overwrite").parquet(dst)
+        # write in bounded union chunks: a single 1000-leg union (sf100
+        # staging) stalls the analyzer/optimizer on plan size; 25-leg
+        # chunks keep planning O(seconds) and append incrementally
+        chunk_size = 25
+        for lo in range(0, args.copies, chunk_size):
+            hi = min(lo + chunk_size, args.copies)
+            chunk = copy_of(base, table, lo, sp)
+            for i in range(lo + 1, hi):
+                chunk = chunk.unionByName(copy_of(base, table, i, sp))
+            mode = "overwrite" if lo == 0 else "append"
+            chunk.repartition(8 if args.copies > 100 else 32) \
+                .write.mode(mode).parquet(dst)
         n = spark.read.parquet(dst).count()
         print(f"{table}: {n} rows")
     return 0
