@@ -6,18 +6,24 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "agg": "min",
 "queries": {...}, "contended": bool, "sf": ...}. "queries"/"value" are
 MIN-of-reps steady state (post-warmup) — the least-contended observation,
 the only round-over-round-stable signal on this shared host (see
-stdout_line); "contended" flags loadavg above the documented threshold
-during the run. The driver records this as BENCH_r{N}.json.
+stdout_line); "contended" flags EXTERNAL load: a loaded host before Spark
+starts, or co-tenant cores (loadavg minus the bench tree's own achieved
+CPU) above threshold during the timed window. A raw loadavg threshold
+would flag the bench's own local[32] work on every healthy run (the first
+r11 artifact did exactly that: start 0.06, timed 5.95). The driver records
+this as BENCH_r{N}.json.
 
 How to read a BENCH artifact (for the round driver / judge):
 - compare `value` (min-of-reps total) across rounds, never medians;
-- if `contended` is true, the artifact is labeled contaminated by host
-  load — even the minima may be inflated; prefer a quiet-host re-run
-  before concluding a regression;
+- if `contended` is true, the artifact is labeled contaminated by
+  EXTERNAL host load — even the minima may be inflated; prefer a
+  quiet-host re-run before concluding a regression;
 - per-query minima are in `queries` (stdout) / `queries_min` (summary);
   medians and cold-start rows live in BENCH_SUMMARY.json
   (`queries_median`, `median_total`, `queries_cold`, `cold_total`) along
-  with loadavg snapshots and the contention verdict.
+  with loadavg snapshots, the bench's own achieved cores
+  (`own_cpu_cores_timed`), the external-core estimate
+  (`external_cores_est`), and the contention verdict.
 
 Workloads (BASELINE.md "Workload set for BENCH"): WordCount, Grep, global
 Sort, Join, TopK, aggregate-package, Hive-style SQL mix shapes, CQ window,
@@ -111,12 +117,24 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-# 1-minute loadavg above which a run on this box is demonstrably
-# contaminated by co-tenant load: PLANS.md's round-9/10 data shows loadavg
-# 3-7 at ~0.1% container CPU inflating identical-plan wall times 1.4-2.1x
-# (phantom regressions in r8, r9, and the r10 driver artifact). The flag is
-# telemetry, not a gate — the run proceeds either way, self-labeled.
+# 1-minute loadavg above which the host is demonstrably loaded BEFORE the
+# bench's own Spark session exists (the pre-Spark snapshot has ~zero own
+# contribution): PLANS.md's round-9/10 data shows co-tenant loadavg 3-7
+# inflating identical-plan wall times 1.4-2.1x (phantom regressions in r8,
+# r9, and the r10 driver artifact). Applied ONLY to env_start — a raw
+# loadavg threshold applied mid-run flags the bench's own local[32] work
+# (first r11 artifact: start 0.06, timed 5.95, "contended" on a quiet
+# host), which is why mid-run contention uses EXTERNAL_CORES below instead.
 CONTENTION_LOADAVG = float(os.environ.get("SPARK_GRAFT_CONTENTION_LOADAVG", "3.0"))
+
+# Estimated EXTERNAL busy/runnable cores (loadavg minus the bench process
+# tree's own achieved CPU) above which the timed window is flagged
+# contended. Own oversubscription (32 task threads + GC/netty/python
+# workers on a 32-core box) plus loadavg's 1-min damping keeps the solo
+# estimate near zero but not exactly zero — calibrated solo in r11:
+# external_cores_est ~0-1 on a quiet host, 3-7 during the documented
+# co-tenant episodes.
+EXTERNAL_CORES = float(os.environ.get("SPARK_GRAFT_EXTERNAL_CORES", "2.5"))
 
 
 def max_loadavg(*snaps: dict) -> float | None:
@@ -124,6 +142,68 @@ def max_loadavg(*snaps: dict) -> float | None:
     platform exposes none)."""
     loads = [s["loadavg"][0] for s in snaps if s.get("loadavg")]
     return max(loads) if loads else None
+
+
+def proc_tree_cpu_seconds(root_pid: int | None = None) -> float | None:
+    """Total CPU seconds (utime+stime) consumed by `root_pid` and all its
+    LIVE descendants, from /proc/*/stat. The Spark JVM and the Arrow/pandas
+    python workers live for the whole bench, so live-descendant accounting
+    is complete here; os.times() children counters would miss them until
+    reaped. None where /proc isn't available (the caller then falls back to
+    the env_start loadavg gate alone)."""
+    if root_pid is None:
+        root_pid = os.getpid()
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        procs: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", "rb") as fh:
+                    raw = fh.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced a process exit
+            # comm may contain spaces/parens — fields resume after last ')'
+            fields = raw[raw.rindex(")") + 2:].split()
+            procs[int(p)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+    except (OSError, ValueError):
+        return None
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [root_pid], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen or pid not in procs:
+            continue
+        seen.add(pid)
+        total += procs[pid][1]
+        stack.extend(kids.get(pid, []))
+    return total / clk
+
+
+def external_cores_estimate(avg_load: float | None,
+                            own_cores: float | None) -> float | None:
+    """Co-tenant busy/runnable cores ≈ loadavg (host-wide demand, the one
+    signal that sees co-tenants in this container — PLANS.md r9: loadavg
+    3-7 at ~0.1% container /proc/stat busy) minus the bench tree's own
+    ACHIEVED cores. Under external contention own achieved drops while own
+    demand persists, so this overestimates — the flag errs toward firing
+    exactly when wall times are being inflated."""
+    if avg_load is None or own_cores is None:
+        return None
+    return max(0.0, round(avg_load - own_cores, 2))
+
+
+def contention_verdict(start_load: float | None,
+                       external_est: float | None) -> bool:
+    """Contended iff the host was loaded before Spark existed (env_start
+    gate, own contribution ~0) or the timed window shows external cores
+    above threshold. A quiet-host solo run trips neither."""
+    if start_load is not None and start_load > CONTENTION_LOADAVG:
+        return True
+    return external_est is not None and external_est > EXTERNAL_CORES
 
 
 def stdout_line(times_min: dict[str, float], sf: float,
@@ -142,9 +222,10 @@ def stdout_line(times_min: dict[str, float], sf: float,
     the only number stable round-over-round (host load produced phantom
     regressions in three of four rounds when medians were headlined —
     VERDICT r10 §wrong#1). `agg` says so in-band; `contended` says whether
-    loadavg exceeded the documented threshold at any snapshot — when true,
-    even the minima may be inflated and the run should be re-taken on a
-    quiet host before cross-round comparison."""
+    EXTERNAL load was detected (pre-Spark loadavg gate, or timed-window
+    loadavg minus own achieved cores above threshold — contention_verdict)
+    — when true, even the minima may be inflated and the run should be
+    re-taken on a quiet host before cross-round comparison."""
     total = round(sum(t for t in times_min.values() if t >= 0), 3)
     return json.dumps({
         "metric": "bench_total_wall",
@@ -194,6 +275,7 @@ def main() -> None:
         time.sleep(wait)
         waited_s = wait
         env_start = _env_snapshot()
+        start_load = max_loadavg(env_start)  # post-wait level is the verdict input
     spark = get_spark(app_name="qms-bench")
     qs = all_queries()
 
@@ -265,6 +347,15 @@ def main() -> None:
     # a 3-rep median still carried warm-up tail it shouldn't
     N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     env_timed = _env_snapshot()
+    # External-contention accounting for the timed window: sample 1-min
+    # loadavg after every query (spread over the whole window — cheap, no
+    # sampler thread) and meter the bench tree's own achieved CPU cores via
+    # /proc deltas; external ≈ avg(loadavg) − own cores (see
+    # external_cores_estimate). This replaces the raw loadavg threshold for
+    # the mid-run verdict, which flagged the bench's own local[32] load.
+    timed_wall0 = time.monotonic()
+    own_cpu0 = proc_tree_cpu_seconds()
+    load_samples: list[float] = []
     times: dict[str, float] = {}
     # min-of-reps alongside the median: this container shows host-level
     # contention invisible to its own /proc/stat (r9 measured loadavg 3-7 at
@@ -288,10 +379,22 @@ def main() -> None:
             spark.catalog.clearCache()
         times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
         times_min[name] = round(min(reps), 3) if reps else -1.0
+        try:
+            load_samples.append(os.getloadavg()[0])
+        except OSError:
+            pass
 
     env_end = _env_snapshot()
     load_max = max_loadavg(env_start, env_timed, env_end)
-    contended = load_max is not None and load_max > CONTENTION_LOADAVG
+    own_cpu1 = proc_tree_cpu_seconds()
+    timed_wall = time.monotonic() - timed_wall0
+    own_cores = (round((own_cpu1 - own_cpu0) / timed_wall, 2)
+                 if own_cpu0 is not None and own_cpu1 is not None
+                 and timed_wall > 0 else None)
+    avg_load_timed = (round(sum(load_samples) / len(load_samples), 2)
+                      if load_samples else None)
+    external_est = external_cores_estimate(avg_load_timed, own_cores)
+    contended = contention_verdict(start_load, external_est)
     min_total = round(sum(t for t in times_min.values() if t >= 0), 3)
     median_total = round(sum(t for t in times.values() if t >= 0), 3)
     summary = {
@@ -312,6 +415,10 @@ def main() -> None:
         "env_end": env_end,
         "load_max": load_max,
         "contention_loadavg_threshold": CONTENTION_LOADAVG,
+        "loadavg_avg_timed": avg_load_timed,
+        "own_cpu_cores_timed": own_cores,
+        "external_cores_est": external_est,
+        "external_cores_threshold": EXTERNAL_CORES,
         "contended": contended,
         "contention_waited_s": waited_s,
         "reps": N_REPS,

@@ -9,15 +9,23 @@ everything bulky relegated to BENCH_SUMMARY.json.
 Round 11 adds the contention contract (VERDICT r10 top_next): the headline
 `value` is MIN-of-reps (the least-contended observation — host load
 produced phantom regressions in r8, r9, and the r10 driver artifact when
-medians were headlined), and every artifact self-labels `contended` from
-loadavg telemetry so a contaminated run is identifiable without forensics.
+medians were headlined), and every artifact self-labels `contended` so a
+contaminated run is identifiable without forensics. The verdict detects
+EXTERNAL load only: a raw loadavg threshold flags the bench's own
+local[32] work on every healthy run (the first r11 artifact: env_start
+0.06 yet contended=true at timed loadavg 5.95), so mid-run contention is
+judged by loadavg minus the bench process tree's own achieved CPU cores.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import time
 
-from bench import BENCH_QUERIES, CONTENTION_LOADAVG, max_loadavg, stdout_line
+from bench import (BENCH_QUERIES, CONTENTION_LOADAVG, EXTERNAL_CORES,
+                   contention_verdict, external_cores_estimate, max_loadavg,
+                   proc_tree_cpu_seconds, stdout_line)
 
 # the observed r6 capture held ~1.5 KB of tail; r8's ~4.6 KB line was lost
 # entirely. Keep worst case comfortably under the smallest observed bound.
@@ -62,6 +70,41 @@ def test_contention_threshold_and_loadavg_fold():
     assert max_loadavg() is None
 
 
+def test_contention_verdict_ignores_own_load():
+    """The failure mode that motivated the r11 rework: a quiet host whose
+    loadavg is entirely the bench's own Spark work must NOT be contended,
+    while pre-Spark load or a genuine external-core surplus must be."""
+    # quiet start, timed loadavg fully explained by own achieved cores
+    assert contention_verdict(0.06, external_cores_estimate(5.95, 5.4)) is False
+    # r10 driver artifact shape: host loaded before Spark existed
+    assert contention_verdict(6.6, None) is True
+    # mid-run co-tenant arrival: loadavg far above own achieved cores
+    assert contention_verdict(1.0, external_cores_estimate(9.0, 3.0)) is True
+    # no /proc and no loadavg: cannot conclude contention
+    assert contention_verdict(None, None) is False
+    # estimate clamps at zero (1-min damping can lag own ramp-down)
+    assert external_cores_estimate(2.0, 6.0) == 0.0
+    assert external_cores_estimate(None, 1.0) is None
+    assert external_cores_estimate(1.0, None) is None
+    assert EXTERNAL_CORES > 0
+
+
+def test_proc_tree_cpu_meter_counts_own_work():
+    """proc_tree_cpu_seconds must see this process's own CPU (the bench
+    subtracts its delta over the timed window); on a /proc-less platform it
+    degrades to None and the verdict falls back to the env_start gate."""
+    c0 = proc_tree_cpu_seconds()
+    if c0 is None:
+        assert not os.path.isdir("/proc")
+        return
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 0.3:
+        x += 1
+    c1 = proc_tree_cpu_seconds()
+    assert c1 is not None and c1 - c0 >= 0.1, (c0, c1)
+
+
 def test_summary_artifact_carries_min_and_env_telemetry():
     """BENCH_SUMMARY.json (committed per round) must keep the fields the
     contention analysis relies on: min-of-reps, loadavg snapshots, and —
@@ -80,3 +123,9 @@ def test_summary_artifact_carries_min_and_env_telemetry():
         assert s["value"] == s["min_total"]
         assert "median_total" in s and "load_max" in s
         assert set(s["queries_median"]) == set(s["queries_min"])
+    if "external_cores_threshold" in s:
+        # r11 external-load verdict: the artifact must carry the inputs the
+        # verdict was computed from, so it can be audited without re-running
+        for key in ("loadavg_avg_timed", "own_cpu_cores_timed",
+                    "external_cores_est"):
+            assert key in s, key

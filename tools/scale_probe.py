@@ -29,7 +29,27 @@ def main() -> int:
     ap.add_argument("--queries", required=True,
                     help="comma-separated registered query names")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--wait-quiet", type=float, default=0.0,
+                    help="poll up to this many seconds for 1-min loadavg "
+                         "to drop below --quiet-load before EACH query's "
+                         "timed reps (the co-tenant load on this host "
+                         "arrives in waves — bench.py's contention notes); "
+                         "proceeds regardless at the deadline, the stamped "
+                         "loadavg tells the reader which case happened")
+    ap.add_argument("--quiet-load", type=float, default=1.5)
     args = ap.parse_args()
+
+    def wait_quiet() -> float:
+        waited = 0.0
+        while waited < args.wait_quiet:
+            try:
+                if os.getloadavg()[0] < args.quiet_load:
+                    break
+            except OSError:
+                break
+            time.sleep(15.0)
+            waited += 15.0
+        return waited
 
     from quatrain_mapreduce_spark import get_spark
     from quatrain_mapreduce_spark.registry import all_queries
@@ -58,6 +78,8 @@ def main() -> int:
                   flush=True)
             continue
         warm_s = round(time.monotonic() - t0, 3)
+        waited = wait_quiet()  # the warm pass itself inflates 1-min loadavg;
+        # let it (and any co-tenant wave) decay before the timed reps
         reps = []
         for _ in range(args.reps):
             spark.catalog.clearCache()
@@ -65,7 +87,7 @@ def main() -> int:
             qs[name].fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
             reps.append(round(time.monotonic() - t0, 3))
         results[name] = {"cold": warm_s, "reps": reps, "min": min(reps),
-                         "loadavg": loadavg()}
+                         "loadavg": loadavg(), "waited_quiet_s": waited}
         print(json.dumps({"query": name, **results[name]}), flush=True)
     print(json.dumps({"sf_dir": args.sf_dir, "reps": args.reps,
                       "mins": {n: r["min"] for n, r in results.items()},
