@@ -1049,3 +1049,103 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = run_available_now(cells_stream, name)
     toks = load_table(spark, sf_dir, "documents").select(tok_expr)
     return cms_serve_top20(toks, cells)
+
+
+_STREAM_TDP_ORACLE = """
+        WITH t AS (
+            SELECT source, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents
+        ), m AS (
+            SELECT source, norm,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, s -> CAST(length(s) AS BIGINT)))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS mean_tok_len,
+                   CASE WHEN len(toks) > 0
+                        THEN round(len(list_filter(toks, s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                                   / CAST(len(toks) AS DOUBLE), 4)
+                        ELSE 0.0 END AS symbol_frac,
+                   CAST(len(list_intersect(list_distinct(toks),
+                                           ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+            FROM t
+        ), kept AS (
+            SELECT DISTINCT source, norm FROM m
+            WHERE n_tokens BETWEEN 5 AND 100000
+              AND mean_tok_len BETWEEN 2 AND 12
+              AND symbol_frac < 0.1
+              AND stop_hits >= 2
+        ), ktoks AS (
+            SELECT unnest(list_filter(string_split(norm, ' '), x -> x <> '')) AS tok
+            FROM kept
+        ), probes AS (
+            SELECT tok, i, ({h16_tok}) % 1024 AS b
+            FROM ktoks, (SELECT unnest(['1','2','3','4']) AS i) r
+        ), cells AS (
+            SELECT i, b, CAST(count(*) AS BIGINT) AS c
+            FROM probes GROUP BY i, b
+        ), exact AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+            FROM ktoks GROUP BY tok
+        ), top AS (
+            SELECT tok, n_exact FROM exact
+            ORDER BY n_exact DESC, tok LIMIT 20
+        ), topprobes AS (
+            SELECT tp.tok, tp.n_exact, i, ({h16_top}) % 1024 AS b
+            FROM top tp, (SELECT unnest(['1','2','3','4']) AS i) r
+        )
+        SELECT p.tok AS token, p.n_exact,
+               CAST(min(c.c) AS BIGINT) AS cms_est,
+               CAST(min(c.c) >= p.n_exact AS INT) AS one_sided_ok
+        FROM topprobes p JOIN cells c ON c.i = p.i AND c.b = p.b
+        GROUP BY p.tok, p.n_exact
+"""
+
+
+def _stream_tdp_oracle() -> str:
+    from quatrain_mapreduce_spark.operators.curation import portable_h16_sql
+
+    return _STREAM_TDP_ORACLE.format(
+        h16_tok=portable_h16_sql("concat(tok,'|',i)"),
+        h16_top=portable_h16_sql("concat(tp.tok,'|',i)"),
+    )
+
+
+@register(
+    "stream_training_pipeline",
+    oracle=_stream_tdp_oracle(),
+    doc="Composed streaming training-data pipeline — ONE multi-stage "
+        "Structured Streaming query: file-stream ingest -> Gopher "
+        "ingestion gate (stateless) -> streaming exact dedup "
+        "(dropDuplicates state carried across micro-batches) -> "
+        "foreachBatch fold appending the kept corpus to a batch-id-"
+        "versioned sink AND merging the count-min monitor cells by "
+        "addition (streaming/pipeline.py). Readers honor the checkpoint "
+        "commit log, so the fold is exactly-once under mid-batch JVM "
+        "death (tools/soak_stream.py --mode pipeline SIGKILLs and "
+        "machine-asserts it). Result: the exact top-20 tokens of the "
+        "curated deduped corpus probed against the drained CMS snapshot "
+        "— n_exact pins the gate+dedup composition, cms_est pins the "
+        "per-batch merge algebra, and the whole thing is one DuckDB "
+        "oracle. The reference's only composition form is separate "
+        "chained continuous jobs (MR/PipelineMapTask.java:52 -> "
+        "MR/ReduceTask.java:565-629); this is that chain as one plan "
+        "with one checkpoint lineage.",
+    tags=("streaming", "curation", "dedup", "sketch", "llm-pipeline",
+          "no-sql-plan"),
+)
+def stream_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        norm_tokens, read_training_stream_result, run_training_stream,
+    )
+
+    d = stage_doc_slices(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="qms_stream_tdp_")
+    run_training_stream(spark, d, out_root)
+    kept, cells, _ = read_training_stream_result(spark, out_root)
+    return cms_serve_top20(norm_tokens(kept), cells)

@@ -67,6 +67,13 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # holds redundant shape variants plus rows-only approximate operators whose
 # oracles can't exist.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- r11 rotation: one new query this round (the composed streaming
+    # pipeline — gate -> stateful dedup -> foreachBatch kept-sink + CMS
+    # monitor fold, exactly-once under the kill/restart soak). It takes the
+    # first slot per the standing rule; join_outer_full rotates out (its
+    # module keeps 5 other representatives and it has two driver-green
+    # rows, r7 and r10).
+    "stream_training_pipeline",
     # --- r10 rotation. The r9 gate came back 50/50 green and DRAINED the
     # never-green ledger (lifetime driver-green: 234/234 oracled). The
     # standing rule now means: queries NEW this round attest first, then
@@ -102,7 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- re-attestation slots: one-or-more green representatives per
     # module, weighted toward flagship 100 TB paths.
     # relational
-    "groupby2_shape", "tpch_q1_shape", "join_multiway", "join_outer_full",
+    "groupby2_shape", "tpch_q1_shape", "join_multiway",
     "join_semi_anti", "profile_orders_approx",
     # mrlib
     "grep", "topk_users", "secondary_sort",

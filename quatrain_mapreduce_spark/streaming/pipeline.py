@@ -1,0 +1,180 @@
+"""Composed streaming training-data pipeline — the continuous form of
+``training_data_pipeline``'s front half, expressed as ONE multi-stage
+Structured Streaming query:
+
+    file-stream ingest
+      -> ingestion-time curation gate   (Gopher rules — stateless map work)
+      -> streaming exact dedup          (dropDuplicates on (source, fp) —
+                                         state store carries the seen set
+                                         ACROSS micro-batches)
+      -> foreachBatch fold:
+           (a) kept corpus appended to a per-batch-versioned parquet sink
+           (b) count-min cell snapshot merged BY ADDITION per micro-batch
+               (the bounded-state frequency monitor riding the same pass)
+
+The reference could only express this as separate chained continuous jobs
+(HOP inter-job pipelining — MR/PipelineMapTask.java:52 feeding
+MR/ReduceTask.java:565-629); here the gate, the dedup state, and the
+monitor fold are one streaming plan with one checkpoint lineage.
+
+Exactly-once without a native sink commit log: foreachBatch output is made
+idempotent by keying every write on the micro-batch id — ``kept/b{id}`` is
+overwritten on replay with identical content (deterministic input replay +
+state restored from the checkpoint version of id-1), and ``cells/v{id}`` is
+a pure function of ``cells/v{id-1}`` + the replayed batch. Readers then
+honor the checkpoint ``commits/`` log the way Spark's file-sink readers
+honor ``_spark_metadata``: only batch versions the checkpoint committed are
+visible, so part-written orphans from a mid-batch crash are masked
+(``tools/soak_stream.py --mode pipeline`` SIGKILLs the JVM mid-run and
+machine-asserts exactly this).
+
+Scale shape: the gate is scan-local column work; dedup state is one row per
+unique (source, fp) — the production unbounded form swaps in
+dropDuplicatesWithinWatermark to bound it by event-time; the CMS fold is
+bounded at d*w (<=4096) cells NO MATTER the corpus size, so the monitor
+never becomes a vocabulary-sized aggregation (pinned by
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CMS_CELL_SCHEMA = "i string, b int, c bigint"
+KEPT_SCHEMA = "doc_id bigint, source string, norm string, fp string"
+
+_NORM_TOKS = "filter(split(norm, ' '), x -> x <> '')"
+
+
+def committed_batch_ids(ckpt: str) -> set[int]:
+    """Batch ids the checkpoint's commit log confirmed. The foreachBatch
+    analogue of the file sink's _spark_metadata authority: offsets/ is
+    written BEFORE a batch executes, commits/ only after — so this set is
+    what downstream readers may trust."""
+    cdir = os.path.join(ckpt, "commits")
+    if not os.path.isdir(cdir):
+        return set()
+    return {int(f) for f in os.listdir(cdir) if f.isdigit()}
+
+
+def curate_dedup_stages(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """The in-plan stages: Gopher gate -> content fingerprint -> stateful
+    exact dedup. Shared verbatim by the streaming query and its batch twin
+    (tests build the twin from THIS function over a batch frame) — the
+    stream/batch parity contract."""
+    from quatrain_mapreduce_spark.operators.curation import gopher_rules
+    from quatrain_mapreduce_spark.operators.dedup import normalized_text
+
+    gated = gopher_rules(stream, text_col).where("passes = 1")
+    return (
+        gated.select(
+            "doc_id", "source", normalized_text(text_col).alias("norm")
+        )
+        .withColumn("fp", F.md5("norm"))
+        .dropDuplicates(["source", "fp"])
+    )
+
+
+def cms_cells_of(toks: DataFrame) -> DataFrame:
+    """CMS cell table of a token frame — the same deterministic arithmetic
+    as heavy_hitters_cms (operators/curation.cms_probes)."""
+    from quatrain_mapreduce_spark.operators.curation import cms_probes
+
+    return (
+        toks.select(F.explode(cms_probes("tok")).alias("rb"))
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def norm_tokens(kept: DataFrame) -> DataFrame:
+    """Tokens of the NORMALIZED kept text — normalization makes the token
+    multiset a pure function of fp, so it is independent of which duplicate
+    arrived first."""
+    return kept.select(F.explode(F.expr(_NORM_TOKS)).alias("tok"))
+
+
+def run_training_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_root: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the composed pipeline availableNow over a document parquet
+    dir. Resumable: out_root holds the checkpoint, so calling again after a
+    crash resumes the same lineage (the soak harness relies on this)."""
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = start_training_stream(curate_dedup_stages(stream), out_root,
+                              available_now=True)
+    q.awaitTermination()
+
+
+def start_training_stream(deduped: DataFrame, out_root: str,
+                          available_now: bool = True,
+                          processing_time: str | None = None):
+    """Attach the foreachBatch fold to an already-staged deduped stream and
+    start it. Split from run_training_stream so the soak can feed a rate
+    source with a processingTime trigger through the identical fold."""
+    kept_root = os.path.join(out_root, "kept")
+    cells_root = os.path.join(out_root, "cells")
+    ckpt = os.path.join(out_root, "ckpt")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(kept_root, f"b{batch_id}")
+            )
+            delta = cms_cells_of(norm_tokens(batch_df))
+            prev_path = os.path.join(cells_root, f"v{batch_id - 1}")
+            if batch_id > 0 and os.path.isdir(prev_path):
+                prev = sess.read.schema(CMS_CELL_SCHEMA).parquet(prev_path)
+                delta = prev.unionByName(delta)
+            merged = delta.groupBy("i", "b").agg(
+                F.sum("c").cast("bigint").alias("c")
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(cells_root, f"v{batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        deduped.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_training_stream_result(
+    spark: SparkSession, out_root: str
+) -> tuple[DataFrame, DataFrame, set[int]]:
+    """(kept corpus, final CMS cells, committed ids) — reading ONLY batch
+    versions the checkpoint committed, so orphaned post-crash writes are
+    invisible exactly as under a file sink's _spark_metadata."""
+    commits = committed_batch_ids(os.path.join(out_root, "ckpt"))
+    if not commits:
+        raise ValueError(f"no committed batches under {out_root}")
+    kept_dirs = [
+        p for i in sorted(commits)
+        if os.path.isdir(p := os.path.join(out_root, "kept", f"b{i}"))
+    ]
+    kept = spark.read.schema(KEPT_SCHEMA).parquet(*kept_dirs)
+    cells = spark.read.schema(CMS_CELL_SCHEMA).parquet(
+        os.path.join(out_root, "cells", f"v{max(commits)}")
+    )
+    return kept, cells, commits

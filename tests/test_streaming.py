@@ -713,3 +713,71 @@ def test_stream_cms_state_is_bounded_and_matches_batch_cells(spark, sf_dir):
     assert snaps, "stream drain left no snapshot"
     stream_cells = sorted(map(tuple, spark.read.parquet(snaps[-1]).collect()))
     assert stream_cells == batch_cells
+
+
+def test_stream_training_pipeline_matches_batch_twin(spark, sf_dir):
+    """The composed pipeline (gate -> stateful dedup -> foreachBatch fold)
+    must equal its batch twin built from the SAME stage function: identical
+    kept (source, fp) set, identical CMS cells, cells bounded at d*w."""
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        cms_cells_of, curate_dedup_stages, norm_tokens,
+        read_training_stream_result, run_training_stream,
+    )
+
+    d = stage_doc_slices(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="qms_test_stream_tdp_")
+    run_training_stream(spark, d, out_root)
+    kept, cells, commits = read_training_stream_result(spark, out_root)
+    assert len(commits) >= 4, "4-slice source must commit >=4 micro-batches"
+
+    batch_kept = curate_dedup_stages(spark.read.parquet(d), "text")
+    got = sorted((r["source"], r["fp"]) for r in kept.collect())
+    want = sorted((r["source"], r["fp"]) for r in batch_kept.collect())
+    assert got == want, "streamed kept set != batch gate+dedup twin"
+    assert len(got) == len(set(got)), "duplicate (source, fp) survived dedup"
+
+    got_cells = sorted(map(tuple, cells.collect()))
+    want_cells = sorted(map(tuple, cms_cells_of(norm_tokens(batch_kept)).collect()))
+    assert got_cells == want_cells, "per-batch CMS merge != batch cells"
+    assert len(got_cells) <= 4096, "CMS monitor state exceeded d*w"
+
+    # every committed batch left its versioned snapshot (fold ran per batch)
+    for i in sorted(commits):
+        assert os.path.isdir(os.path.join(out_root, "cells", f"v{i}"))
+
+
+def test_stream_pipeline_reader_masks_uncommitted_orphans(spark, sf_dir):
+    """Readers trust the checkpoint commit log, not the directory listing:
+    a kept/cells version with no commits/ entry — exactly what a mid-batch
+    JVM death leaves behind — must be invisible."""
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        read_training_stream_result, run_training_stream,
+    )
+
+    d = stage_doc_slices(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="qms_test_stream_tdp_orphan_")
+    run_training_stream(spark, d, out_root)
+    kept_before, cells_before, commits = read_training_stream_result(spark, out_root)
+    n_before = kept_before.count()
+    cells_sum_before = cells_before.agg(F.sum("c")).collect()[0][0]
+
+    # forge orphans: an uncommitted kept batch and a poisoned cells version
+    orphan_id = max(commits) + 7
+    spark.createDataFrame(
+        [(999_999_999, "forged", "forged text", "deadbeef")],
+        "doc_id bigint, source string, norm string, fp string",
+    ).write.parquet(os.path.join(out_root, "kept", f"b{orphan_id}"))
+    spark.createDataFrame(
+        [("1", 0, 10_000_000)], "i string, b int, c bigint"
+    ).write.parquet(os.path.join(out_root, "cells", f"v{orphan_id}"))
+
+    kept_after, cells_after, _ = read_training_stream_result(spark, out_root)
+    assert kept_after.count() == n_before
+    assert kept_after.where("source = 'forged'").count() == 0
+    assert cells_after.agg(F.sum("c")).collect()[0][0] == cells_sum_before

@@ -36,10 +36,22 @@ also derives, with identical n_events, and (c) EVERY batch session the
 final watermark had closed. (a)+(b) catch replays/corruption from the
 kill; (c) catches loss. Exit 1 on any violation.
 
+Mode ``pipeline`` (r10 directive #6). The same SIGKILL/restart/restart
+choreography, but the child runs the COMPOSED streaming training pipeline
+(streaming/pipeline.py: Gopher gate -> stateful exact dedup -> foreachBatch
+kept-sink + CMS monitor fold) over rate-derived synthetic documents whose
+content is a pure function of ``value`` (duplicates arrive every ``keys``
+values; 1-in-10 docs fail the gate). Asserts the kept sink — read through
+the checkpoint commit log — equals the batch twin with zero duplicate /
+phantom / missing (source, fp), AND that the final CMS snapshot equals the
+twin's cells exactly while staying bounded at d*w cells.
+
 Usage:
   python tools/soak_stream.py [--mode flat] [--minutes 10] [--rate 500] ...
   python tools/soak_stream.py --mode kill-restart [--minutes 10] [--rate 500]
        [--keys 1000] [--gap-seconds 10] [--watermark-seconds 30]
+  python tools/soak_stream.py --mode pipeline [--minutes 10] [--rate 500]
+       [--keys 1000]
 Writes one JSON line per sampled batch to stdout and a summary line last.
 ``--mode child`` is internal (the orchestrated worker).
 """
@@ -184,16 +196,6 @@ def _kill_restart(args) -> int:
     ckpt = os.path.join(work, "ckpt")
     log = os.path.join(work, "progress.jsonl")
     stop_file = os.path.join(work, "STOP")
-    total = args.minutes * 60
-    phases = [  # (label, run_seconds, how it ends)
-        ("pre-kill", total * 0.4, "SIGKILL"),
-        ("post-kill", total * 0.3, "graceful stop-file"),
-        # ADVICE r10: this phase was labeled "runs out the clock" but the
-        # loop ends every i>0 phase the same way (sleep run_s, write the
-        # stop-file; --run-seconds is padded +120s so it never fires first)
-        # — the telemetry now says what actually happens
-        ("final", total * 0.3, "graceful stop-file"),
-    ]
     child_base = [
         sys.executable, os.path.abspath(__file__), "--mode", "child",
         "--rate", str(args.rate), "--keys", str(args.keys),
@@ -201,6 +203,21 @@ def _kill_restart(args) -> int:
         "--watermark-seconds", str(args.watermark_seconds),
         "--sink", sink, "--checkpoint", ckpt, "--log", log,
         "--stop-file", stop_file,
+    ]
+    _drive_phases(child_base, args.minutes * 60, stop_file)
+    return _assert_exactly_once(args, sink, ckpt, log)
+
+
+def _drive_phases(child_base: list[str], total: float, stop_file: str) -> None:
+    """The SIGKILL / restart / restart choreography shared by the
+    kill-restart and pipeline soaks: phase 1 ends in a SIGKILL of the
+    child's whole process group (driver AND JVM die mid-commit), phases 2
+    and 3 restart from the same checkpoint and end by graceful stop-file
+    (--run-seconds is padded +120s so it never fires first)."""
+    phases = [  # (label, run_seconds, how it ends)
+        ("pre-kill", total * 0.4, "SIGKILL"),
+        ("post-kill", total * 0.3, "graceful stop-file"),
+        ("final", total * 0.3, "graceful stop-file"),
     ]
     for i, (label, run_s, ending) in enumerate(phases):
         if os.path.exists(stop_file):
@@ -233,7 +250,6 @@ def _kill_restart(args) -> int:
                 rc = "SIGKILL-after-stop-timeout"
             print(json.dumps({"phase": label, "ended_by": ending, "rc": rc,
                               "ran_s": round(time.monotonic() - t0, 1)}), flush=True)
-    return _assert_exactly_once(args, sink, ckpt, log)
 
 
 def _assert_exactly_once(args, sink: str, ckpt: str, log: str) -> int:
@@ -430,9 +446,157 @@ def _flat(args) -> int:
     return 0 if (flat and removed_any) else 1
 
 
+def _derive_docs(df, keys: int):
+    """Deterministic synthetic documents from the rate source's ``value``
+    column (pipeline mode) — the document analogue of ``_derive_cols``:
+    key = value % keys identifies the logical doc, so every re-arrival of a
+    key is an EXACT duplicate the dedup stage must drop; key % 10 == 0 docs
+    fail the Gopher gate (2 tokens < the 5-token floor). Shared verbatim by
+    the streaming child and the batch twin."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("value").alias("doc_id"), (F.col("value") % keys).alias("k")
+    ).select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("k") % 4).cast("string")).alias("source"),
+        F.when(F.col("k") % 10 == 0, F.lit("## $$"))
+         .otherwise(F.format_string(
+             "the a of and to w%d w%d w%d",
+             F.col("k"), F.col("k") + 1, F.col("k") * 2 + 7,
+         )).alias("text"),
+    )
+
+
+def _run_pipeline_child(args) -> int:
+    """One composed-pipeline run: rate source -> synthetic docs -> Gopher
+    gate -> stateful dedup -> foreachBatch fold (kept sink + CMS merge),
+    resuming from args.out_root's checkpoint. Logs dedup state rows per
+    batch; stops on stop-file or --run-seconds."""
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        curate_dedup_stages, start_training_stream,
+    )
+
+    spark = _session("qms-soak-pipe-child")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", args.rate).load()
+    )
+    deduped = curate_dedup_stages(_derive_docs(src, args.keys), "text")
+    q = start_training_stream(deduped, args.out_root, available_now=False,
+                              processing_time="5 seconds")
+    deadline = time.monotonic() + args.run_seconds
+    seen: set[int] = set()
+    with open(args.log, "a") as log:
+        while time.monotonic() < deadline and not os.path.exists(args.stop_file):
+            time.sleep(2)
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                ops = p.get("stateOperators") or []
+                if bid in seen or not ops:
+                    continue
+                seen.add(bid)
+                log.write(json.dumps({
+                    "phase": args.phase,
+                    "batch": bid,
+                    "dedup_state_rows": ops[0].get("numRowsTotal"),
+                    "input_rows": p.get("numInputRows"),
+                    "t": time.time(),
+                }) + "\n")
+                log.flush()
+    q.stop()
+    q.awaitTermination()
+    return 0
+
+
+def _pipeline_kill_restart(args) -> int:
+    work = tempfile.mkdtemp(prefix="qms_soak_pipe_")
+    out_root = os.path.join(work, "out")
+    log = os.path.join(work, "progress.jsonl")
+    stop_file = os.path.join(work, "STOP")
+    child_base = [
+        sys.executable, os.path.abspath(__file__), "--mode", "pipeline-child",
+        "--rate", str(args.rate), "--keys", str(args.keys),
+        "--out-root", out_root, "--log", log, "--stop-file", stop_file,
+    ]
+    _drive_phases(child_base, args.minutes * 60, stop_file)
+    return _assert_pipeline_exactly_once(args, out_root, log)
+
+
+def _assert_pipeline_exactly_once(args, out_root: str, log: str) -> int:
+    """Machine-assert the composed pipeline's exactly-once contract after
+    the kill/restart choreography: the kept sink read THROUGH the
+    checkpoint commit log must equal the batch twin (same stage function
+    over spark.range(N), N = committed values) with zero duplicate /
+    phantom / missing (source, fp) keys; the final CMS snapshot must equal
+    the twin's cells EXACTLY and stay bounded at d*w; orphaned uncommitted
+    versions on disk are telemetry, not data."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        cms_cells_of, curate_dedup_stages, norm_tokens,
+        read_training_stream_result,
+    )
+
+    spark = _session("qms-soak-pipe-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    ckpt = os.path.join(out_root, "ckpt")
+    n_committed = _committed_value_count(ckpt, args.rate)
+    kept, cells, commits = read_training_stream_result(spark, out_root)
+
+    got = [(r["source"], r["fp"]) for r in kept.select("source", "fp").collect()]
+    twin = curate_dedup_stages(
+        _derive_docs(spark.range(n_committed).select(F.col("id").alias("value")),
+                     args.keys),
+        "text",
+    ).persist()
+    want = {(r["source"], r["fp"]) for r in twin.select("source", "fp").collect()}
+    dup = len(got) - len(set(got))
+    phantom = len(set(got) - want)
+    missing = len(want - set(got))
+
+    got_cells = sorted(map(tuple, cells.collect()))
+    want_cells = sorted(map(tuple, cms_cells_of(norm_tokens(twin)).collect()))
+    cells_equal = got_cells == want_cells
+
+    kept_on_disk = {
+        int(n[1:]) for n in os.listdir(os.path.join(out_root, "kept"))
+        if n.startswith("b") and n[1:].isdigit()
+    }
+    dedup_state_rows = None
+    with open(log) as fh:
+        for ln in fh:
+            v = json.loads(ln).get("dedup_state_rows")
+            if v is not None:
+                dedup_state_rows = v  # last wins
+
+    ok = (dup == 0 and phantom == 0 and missing == 0 and cells_equal
+          and len(got_cells) <= 4096 and len(got) > 0)
+    print(json.dumps({
+        "verdict": "EXACTLY_ONCE" if ok else "VIOLATED",
+        "committed_values": n_committed,
+        "committed_batches": len(commits),
+        "kept_rows": len(got),
+        "twin_rows": len(want),
+        "duplicate_keys": dup,
+        "phantom_keys": phantom,
+        "missing_keys": missing,
+        "cms_cells": len(got_cells),
+        "cms_cells_equal_batch": cells_equal,
+        "orphan_kept_versions_masked": len(kept_on_disk - commits),
+        "final_dedup_state_rows": dedup_state_rows,
+        "dedup_state_bound_keys": args.keys,
+        "minutes": args.minutes,
+        "workdir": out_root,
+    }), flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["flat", "kill-restart", "child"],
+    ap.add_argument("--mode", choices=["flat", "kill-restart", "child",
+                                       "pipeline", "pipeline-child"],
                     default="flat")
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--rate", type=int, default=500, help="rows/sec")
@@ -446,11 +610,16 @@ def main() -> int:
     ap.add_argument("--log"), ap.add_argument("--stop-file")
     ap.add_argument("--run-seconds", type=float, default=0)
     ap.add_argument("--phase", default="")
+    ap.add_argument("--out-root", help="pipeline modes: kept/cells/ckpt root")
     args = ap.parse_args()
     if args.mode == "child":
         return _run_child(args)
+    if args.mode == "pipeline-child":
+        return _run_pipeline_child(args)
     if args.mode == "kill-restart":
         return _kill_restart(args)
+    if args.mode == "pipeline":
+        return _pipeline_kill_restart(args)
     return _flat(args)
 
 
