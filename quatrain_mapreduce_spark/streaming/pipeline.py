@@ -50,14 +50,25 @@ _NORM_TOKS = "filter(split(norm, ' '), x -> x <> '')"
 
 
 def committed_batch_ids(ckpt: str) -> set[int]:
-    """Batch ids the checkpoint's commit log confirmed. The foreachBatch
-    analogue of the file sink's _spark_metadata authority: offsets/ is
-    written BEFORE a batch executes, commits/ only after — so this set is
-    what downstream readers may trust."""
+    """Batch ids a reader may trust, reconstructed from the checkpoint's
+    commit log. The foreachBatch analogue of the file sink's
+    _spark_metadata authority — with one trap the first 10-minute soak
+    run caught: commits/ is a RETAINED WINDOW, not a complete ledger
+    (spark.sql.streaming.minBatchesToRetain, default 100, purges older
+    entries after commit), so membership in the directory listing is the
+    wrong predicate — a 117-batch run retains only ids 17..116 and a
+    listing-based reader drops b0..b16, which hold nearly ALL first-seen
+    dedup output. The sound authority is ``id <= max(commits)``: batch
+    ids are sequential, batch n+1 only starts after n commits, and purge
+    only ever removes COMMITTED entries — so the single possibly-
+    uncommitted batch is always strictly above the retained maximum."""
     cdir = os.path.join(ckpt, "commits")
     if not os.path.isdir(cdir):
         return set()
-    return {int(f) for f in os.listdir(cdir) if f.isdigit()}
+    retained = {int(f) for f in os.listdir(cdir) if f.isdigit()}
+    if not retained:
+        return set()
+    return set(range(max(retained) + 1))
 
 
 def curate_dedup_stages(stream: DataFrame, text_col: str = "text") -> DataFrame:

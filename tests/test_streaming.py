@@ -781,3 +781,38 @@ def test_stream_pipeline_reader_masks_uncommitted_orphans(spark, sf_dir):
     assert kept_after.count() == n_before
     assert kept_after.where("source = 'forged'").count() == 0
     assert cells_after.agg(F.sum("c")).collect()[0][0] == cells_sum_before
+
+
+def test_stream_pipeline_reader_survives_commit_log_retention(spark, sf_dir):
+    """The checkpoint commits/ dir is a RETAINED WINDOW
+    (minBatchesToRetain purges older entries after commit), not a complete
+    ledger — the first 10-minute pipeline soak proved a listing-based
+    reader silently drops the earliest batches, which hold nearly all
+    first-seen dedup output. Simulate the purge by deleting the earliest
+    commit entries: the reader must still surface every batch at or below
+    the retained maximum."""
+    import os
+
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        read_training_stream_result, run_training_stream,
+    )
+
+    d = stage_doc_slices(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="qms_test_stream_tdp_retain_")
+    run_training_stream(spark, d, out_root)
+    kept_before, _, commits = read_training_stream_result(spark, out_root)
+    n_before = kept_before.count()
+    assert n_before > 0
+
+    cdir = os.path.join(out_root, "ckpt", "commits")
+    for i in sorted(commits)[:-1]:  # purge all but the latest, worst case
+        p = os.path.join(cdir, str(i))
+        if os.path.exists(p):
+            os.unlink(p)
+
+    kept_after, _, commits_after = read_training_stream_result(spark, out_root)
+    assert commits_after == commits, "purged entries must be reconstructed"
+    assert kept_after.count() == n_before, (
+        "reader dropped pre-retention batches after commit-log purge"
+    )
