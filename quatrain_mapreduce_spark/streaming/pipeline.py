@@ -71,22 +71,42 @@ def committed_batch_ids(ckpt: str) -> set[int]:
     return set(range(max(retained) + 1))
 
 
-def curate_dedup_stages(stream: DataFrame, text_col: str = "text") -> DataFrame:
+def curate_dedup_stages(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
     """The in-plan stages: Gopher gate -> content fingerprint -> stateful
     exact dedup. Shared verbatim by the streaming query and its batch twin
     (tests build the twin from THIS function over a batch frame) — the
-    stream/batch parity contract."""
+    stream/batch parity contract.
+
+    Default form is exact unbounded dedup (dropDuplicates: one state row
+    per unique (source, fp) forever — right for bounded replays and
+    acceptance runs). Passing ``ts_col`` + ``watermark`` switches to the
+    PRODUCTION unbounded form: dropDuplicatesWithinWatermark, which keeps
+    a (source, fp) only until the event-time watermark passes its last
+    sighting — state is bounded by the duplicate-arrival horizon instead
+    of the corpus, the property an always-on 100 TB ingest needs
+    (eviction demonstrated by
+    test_watermarked_dedup_evicts_state_and_keeps_horizon_dedup)."""
     from quatrain_mapreduce_spark.operators.curation import gopher_rules
     from quatrain_mapreduce_spark.operators.dedup import normalized_text
 
     gated = gopher_rules(stream, text_col).where("passes = 1")
-    return (
-        gated.select(
-            "doc_id", "source", normalized_text(text_col).alias("norm")
-        )
-        .withColumn("fp", F.md5("norm"))
-        .dropDuplicates(["source", "fp"])
-    )
+    cols = ["doc_id", "source"]
+    if ts_col:
+        cols.append(ts_col)
+    keyed = gated.select(
+        *cols, normalized_text(text_col).alias("norm")
+    ).withColumn("fp", F.md5("norm"))
+    if watermark:
+        if not ts_col:
+            raise ValueError("watermark requires ts_col")
+        return keyed.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["source", "fp"])
+    return keyed.dropDuplicates(["source", "fp"])
 
 
 def cms_cells_of(toks: DataFrame) -> DataFrame:

@@ -816,3 +816,81 @@ def test_stream_pipeline_reader_survives_commit_log_retention(spark, sf_dir):
     assert kept_after.count() == n_before, (
         "reader dropped pre-retention batches after commit-log purge"
     )
+
+
+def test_watermarked_dedup_evicts_state_and_keeps_horizon_dedup(spark):
+    """The production unbounded form of the pipeline's dedup stage
+    (curate_dedup_stages with ts_col+watermark -> dropDuplicatesWithinWatermark):
+    a duplicate arriving INSIDE the watermark horizon is dropped, a
+    re-arrival AFTER the horizon is kept again because its state row was
+    evicted — the bounded-state trade an always-on ingest makes, versus
+    dropDuplicates whose state grows with the corpus forever."""
+    import os
+    import glob
+    import shutil
+
+    from quatrain_mapreduce_spark.streaming.hop import drain_to_parquet
+    from quatrain_mapreduce_spark.streaming.pipeline import curate_dedup_stages
+
+    work = tempfile.mkdtemp(prefix="qms_test_wm_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    base = 1_700_000_000  # epoch seconds; batches are 1 hour apart
+    keys = [f"k{j}" for j in range(8)]
+
+    def doc(i, j, key, b):
+        return (b * 1000 + i * 10 + j, "s0", base + b * 3600,
+                f"the a of and to {key} alpha beta")
+
+    batches = []
+    # batch 0: all 8 keys, each twice (within-batch duplicate)
+    batches.append([doc(i, c, k, 0) for i, k in enumerate(keys) for c in range(2)])
+    # batches 1-3: filler keys (advance the watermark), plus a k0 duplicate
+    # in batch 1 — INSIDE the horizon, must be dropped
+    for b in (1, 2, 3):
+        rows = [doc(i, 0, f"fill{b}x{i}", b) for i in range(4)]
+        if b == 1:
+            rows.append(doc(9, 0, keys[0], 1))
+        batches.append(rows)
+    # batch 4: the 8 keys re-arrive 4 h after first sighting — watermark
+    # (batch-3 max ts - 30 min) is far past their state expiry, so they
+    # were evicted and must be KEPT again
+    batches.append([doc(i, 0, k, 4) for i, k in enumerate(keys)])
+
+    for b, rows in enumerate(batches):
+        tmp = os.path.join(work, f"tmp{b}")
+        spark.createDataFrame(
+            rows, "doc_id bigint, source string, epoch bigint, text string"
+        ).select("doc_id", "source",
+                 F.timestamp_seconds("epoch").alias("ts"), "text") \
+         .coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"slice{b}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + b, 1_000_000 + b))  # mtime = replay order
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = curate_dedup_stages(stream, "text", ts_col="ts",
+                                  watermark="30 minutes")
+    kept = drain_to_parquet(deduped, "qms_test_wm_dedup",
+                            output_mode="append").collect()
+
+    by_key_hour = {}
+    for r in kept:
+        hr = (r["ts"] - __import__("datetime").datetime(1970, 1, 1,
+              tzinfo=r["ts"].tzinfo)).total_seconds()
+        by_key_hour.setdefault(r["norm"].split()[5], []).append(int((hr - base) // 3600))
+
+    # within-batch duplicates collapsed: one kept row per (key, batch)
+    assert all(len(hs) == len(set(hs)) for hs in by_key_hour.values())
+    # k0's in-horizon duplicate (batch 1) was dropped...
+    assert sorted(by_key_hour["k0"]) == [0, 4], by_key_hour["k0"]
+    # ...and every key was RE-KEPT at batch 4 after eviction
+    for k in keys:
+        assert sorted(by_key_hour[k]) == [0, 4], (k, by_key_hour[k])
+    # fillers kept once each
+    n_fill = sum(1 for key in by_key_hour if key.startswith("fill"))
+    assert n_fill == 12
+    assert len(kept) == 8 + 12 + 8  # 28 rows total
