@@ -94,7 +94,18 @@ def curate_dedup_stages(
     from quatrain_mapreduce_spark.operators.curation import gopher_rules
     from quatrain_mapreduce_spark.operators.dedup import normalized_text
 
-    gated = gopher_rules(stream, text_col).where("passes = 1")
+    # Per-micro-batch funnel telemetry (df.observe rides the plan for
+    # free — no extra pass): ingested vs gate-surviving counts appear in
+    # every StreamingQueryProgress as observedMetrics['tdp_ingest'/
+    # 'tdp_gate'], the streaming form of the reference's Monitor
+    # framework counters (MR/monitor/MonitorClient.java:33) and the
+    # continuous sibling of training_pipeline_funnel's per-stage counts.
+    observed = stream.observe(
+        "tdp_ingest", F.count(F.lit(1)).alias("rows")
+    )
+    gated = gopher_rules(observed, text_col).where("passes = 1").observe(
+        "tdp_gate", F.count(F.lit(1)).alias("rows")
+    )
     cols = ["doc_id", "source"]
     if ts_col:
         cols.append(ts_col)

@@ -894,3 +894,36 @@ def test_watermarked_dedup_evicts_state_and_keeps_horizon_dedup(spark):
     n_fill = sum(1 for key in by_key_hour if key.startswith("fill"))
     assert n_fill == 12
     assert len(kept) == 8 + 12 + 8  # 28 rows total
+
+
+def test_stream_pipeline_funnel_metrics_match_batch_counts(spark, sf_dir):
+    """The composed pipeline's observe() funnel (the continuous sibling of
+    training_pipeline_funnel, and the streaming form of the reference's
+    Monitor counters — MR/monitor/MonitorClient.java:33): summed across
+    micro-batches, tdp_ingest must equal the corpus row count and tdp_gate
+    the gate-surviving count (duplicates included — dedup comes after)."""
+    import os
+
+    from quatrain_mapreduce_spark.operators.curation import gopher_rules
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        curate_dedup_stages, start_training_stream,
+    )
+
+    d = stage_doc_slices(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="qms_test_stream_tdp_funnel_")
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = start_training_stream(curate_dedup_stages(stream), out_root)
+    q.awaitTermination()
+    sums = {"tdp_ingest": 0, "tdp_gate": 0}
+    for p in q.recentProgress:
+        for name in sums:
+            m = (p.get("observedMetrics") or {}).get(name)
+            if m is not None:
+                sums[name] += m["rows"]
+    batch = spark.read.parquet(d)
+    assert sums["tdp_ingest"] == batch.count()
+    assert sums["tdp_gate"] == gopher_rules(batch, "text").where("passes = 1").count()
+    assert sums["tdp_gate"] <= sums["tdp_ingest"]

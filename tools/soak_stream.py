@@ -497,11 +497,14 @@ def _run_pipeline_child(args) -> int:
                 if bid in seen or not ops:
                     continue
                 seen.add(bid)
+                om = p.get("observedMetrics") or {}
                 log.write(json.dumps({
                     "phase": args.phase,
                     "batch": bid,
                     "dedup_state_rows": ops[0].get("numRowsTotal"),
                     "input_rows": p.get("numInputRows"),
+                    "gate_in": (om.get("tdp_ingest") or {}).get("rows"),
+                    "gate_out": (om.get("tdp_gate") or {}).get("rows"),
                     "t": time.time(),
                 }) + "\n")
                 log.flush()
