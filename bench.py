@@ -357,6 +357,7 @@ def main() -> None:
     own_cpu0 = proc_tree_cpu_seconds()
     load_samples: list[float] = []
     times: dict[str, float] = {}
+    queries_loadavg: dict[str, float] = {}
     # min-of-reps alongside the median: this container shows host-level
     # contention invisible to its own /proc/stat (r9 measured loadavg 3-7 at
     # 0.1% container CPU busy, and a 17.9 s outlier on a 0.8 s query), which
@@ -380,7 +381,15 @@ def main() -> None:
         times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
         times_min[name] = round(min(reps), 3) if reps else -1.0
         try:
-            load_samples.append(os.getloadavg()[0])
+            la = os.getloadavg()[0]
+            load_samples.append(la)
+            # per-query attribution: the run-level external-cores verdict
+            # averages the whole window, so a co-tenant WAVE that inflates a
+            # few heavy rows can hide under it (seen r11: dedup_components
+            # 3x with external_cores_est 1.9) — the post-query 1-min
+            # loadavg, stored per row, lets a reader attribute individual
+            # row inflation without re-running
+            queries_loadavg[name] = round(la, 2)
         except OSError:
             pass
 
@@ -416,6 +425,7 @@ def main() -> None:
         "load_max": load_max,
         "contention_loadavg_threshold": CONTENTION_LOADAVG,
         "loadavg_avg_timed": avg_load_timed,
+        "queries_loadavg": queries_loadavg,
         "own_cpu_cores_timed": own_cores,
         "external_cores_est": external_est,
         "external_cores_threshold": EXTERNAL_CORES,

@@ -126,6 +126,11 @@ def test_summary_artifact_carries_min_and_env_telemetry():
     if "external_cores_threshold" in s:
         # r11 external-load verdict: the artifact must carry the inputs the
         # verdict was computed from, so it can be audited without re-running
+        # per-query loadavg attribution (late r11): a co-tenant wave can
+        # inflate individual heavy rows while the run-level average stays
+        # under threshold — the per-row stamps make that auditable
+        assert "queries_loadavg" in s
+        assert set(s["queries_loadavg"]) <= set(s["queries_min"])
         for key in ("loadavg_avg_timed", "own_cpu_cores_timed",
                     "external_cores_est"):
             assert key in s, key
