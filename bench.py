@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     # case went 1567 > 1500 bytes), and all three are overhead-dominated
     # flat rows whose decade measurements live in SCALING.md
     # "Round-10: the late-round additions across a decade".
+    # stream_training_pipeline (r11) is likewise not benched: like the
+    # other stream_* drains its wall is the 4-micro-batch drain protocol
+    # (~9 s flat sf0.1->sf1, measured in SCALING.md "composed streaming
+    # pipeline"), not plan throughput.
     # multimodal_decode deliberately NOT benched: its wall time is synthetic
     # fixture encode+decode (Python), not engine throughput — and its row
     # would push the stdout line past the driver's tail-capture bound
