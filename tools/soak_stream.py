@@ -46,12 +46,22 @@ the checkpoint commit log — equals the batch twin with zero duplicate /
 phantom / missing (source, fp), AND that the final CMS snapshot equals the
 twin's cells exactly while staying bounded at d*w cells.
 
+Mode ``pipeline-flat``. Bounded-state proof for the composed pipeline's
+PRODUCTION dedup form (dropDuplicatesWithinWatermark): rotating-key
+synthetic docs stream continuously; dedup state must stay a sawtooth
+bounded at 2 key blocks (one active + one draining) with watermark
+evictions observed. Judged on the state ENVELOPE (late-half max vs
+early-half max) plus the 2-block bound — a median-vs-max test misreads
+the healthy sawtooth as growth.
+
 Usage:
   python tools/soak_stream.py [--mode flat] [--minutes 10] [--rate 500] ...
   python tools/soak_stream.py --mode kill-restart [--minutes 10] [--rate 500]
        [--keys 1000] [--gap-seconds 10] [--watermark-seconds 30]
   python tools/soak_stream.py --mode pipeline [--minutes 10] [--rate 500]
        [--keys 1000]
+  python tools/soak_stream.py --mode pipeline-flat [--minutes 8] [--rate 400]
+       [--keys 300] [--watermark-seconds 20]
 Writes one JSON line per sampled batch to stdout and a summary line last.
 ``--mode child`` is internal (the orchestrated worker).
 """
@@ -468,6 +478,19 @@ def _derive_docs(df, keys: int):
     )
 
 
+def _observed_rows(progress, name: str):
+    """Extract observe() metric 'rows' from a progress event. The
+    observedMetrics VALUES are pyspark Row objects (no .get — calling it
+    raises PySparkAttributeError), unlike the progress dict itself; index
+    access with a None guard is the portable form."""
+    om = progress.get("observedMetrics") or {}
+    m = om.get(name) if hasattr(om, "get") else None
+    try:
+        return None if m is None else m["rows"]
+    except (KeyError, TypeError, ValueError):
+        return None
+
+
 def _run_pipeline_child(args) -> int:
     """One composed-pipeline run: rate source -> synthetic docs -> Gopher
     gate -> stateful dedup -> foreachBatch fold (kept sink + CMS merge),
@@ -497,14 +520,13 @@ def _run_pipeline_child(args) -> int:
                 if bid in seen or not ops:
                     continue
                 seen.add(bid)
-                om = p.get("observedMetrics") or {}
                 log.write(json.dumps({
                     "phase": args.phase,
                     "batch": bid,
                     "dedup_state_rows": ops[0].get("numRowsTotal"),
                     "input_rows": p.get("numInputRows"),
-                    "gate_in": (om.get("tdp_ingest") or {}).get("rows"),
-                    "gate_out": (om.get("tdp_gate") or {}).get("rows"),
+                    "gate_in": _observed_rows(p, "tdp_ingest"),
+                    "gate_out": _observed_rows(p, "tdp_gate"),
                     "t": time.time(),
                 }) + "\n")
                 log.flush()
@@ -596,10 +618,114 @@ def _assert_pipeline_exactly_once(args, out_root: str, log: str) -> int:
     return 0 if ok else 1
 
 
+def _pipeline_flat(args) -> int:
+    """Bounded-state proof for the composed pipeline's PRODUCTION dedup
+    form (curate_dedup_stages with ts_col+watermark ->
+    dropDuplicatesWithinWatermark): synthetic docs stream continuously
+    with a ROTATING key universe (each 30 s block activates a fresh set of
+    keys, so old keys stop re-arriving and the watermark can evict their
+    state). With unbounded dropDuplicates the state curve would be a
+    staircase growing one block per rotation forever; the watermarked form
+    must go FLAT after the first watermark horizon and show evictions —
+    the same verdict shape as the sessionization flat soak."""
+    from pyspark.sql import functions as F
+
+    from quatrain_mapreduce_spark.streaming.pipeline import curate_dedup_stages
+
+    spark = _session("qms-soak-pipe-flat")
+    spark.sparkContext.setLogLevel("ERROR")
+    keys, rate = args.keys, args.rate
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate).load()
+    )
+    # rotating key blocks on the VALUE timeline (same rotation device as
+    # _derive_cols): ts = value-derived event time, key universe shifts
+    # every 30 value-seconds, so a block's last sighting is bounded and the
+    # watermark can close it
+    k = (F.col("value") % keys) + keys * (F.floor(F.col("value") / (30 * rate)) % 1000)
+    docs = src.select(
+        F.col("value").alias("doc_id"),
+        F.timestamp_seconds(F.col("value") / rate).alias("ts"),
+        F.concat(F.lit("s"), (k % 4).cast("string")).alias("source"),
+        F.format_string("the a of and to w%d w%d w%d", k, k + 1, k * 2 + 7)
+        .alias("text"),
+    )
+    deduped = curate_dedup_stages(
+        docs, "text", ts_col="ts",
+        watermark=f"{args.watermark_seconds} seconds",
+    )
+    sink = tempfile.mkdtemp(prefix="qms_soak_pipeflat_sink_")
+    ckpt = tempfile.mkdtemp(prefix="qms_soak_pipeflat_ckpt_")
+    q = (
+        deduped.writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(processingTime="5 seconds").start()
+    )
+    deadline = time.monotonic() + args.minutes * 60
+    t_start = time.monotonic()
+    seen: dict[int, dict] = {}
+    try:
+        while time.monotonic() < deadline:
+            time.sleep(5)
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                ops = p.get("stateOperators") or []
+                if bid in seen or not ops:
+                    continue
+                row = {
+                    "batch": bid,
+                    "state_rows": ops[0].get("numRowsTotal"),
+                    "rows_removed": ops[0].get("numRowsRemoved"),
+                    "input_rows": p.get("numInputRows"),
+                    "gate_in": _observed_rows(p, "tdp_ingest"),
+                    "gate_out": _observed_rows(p, "tdp_gate"),
+                    "wall_s": round(time.monotonic() - t_start, 1),
+                }
+                seen[bid] = row
+                print(json.dumps(row), flush=True)
+    finally:
+        q.stop()
+
+    batches = [seen[b] for b in sorted(seen)]
+    horizon_s = 3 * (30 + args.watermark_seconds)
+    post = [b for b in batches if b["wall_s"] > horizon_s]
+    if len(post) < 6:
+        print(json.dumps({"verdict": "TOO_SHORT", "batches": len(batches)}))
+        return 1
+    # Unlike the sessionization curve, dedup-within-watermark state is a
+    # SAWTOOTH: it climbs to (active + draining) = 2 key blocks, then a
+    # rotation's eviction drops a whole block at once — a median-vs-max
+    # flatness test reads the healthy sawtooth as 2x "growth" (first run
+    # of this mode did exactly that). Bounded means two things instead:
+    # the ENVELOPE doesn't grow (late-half max vs early-half max) and the
+    # peak never exceeds the designed 2-block bound.
+    rows = [b["state_rows"] for b in post]
+    early_max = max(rows[: len(rows) // 2])
+    late_max = max(rows[len(rows) // 2:])
+    envelope_flat = late_max <= args.tolerance * early_max
+    under_bound = late_max <= 2 * args.keys
+    removed_any = any((b["rows_removed"] or 0) > 0 for b in post)
+    ok = envelope_flat and under_bound and removed_any
+    print(json.dumps({
+        "verdict": "BOUNDED" if ok else "GROWING",
+        "post_warmup_batches": len(post),
+        "early_max_state_rows": early_max,
+        "late_max_state_rows": late_max,
+        "late_over_early_max": round(late_max / max(early_max, 1), 3),
+        "two_block_bound": 2 * args.keys,
+        "under_bound": under_bound,
+        "watermark_evicts": removed_any,
+        "minutes": args.minutes, "rate": args.rate, "keys": args.keys,
+    }), flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["flat", "kill-restart", "child",
-                                       "pipeline", "pipeline-child"],
+                                       "pipeline", "pipeline-child",
+                                       "pipeline-flat"],
                     default="flat")
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--rate", type=int, default=500, help="rows/sec")
@@ -623,6 +749,8 @@ def main() -> int:
         return _kill_restart(args)
     if args.mode == "pipeline":
         return _pipeline_kill_restart(args)
+    if args.mode == "pipeline-flat":
+        return _pipeline_flat(args)
     return _flat(args)
 
 
