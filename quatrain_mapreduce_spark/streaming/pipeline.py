@@ -34,6 +34,17 @@ dropDuplicatesWithinWatermark to bound it by event-time; the CMS fold is
 bounded at d*w (<=4096) cells NO MATTER the corpus size, so the monitor
 never becomes a vocabulary-sized aggregation (pinned by
 tests/test_streaming.py).
+
+Filesystem assumption: committed_batch_ids, the fold's predecessor read,
+and read_training_stream_result list the checkpoint and sink roots with
+driver-local ``os`` calls, so ``out_root`` must be a path the DRIVER's
+local filesystem can see (local disk, NFS, a fuse mount). On a cluster
+whose checkpoint/sink live on HDFS/S3 the listings would come back empty
+and the reader would wrongly report "no committed batches" — route the
+listings through the JVM Hadoop FS API (``spark._jvm.org.apache.hadoop
+.fs.FileSystem``) before pointing this at an object store. The engine
+side (the streaming plan, the state store, the parquet writes) is
+already cluster-ready; only this reader-side listing is driver-local.
 """
 
 from __future__ import annotations
@@ -61,7 +72,10 @@ def committed_batch_ids(ckpt: str) -> set[int]:
     dedup output. The sound authority is ``id <= max(commits)``: batch
     ids are sequential, batch n+1 only starts after n commits, and purge
     only ever removes COMMITTED entries — so the single possibly-
-    uncommitted batch is always strictly above the retained maximum."""
+    uncommitted batch is always strictly above the retained maximum.
+
+    Driver-local listing: ``ckpt`` must be visible to the driver's local
+    filesystem (module docstring, "Filesystem assumption")."""
     cdir = os.path.join(ckpt, "commits")
     if not os.path.isdir(cdir):
         return set()
@@ -178,7 +192,21 @@ def start_training_stream(deduped: DataFrame, out_root: str,
             )
             delta = cms_cells_of(norm_tokens(batch_df))
             prev_path = os.path.join(cells_root, f"v{batch_id - 1}")
-            if batch_id > 0 and os.path.isdir(prev_path):
+            if batch_id > 0:
+                # Every committed predecessor wrote its cells version, and
+                # Spark only starts batch n after n-1 commits, so a missing
+                # predecessor ALWAYS means external damage (someone deleted
+                # sink state). Restarting the cumulative CMS from this
+                # batch's delta would be silent monitor corruption — the
+                # same class the commits/-retention fix addressed — so fail
+                # the batch loudly instead.
+                if not os.path.isdir(prev_path):
+                    raise RuntimeError(
+                        f"CMS fold: predecessor cells version {prev_path} "
+                        f"is missing for batch {batch_id}; the cumulative "
+                        "monitor cannot be continued (external deletion of "
+                        "sink state?)"
+                    )
                 prev = sess.read.schema(CMS_CELL_SCHEMA).parquet(prev_path)
                 delta = prev.unionByName(delta)
             merged = delta.groupBy("i", "b").agg(
@@ -207,13 +235,29 @@ def read_training_stream_result(
 ) -> tuple[DataFrame, DataFrame, set[int]]:
     """(kept corpus, final CMS cells, committed ids) — reading ONLY batch
     versions the checkpoint committed, so orphaned post-crash writes are
-    invisible exactly as under a file sink's _spark_metadata."""
+    invisible exactly as under a file sink's _spark_metadata.
+
+    Driver-local listing: ``out_root`` must be visible to the driver's
+    local filesystem (module docstring, "Filesystem assumption")."""
     commits = committed_batch_ids(os.path.join(out_root, "ckpt"))
     if not commits:
         raise ValueError(f"no committed batches under {out_root}")
+    # By construction every committed id has a kept dir (the fold writes
+    # kept/b{id} — even for an empty batch — before the batch can commit),
+    # so a missing dir always signals external deletion of committed
+    # output; report it instead of silently shrinking the corpus.
+    missing = [
+        i for i in sorted(commits)
+        if not os.path.isdir(os.path.join(out_root, "kept", f"b{i}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"committed batch dirs missing under {out_root}/kept: "
+            f"{missing[:20]}{'...' if len(missing) > 20 else ''} — "
+            "committed output was deleted externally"
+        )
     kept_dirs = [
-        p for i in sorted(commits)
-        if os.path.isdir(p := os.path.join(out_root, "kept", f"b{i}"))
+        os.path.join(out_root, "kept", f"b{i}") for i in sorted(commits)
     ]
     kept = spark.read.schema(KEPT_SCHEMA).parquet(*kept_dirs)
     cells = spark.read.schema(CMS_CELL_SCHEMA).parquet(

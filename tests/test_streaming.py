@@ -818,6 +818,61 @@ def test_stream_pipeline_reader_survives_commit_log_retention(spark, sf_dir):
     )
 
 
+def test_stream_pipeline_damage_is_loud_not_silent(spark, sf_dir):
+    """External damage to committed sink state must FAIL LOUDLY (ADVICE
+    r11): a deleted kept/b{i} for a committed id makes the reader raise
+    (silently shrinking the corpus is the same corruption class the
+    commits/-retention fix addressed), and a deleted cells predecessor
+    makes the RESUMED fold raise instead of silently restarting the
+    cumulative CMS monitor from one batch's delta."""
+    import os
+    import shutil
+
+    import pytest
+
+    from quatrain_mapreduce_spark.staging import stage_doc_slices
+    from quatrain_mapreduce_spark.streaming.pipeline import (
+        read_training_stream_result, run_training_stream,
+    )
+
+    # private copy of the staged slices — this test mutates sink state and
+    # resumes, and the shared staging dir must stay pristine
+    staged = stage_doc_slices(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="qms_test_stream_tdp_damage_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    parts = sorted(
+        f for f in os.listdir(staged)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    assert len(parts) >= 3
+    for f in parts[:-1]:  # hold the last slice back for the resume leg
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    out_root = os.path.join(work, "out")
+    run_training_stream(spark, src, out_root)
+    kept, _, commits = read_training_stream_result(spark, out_root)
+    assert kept.count() > 0 and len(commits) >= 2
+
+    # leg 1: delete a committed kept dir -> reader raises, names the id
+    victim = os.path.join(out_root, "kept", f"b{min(commits)}")
+    shutil.rmtree(victim)
+    with pytest.raises(ValueError, match="committed batch dirs missing"):
+        read_training_stream_result(spark, out_root)
+    # restore so leg 2's damage is isolated to the cells lineage
+    kept.sparkSession.read.schema(
+        "doc_id bigint, source string, norm string, fp string"
+    ).parquet(os.path.join(out_root, "kept", f"b{max(commits)}")) \
+        .limit(0).write.parquet(victim)
+
+    # leg 2: delete the latest cells version, then resume with a new slice
+    # — the next batch's fold needs cells/v{max} as its predecessor and
+    # must surface the damage as a query failure, not a reset monitor
+    shutil.rmtree(os.path.join(out_root, "cells", f"v{max(commits)}"))
+    shutil.copy(os.path.join(staged, parts[-1]), os.path.join(src, parts[-1]))
+    with pytest.raises(Exception, match="predecessor cells version"):
+        run_training_stream(spark, src, out_root)
+
+
 def test_watermarked_dedup_evicts_state_and_keeps_horizon_dedup(spark):
     """The production unbounded form of the pipeline's dedup stage
     (curate_dedup_stages with ts_col+watermark -> dropDuplicatesWithinWatermark):
@@ -918,6 +973,12 @@ def test_stream_pipeline_funnel_metrics_match_batch_counts(spark, sf_dir):
     q = start_training_stream(curate_dedup_stages(stream), out_root)
     q.awaitTermination()
     sums = {"tdp_ingest": 0, "tdp_gate": 0}
+    # recentProgress retains only the last numRecentProgressUpdates entries
+    # (default 100) — fine for this 4-slice fixture, but summing over it
+    # silently undercounts past the cap; a run with more micro-batches must
+    # accumulate via a QueryListener or dedup-by-batchId as the soak's
+    # `seen` set does (tools/soak_stream.py)
+    assert len(q.recentProgress) < 100, "fixture outgrew the retention cap"
     for p in q.recentProgress:
         for name in sums:
             m = (p.get("observedMetrics") or {}).get(name)

@@ -254,10 +254,14 @@ def _drive_phases(child_base: list[str], total: float, stop_file: str) -> None:
                 # a wedged child (stuck checkpoint commit, hung JVM) must
                 # not crash the harness without a verdict or leak its
                 # process group — kill it and still run the exactly-once
-                # assertion over whatever WAS committed (review finding)
+                # assertion over whatever WAS committed (review finding);
+                # the telemetry must then say SIGKILL, not the graceful
+                # ending that was merely requested (a reader correlating
+                # phase endings with committed-batch gaps needs the truth)
                 os.killpg(proc.pid, signal.SIGKILL)
                 proc.wait()
                 rc = "SIGKILL-after-stop-timeout"
+                ending = "SIGKILL after stop-file timeout"
             print(json.dumps({"phase": label, "ended_by": ending, "rc": rc,
                               "ran_s": round(time.monotonic() - t0, 1)}), flush=True)
 
@@ -671,7 +675,12 @@ def _pipeline_flat(args) -> int:
             for p in q.recentProgress:
                 bid = p["batchId"]
                 ops = p.get("stateOperators") or []
-                if bid in seen or not ops:
+                # a progress event can carry the operator entry WITHOUT
+                # numRowsTotal (same Row-shape variability _observed_rows
+                # guards against) — admitting a None here would TypeError
+                # the max() in the envelope computation after the full run
+                # time instead of producing a verdict
+                if bid in seen or not ops or ops[0].get("numRowsTotal") is None:
                     continue
                 row = {
                     "batch": bid,
