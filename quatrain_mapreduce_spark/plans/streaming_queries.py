@@ -1149,3 +1149,87 @@ def stream_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_training_stream(spark, d, out_root)
     kept, cells, _ = read_training_stream_result(spark, out_root)
     return cms_serve_top20(norm_tokens(kept), cells)
+
+
+_WM_DEDUP_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN round(list_sum(list_transform(toks, s -> CAST(length(s) AS BIGINT)))
+                               / CAST(len(toks) AS DOUBLE), 4)
+                    ELSE 0.0 END AS mean_tok_len,
+               CASE WHEN len(toks) > 0
+                    THEN round(len(list_filter(toks, s -> NOT regexp_matches(s, '[a-zA-Z0-9]')))
+                               / CAST(len(toks) AS DOUBLE), 4)
+                    ELSE 0.0 END AS symbol_frac,
+               CAST(len(list_intersect(list_distinct(toks),
+                                       ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS stop_hits
+        FROM t
+    ), gated AS (
+        SELECT doc_id, source, text FROM m
+        WHERE n_tokens BETWEEN 5 AND 100000
+          AND mean_tok_len BETWEEN 2 AND 12
+          AND symbol_frac < 0.1
+          AND stop_hits >= 2
+    ), keyed AS (
+        SELECT doc_id, source,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM gated
+    ), reps AS (
+        SELECT source, fp, min(doc_id) AS doc_id
+        FROM keyed GROUP BY source, fp
+    )
+    SELECT doc_id, source, fp, CAST(doc_id % 4 AS INT) AS slice FROM reps
+    UNION ALL
+    SELECT doc_id, source, fp, CAST(doc_id % 4 + 4 AS INT) AS slice FROM reps
+    WHERE (doc_id // 4) % 2 = 1
+"""
+
+
+@register(
+    "stream_dedup_watermarked",
+    oracle=_WM_DEDUP_ORACLE,
+    doc="The PRODUCTION form of the streaming pipeline's dedup stage, "
+        "driver-visible end to end: curate_dedup_stages(ts_col, watermark) "
+        "-> dropDuplicatesWithinWatermark over a REAL file stream, one "
+        "micro-batch per hour-stamped slice. The fixture (staging."
+        "stage_watermark_dedup_slices) re-plays every gate-passing distinct "
+        "(source, fp) document twice — once at hour doc_id%4 and again 1 or "
+        "4 hours later — so the 30-minute watermark exercises the full "
+        "state lifecycle: within-horizon duplicates are DROPPED (state "
+        "alive), 4-hour re-arrivals are KEPT AGAIN (state evicted when the "
+        "watermark passed), making the kept set a pure function of the "
+        "table that one DuckDB oracle checks. This is the bounded-state "
+        "trade an always-on 100 TB ingest makes versus dropDuplicates, "
+        "whose state grows with the corpus forever; the state envelope of "
+        "this exact form is soak-proven BOUNDED (tools/soak_stream.py "
+        "--mode pipeline-flat, sawtooth <= 2 key blocks). Replaces the "
+        "reference's restart-a-batch-job dedup (HOP continuous jobs have "
+        "no cross-batch dedup state at all).",
+    tags=("streaming", "dedup", "llm-pipeline", "no-sql-plan"),
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quatrain_mapreduce_spark.staging import (
+        WM_DEDUP_EPOCH, stage_watermark_dedup_slices,
+    )
+    from quatrain_mapreduce_spark.streaming.pipeline import curate_dedup_stages
+
+    src = stage_watermark_dedup_slices(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = curate_dedup_stages(stream, "text", ts_col="ts",
+                                  watermark="30 minutes")
+    kept = drain_to_parquet(deduped, "wm_dedup", output_mode="append")
+    return kept.select(
+        "doc_id", "source", "fp",
+        ((F.unix_timestamp("ts") - WM_DEDUP_EPOCH) / 3600)
+        .cast("int").alias("slice"),
+    )

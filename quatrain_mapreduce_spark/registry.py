@@ -58,82 +58,76 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # The driver's correctness gate checks the FIRST 50 queries in the order
 # ``queries()`` yields them (observed cap in CORRECTNESS_r03.json). With >50
 # registered queries, naive registration order left the whole SQL / streaming /
-# UDF / source surface unchecked. This list pins the gate window. Standing
-# composition rule (restored in r9 after the r8 all-never-green exception):
-# every never-driver-green oracled query gets a slot first (authoritative
-# queue: ``python tools/coverage_rotation.py``), then every plan module keeps
-# at least one representative, and any remaining slots re-attest flagship
-# already-green rows. The tail (checked locally by tools/check_oracle.py)
-# holds redundant shape variants plus rows-only approximate operators whose
+# UDF / source surface unchecked. This tuple pins the gate window and is
+# GENERATED, not hand-curated (r11 verdict directive #4):
+#
+#   python tools/coverage_rotation.py --emit-window --through <round>
+#
+# Composition rule (tools/coverage_rotation.py::emit_window, enforced by
+# tests/test_driver_window.py): the never-green oracled queue first
+# (attestation debt drains before anything else), then each plan module's
+# MOST STALE green query as its representative, then the remaining slots
+# filled with the oldest-last-green oracled queries repo-wide — so every
+# round's window refreshes the oldest attestations and max driver-green
+# staleness strictly decreases. WINDOW_LEDGER_THROUGH records which ledger
+# prefix generated the tuple, making the proposal recomputable after newer
+# CORRECTNESS artifacts land; the enforcement test also requires the prefix
+# to lag the newest artifact by at most one round, so each session must
+# regenerate. The tail (checked locally by tools/check_oracle.py) holds the
+# remaining green queries plus rows-only approximate operators whose
 # oracles can't exist.
+WINDOW_LEDGER_THROUGH = "r11"
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- r11 rotation: one new query this round (the composed streaming
-    # pipeline — gate -> stateful dedup -> foreachBatch kept-sink + CMS
-    # monitor fold, exactly-once under the kill/restart soak). It takes the
-    # first slot per the standing rule; join_outer_full rotates out (its
-    # module keeps 5 other representatives and it has two driver-green
-    # rows, r7 and r10).
-    "stream_training_pipeline",
-    # --- r10 rotation. The r9 gate came back 50/50 green and DRAINED the
-    # never-green ledger (lifetime driver-green: 234/234 oracled). The
-    # standing rule now means: queries NEW this round attest first, then
-    # one representative per plan module, then flagship re-attestations.
-    # tests/test_driver_window.py enforces the composition against the
-    # CORRECTNESS ledger (tools/coverage_rotation.py --emit-window logic),
-    # so this tuple can no longer silently diverge from the ledger.
-    # new r10: promoted sketch/sampling tier (staged + two-scale-oracled
-    # since r9; plans/staged.py is gone — these are plain registrations)
-    "theta_audience_overlap", "theta_cube_serving", "kll_quantile_rollup",
-    "stratified_sample_exact", "doc_token_chunks",
-    # new r10: real PPM/BMP decode (retires the r9 image stub)
-    "multimodal_decode",
-    # new r10: the composed end-to-end training-data pipeline (gate ->
-    # exact+span dedup -> decontaminate -> domain cap -> pack manifest)
-    # and its per-stage provenance funnel
-    "training_data_pipeline", "training_pipeline_funnel",
-    # new r10: incremental decontamination (stored gram-index + survivor
-    # state; per-update work keyed on the increment's novel grams)
-    "decontaminate_incremental",
-    # new r10: count-min heavy hitters (the frequency member of the
-    # mergeable-sketch tier; deterministic portable-hash CMS, exact oracle)
-    "heavy_hitters_cms",
-    # new r10: RNG-free weighted importance sampling (systematic/Madow over
-    # the pack_manifest prefix sum; BIGINT-exact oracle)
-    "weighted_sample_systematic",
-    # new r10: hybrid retrieval — RRF fusion of the BM25 and cosine
-    # rankings (composes two already-oracled operators rank-side)
-    "hybrid_search_rrf",
-    # new r10: streaming CMS — bounded-state complete-mode sketch whose
-    # drained cells equal the batch twin by mergeability
-    "stream_heavy_hitters",
-    # --- re-attestation slots: one-or-more green representatives per
-    # module, weighted toward flagship 100 TB paths.
-    # relational
-    "groupby2_shape", "tpch_q1_shape", "join_multiway",
-    "join_semi_anti", "profile_orders_approx",
-    # mrlib
-    "grep", "topk_users", "secondary_sort",
-    # data_pipeline (dedup/similarity/text flagships)
-    "dedup_exact", "dedup_components_lsh", "dedup_ngram_jaccard",
-    "semantic_dedup", "leakage_safe_split",
-    # curation
-    "c4_curation_pipeline", "gopher_rules", "decontaminate",
-    "training_export", "sequence_pack",
-    # streaming
-    "stream_sessionize", "cq_sliding_window",
-    # hive_sql
-    "sql_grouping_sets", "sql_lateral_view", "sql_recursive_cte",
-    "sql_qcorpus_groupby",
-    # udf_surface
-    "udf_registered_sql", "transform_pipe_wordcount",
-    # sources
-    "orc_roundtrip", "codec_roundtrip", "dbcount_jdbc_roundtrip",
-    "nested_struct_pushdown",
-    # temporal
-    "asof_join_events", "scd2_pit_join", "interval_overlap_join",
-    # analytics
-    "zorder_box_query", "sketch_mergeable_rollup",
-    "graph_summary_sampled",
+    "stream_dedup_watermarked",  # last green: never (new this round)
+    "aggregate_pkg",  # last green: r03
+    "cast_types",  # last green: r03
+    "doc_fingerprint",  # last green: r03
+    "bucket_point_lookup",  # last green: r04
+    "sql_insert_overwrite_partition",  # last green: r04
+    "window_funcs",  # last green: r04
+    "corpus_shuffle",  # last green: r05
+    "range_join_incidents",  # last green: r05
+    "chain_map_wordcount",  # last green: r06
+    "cluster_by_shape",  # last green: r03
+    "complex_types",  # last green: r03
+    "dbcount_shape",  # last green: r03
+    "distinct_select",  # last green: r03
+    "embedding_neardup",  # last green: r03
+    "field_selection",  # last green: r03
+    "inverse_map",  # last green: r03
+    "join_inner",  # last green: r03
+    "join_left",  # last green: r03
+    "join_override",  # last green: r03
+    "join_right",  # last green: r03
+    "json_field_extract",  # last green: r03
+    "key_field_sort",  # last green: r03
+    "lang_id",  # last green: r03
+    "like_rlike_filter",  # last green: r03
+    "multi_insert_shared_scan",  # last green: r03
+    "pi_estimator",  # last green: r03
+    "sample_bucket",  # last green: r03
+    "scalar_funcs",  # last green: r03
+    "similarity_bruteforce",  # last green: r03
+    "sort_validate",  # last green: r03
+    "text_quality",  # last green: r03
+    "text_stats",  # last green: r03
+    "topk_per_group",  # last green: r03
+    "union_all",  # last green: r03
+    "uniq_value_count",  # last green: r03
+    "value_histogram",  # last green: r03
+    "wikistats_shape",  # last green: r03
+    "csv_typed_roundtrip",  # last green: r04
+    "schema_evolution_read",  # last green: r04
+    "stream_tumbling_count",  # last green: r04
+    "bucketed_join",  # last green: r05
+    "compact_small_files",  # last green: r05
+    "corpus_curation",  # last green: r05
+    "cq_moving_avg_stream",  # last green: r05
+    "dedup_components",  # last green: r05
+    "dedup_lsh_recall",  # last green: r05
+    "domain_cap",  # last green: r05
+    "embedding_quantize",  # last green: r05
+    "index_build",  # last green: r05
 )
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,

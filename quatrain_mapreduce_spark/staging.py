@@ -43,6 +43,99 @@ def stage_dir(sf_dir: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"qms_{tag}_{key}")
 
 
+# Fixed event-time origin for the watermarked-dedup fixture (2026-01-01
+# 00:00:00 UTC); slice k carries ts = EPOCH + k*3600 exactly, so the slice
+# index is recoverable from unix_timestamp(ts) with no timezone dependence.
+WM_DEDUP_EPOCH = 1_767_225_600
+
+
+def stage_watermark_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the watermarked-dedup acceptance fixture: up to 8 mtime-ordered
+    single-file parquet slices (one micro-batch each under
+    maxFilesPerTrigger=1), slice k carrying event time EPOCH + k hours.
+
+    Rows: ONE representative document per (source, fp) among Gopher-gate
+    passers (the min-doc_id row and its text), occurring TWICE:
+
+    - first at slice ``s = doc_id % 4``,
+    - again at slice ``s + gap``, gap = 1 if ``(doc_id div 4) % 2 == 0``
+      else 4.
+
+    With a 30-minute watermark delay and 1-hour slice spacing, the gap-1
+    re-arrival lands INSIDE the dedup horizon (state alive -> dropped) and
+    the gap-4 re-arrival lands past it (kept again): eviction requires
+    watermark > first_ts + 30min, which batch s+3's watermark
+    (maxTs(slice s+2) - 30min = first_ts + 1.5h) satisfies with a full
+    batch to spare — so the key's state is gone before slice s+4 processes
+    under either evict-at-batch-start or evict-at-batch-end semantics.
+    The kept set is therefore a pure function of the documents table
+    (SQL-expressible for the DuckDB oracle) while the stream exercises the
+    REAL dropDuplicatesWithinWatermark state lifecycle end to end: create,
+    within-horizon drop, watermark eviction, post-eviction re-admit.
+
+    The margin argument needs slice s+3 non-empty for every gap-4 key and
+    slices 0..3 non-empty for watermark progression, so staging asserts all
+    8 slices are populated (holds for any corpus with a few hundred
+    gate-passing docs; a corpus too small to fill them must fail loudly
+    rather than stage a fixture whose oracle is silently wrong).
+    """
+    import shutil
+
+    from quatrain_mapreduce_spark.catalog import load_table
+    from quatrain_mapreduce_spark.operators.curation import gopher_rules
+    from quatrain_mapreduce_spark.operators.dedup import normalized_text
+
+    d = stage_dir(sf_dir, "wmdedup")
+    marker = os.path.join(d, "_STAGED")
+    if os.path.exists(marker):
+        return d
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    gated = gopher_rules(docs, "text").where("passes = 1")
+    reps = (
+        gated.withColumn("fp", F.md5(normalized_text("text")))
+        .groupBy("source", "fp")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min_by("text", "doc_id").alias("text"))
+    )
+    first = reps.select(
+        "doc_id", "source", "text",
+        (F.col("doc_id") % 4).cast("int").alias("slice"),
+    )
+    again = reps.select(
+        "doc_id", "source", "text",
+        (F.col("doc_id") % 4
+         + F.when(F.expr("(doc_id div 4) % 2") == 0, 1).otherwise(4)
+         ).cast("int").alias("slice"),
+    )
+    rows = first.unionByName(again).withColumn(
+        "ts", F.timestamp_seconds(F.lit(WM_DEDUP_EPOCH) + F.col("slice") * 3600)
+    ).select("doc_id", "source", "ts", "text", "slice").persist()
+    try:
+        present = {r["slice"] for r in rows.select("slice").distinct().collect()}
+        missing = sorted(set(range(8)) - present)
+        if missing:
+            raise ValueError(
+                f"watermarked-dedup fixture needs all 8 slices populated; "
+                f"{sf_dir} leaves slices {missing} empty — corpus too small "
+                "for the eviction-margin argument (see docstring)"
+            )
+        os.makedirs(d, exist_ok=True)
+        for k in sorted(present):
+            tmp = os.path.join(d, f"_tmp{k}")
+            rows.where(F.col("slice") == k).drop("slice") \
+                .coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"slice{k}.parquet")
+            os.replace(part, dst)
+            shutil.rmtree(tmp)
+            # mtime = slice order: FileStreamSource replays oldest-first
+            os.utime(dst, (1_000_000_000 + k * 60, 1_000_000_000 + k * 60))
+    finally:
+        rows.unpersist()
+    open(marker, "w").close()
+    return d
+
+
 def stage_event_slices(
     spark: SparkSession,
     sf_dir: str,

@@ -33,14 +33,43 @@ import os
 import sys
 
 
-def first_green_rounds(repo: str) -> dict[str, str]:
+def _ledger_files(repo: str, through: str | None = None) -> list[str]:
+    """CORRECTNESS_r*.json paths in round order, optionally truncated at
+    round label ``through`` (inclusive). The truncation makes a window
+    proposal REPRODUCIBLE after newer artifacts land: the registry records
+    which ledger prefix generated DRIVER_WINDOW, so the enforcement test
+    recomputes the same proposal even while the current round's artifact
+    is being written (labels are zero-padded — lexicographic order is
+    round order)."""
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if through is not None:
+        files = [f for f in files
+                 if os.path.basename(f)[len("CORRECTNESS_"):-len(".json")] <= through]
+    return files
+
+
+def first_green_rounds(repo: str, through: str | None = None) -> dict[str, str]:
     """name -> first round label with a fully-green CORRECTNESS row."""
     out: dict[str, str] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for f in _ledger_files(repo, through):
         rnd = os.path.basename(f)[len("CORRECTNESS_"):-len(".json")]
         for name, row in json.load(open(f)).items():
             ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match", True)
             if ok and name not in out:
+                out[name] = rnd
+    return out
+
+
+def last_green_rounds(repo: str, through: str | None = None) -> dict[str, str]:
+    """name -> most recent round label with a fully-green CORRECTNESS row —
+    the staleness signal: a query whose last green row is rounds old relies
+    on an aging attestation even though lifetime coverage is complete."""
+    out: dict[str, str] = {}
+    for f in _ledger_files(repo, through):
+        rnd = os.path.basename(f)[len("CORRECTNESS_"):-len(".json")]
+        for name, row in json.load(open(f)).items():
+            ok = row.get("rows_match") and row.get("schema_match") and row.get("hash_match", True)
+            if ok:
                 out[name] = rnd
     return out
 
@@ -51,23 +80,41 @@ def never_green(repo: str, qs) -> list[str]:
     return [n for n, q in qs.items() if q.oracle is not None and n not in green]
 
 
-def emit_window(repo: str, qs) -> dict:
-    """The composition rule DRIVER_WINDOW follows: never-green queue first,
-    then one green oracled representative per plan module (prefer the
-    earliest-green = most battle-tested row)."""
-    green = first_green_rounds(repo)
-    never = [n for n, q in qs.items() if q.oracle is not None and n not in green]
-    never_mods = {qs[n].fn.__module__.rsplit(".", 1)[-1] for n in never}
+def emit_window(repo: str, qs, size: int = 50,
+                through: str | None = None) -> dict:
+    """The composition rule DRIVER_WINDOW follows (r11 verdict directive
+    #4 — staleness rotation): the never-green queue first (attestation
+    debt drains before anything else), then one green oracled
+    representative per plan module — choosing each module's MOST STALE
+    query (oldest last-green) so module slots do double duty — then the
+    remaining slots filled with the oldest-last-green oracled queries
+    repo-wide. Every slot therefore refreshes the oldest attestations,
+    and max staleness strictly decreases round over round. ``through``
+    pins the ledger prefix (see _ledger_files) so the proposal that
+    generated a committed DRIVER_WINDOW is recomputable forever."""
+    first = first_green_rounds(repo, through)
+    last = last_green_rounds(repo, through)
+
+    def mod_of(n: str) -> str:
+        return qs[n].fn.__module__.rsplit(".", 1)[-1]
+
+    never = [n for n, q in qs.items() if q.oracle is not None and n not in first]
+    covered_mods = {mod_of(n) for n in never}
+    greens = sorted(
+        (n for n, q in qs.items() if q.oracle is not None and n in last),
+        key=lambda n: (last[n], n),   # oldest last-green first; name tiebreak
+    )
     reps: list[str] = []
-    for n in sorted(green, key=lambda n: green[n]):
-        if n not in qs or qs[n].oracle is None:
-            continue
-        mod = qs[n].fn.__module__.rsplit(".", 1)[-1]
-        if mod not in never_mods and mod not in {
-            qs[r].fn.__module__.rsplit(".", 1)[-1] for r in reps
-        }:
+    for n in greens:
+        if mod_of(n) not in covered_mods:
+            covered_mods.add(mod_of(n))
             reps.append(n)
-    return {"window": never + reps, "never_green": never, "module_reps": reps}
+    chosen = set(never) | set(reps)
+    fill = [n for n in greens if n not in chosen][: max(0, size - len(chosen))]
+    window = (never + reps + fill)[:size]
+    return {"window": window, "never_green": never, "module_reps": reps,
+            "staleness_fill": fill, "through": through,
+            "last_green": {n: last.get(n) for n in window}}
 
 
 def main() -> int:
@@ -75,6 +122,10 @@ def main() -> int:
     ap.add_argument("--repo", default="/root/repo")
     ap.add_argument("--emit-window", action="store_true",
                     help="print one JSON line with the computed gate window")
+    ap.add_argument("--through", default=None,
+                    help="only use CORRECTNESS artifacts up to this round "
+                         "label (e.g. r11) — reproduces the proposal a "
+                         "committed DRIVER_WINDOW was generated from")
     args = ap.parse_args()
     sys.path.insert(0, args.repo)
 
@@ -88,11 +139,19 @@ def main() -> int:
     in_window_now = [n for n in never if n in DRIVER_WINDOW]
 
     if args.emit_window:
-        print(json.dumps(emit_window(args.repo, qs), separators=(",", ":")))
+        print(json.dumps(emit_window(args.repo, qs, through=args.through),
+                         separators=(",", ":")))
         return 0
 
     print(f"registered: {len(qs)}  oracled: {len(oracled)}  rows-only: {len(rows_only)}")
     print(f"ever driver-green: {len(first_green)}")
+    last = last_green_rounds(args.repo)
+    if last:
+        stalest = sorted((n for n in oracled if n in last),
+                         key=lambda n: (last[n], n))[:10]
+        print("stalest oracled attestations (last green round):")
+        for n in stalest:
+            print(f"  {n:32s} {last[n]}")
     print(f"never driver-green (oracled): {len(never)}")
     for n in never:
         mark = "in current window" if n in DRIVER_WINDOW else "STILL IN TAIL"
