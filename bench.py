@@ -141,6 +141,41 @@ CONTENTION_LOADAVG = float(os.environ.get("SPARK_GRAFT_CONTENTION_LOADAVG", "3.0
 EXTERNAL_CORES = float(os.environ.get("SPARK_GRAFT_EXTERNAL_CORES", "2.5"))
 
 
+# Per-row wave retry (r11 verdict directive #1b): a sub-minute co-tenant
+# wave can inflate one row's every rep while the run-level average — and
+# even the row's own 1-min loadavg stamp — stays quiet (r11: profile_orders
+# min 6.52 s at stamp 3.72 vs committed floor 3.36). When a row's
+# min-of-reps lands above WAVE_RATIO x its committed floor, re-run that row
+# up to WAVE_RETRIES more reps and keep the global min. The floor trigger
+# alone (no loadavg precondition) is deliberate: stamp-quiet waves are the
+# documented failure mode, and the cost is bounded either way.
+WAVE_RATIO = float(os.environ.get("SPARK_GRAFT_WAVE_RATIO", "1.3"))
+WAVE_RETRIES = int(os.environ.get("SPARK_GRAFT_WAVE_RETRIES", "2"))
+
+
+def load_floors(repo_dir: str, sf: float) -> dict[str, float]:
+    """Committed per-query floors (BENCH_FLOORS.json: the lowest attested
+    min-of-reps for this query at the file's sf). Floors gate the wave
+    retry only — they never alter a measured number — and apply only when
+    the run's sf matches the file's, since a floor at one scale says
+    nothing about another."""
+    try:
+        with open(os.path.join(repo_dir, "BENCH_FLOORS.json")) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if abs(float(doc.get("sf", -1)) - sf) > 1e-9:
+        return {}
+    return {k: float(v) for k, v in (doc.get("floors") or {}).items()}
+
+
+def needs_wave_retry(reps: list[float], floor: float | None) -> bool:
+    """True when every rep so far is above WAVE_RATIO x the committed
+    floor — the shape of a row whose whole rep window sat inside a
+    co-tenant wave."""
+    return bool(reps) and floor is not None and min(reps) > WAVE_RATIO * floor
+
+
 def max_loadavg(*snaps: dict) -> float | None:
     """Highest 1-minute loadavg across environment snapshots (None if the
     platform exposes none)."""
@@ -370,11 +405,15 @@ def main() -> None:
     # round-over-round signal for PLAN quality; the median stays the
     # headline because it reflects what a user actually experiences here.
     times_min: dict[str, float] = {}
+    floors = load_floors(os.path.dirname(os.path.abspath(__file__)), sf)
+    queries_retried: dict[str, int] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         reps: list[float] = []
-        for _ in range(N_REPS):
+        rep_loads: list[float] = []
+
+        def one_rep() -> None:
             t0 = time.monotonic()
             try:
                 run_query(qs[name].fn(spark, sf_dir))
@@ -382,20 +421,36 @@ def main() -> None:
             except Exception as exc:  # never let one query kill the artifact
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+            try:
+                la = os.getloadavg()[0]
+                load_samples.append(la)
+                rep_loads.append(la)
+            except OSError:
+                pass
+
+        for _ in range(N_REPS):
+            one_rep()
+        # bounded wave retry: only rows with a committed floor, only when
+        # the whole rep window missed it by >WAVE_RATIO, at most
+        # WAVE_RETRIES extra reps — so a genuine plan regression still
+        # ships (inflated AND labeled), it just gets two more chances to
+        # dodge a transient co-tenant wave first
+        extra = 0
+        while extra < WAVE_RETRIES and needs_wave_retry(reps, floors.get(name)):
+            extra += 1
+            one_rep()
+        if extra:
+            queries_retried[name] = extra
         times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
         times_min[name] = round(min(reps), 3) if reps else -1.0
-        try:
-            la = os.getloadavg()[0]
-            load_samples.append(la)
-            # per-query attribution: the run-level external-cores verdict
-            # averages the whole window, so a co-tenant WAVE that inflates a
-            # few heavy rows can hide under it (seen r11: dedup_components
-            # 3x with external_cores_est 1.9) — the post-query 1-min
-            # loadavg, stored per row, lets a reader attribute individual
-            # row inflation without re-running
-            queries_loadavg[name] = round(la, 2)
-        except OSError:
-            pass
+        # per-query attribution: the run-level external-cores verdict
+        # averages the whole window, so a co-tenant WAVE that inflates a
+        # few heavy rows can hide under it (seen r11: dedup_components
+        # 3x with external_cores_est 1.9) — the MAX post-rep 1-min
+        # loadavg, stored per row, lets a reader attribute individual
+        # row inflation without re-running
+        if rep_loads:
+            queries_loadavg[name] = round(max(rep_loads), 2)
 
     env_end = _env_snapshot()
     load_max = max_loadavg(env_start, env_timed, env_end)
@@ -433,6 +488,10 @@ def main() -> None:
         "own_cpu_cores_timed": own_cores,
         "external_cores_est": external_est,
         "external_cores_threshold": EXTERNAL_CORES,
+        "queries_retried": queries_retried,
+        "wave_ratio": WAVE_RATIO,
+        "wave_retries_cap": WAVE_RETRIES,
+        "floors_known": sorted(floors),
         "contended": contended,
         "contention_waited_s": waited_s,
         "reps": N_REPS,

@@ -24,8 +24,9 @@ import os
 import time
 
 from bench import (BENCH_QUERIES, CONTENTION_LOADAVG, EXTERNAL_CORES,
-                   contention_verdict, external_cores_estimate, max_loadavg,
-                   proc_tree_cpu_seconds, stdout_line)
+                   WAVE_RATIO, WAVE_RETRIES, contention_verdict,
+                   external_cores_estimate, load_floors, max_loadavg,
+                   needs_wave_retry, proc_tree_cpu_seconds, stdout_line)
 
 # the observed r6 capture held ~1.5 KB of tail; r8's ~4.6 KB line was lost
 # entirely. Keep worst case comfortably under the smallest observed bound.
@@ -105,6 +106,38 @@ def test_proc_tree_cpu_meter_counts_own_work():
     assert c1 is not None and c1 - c0 >= 0.1, (c0, c1)
 
 
+def test_wave_retry_trigger_is_floor_gated_and_bounded():
+    """r11 verdict directive #1b: a row whose whole rep window lands above
+    WAVE_RATIO x its committed floor gets re-run (a sub-minute co-tenant
+    wave can inflate every rep while even the row's own loadavg stamp
+    stays quiet — r11: profile_orders min 6.52 at stamp 3.72, floor 3.36);
+    rows without a floor, and rows at/under the ratio, never retry."""
+    assert WAVE_RATIO > 1.0 and WAVE_RETRIES >= 1
+    assert needs_wave_retry([6.52, 7.1], 3.36) is True        # the r11 case
+    assert needs_wave_retry([3.4, 9.9], 3.36) is False        # one rep dodged it
+    assert needs_wave_retry([6.52], None) is False            # no floor, no trigger
+    assert needs_wave_retry([], 3.36) is False                # all reps failed
+    assert needs_wave_retry([3.36 * WAVE_RATIO], 3.36) is False  # at ratio, not over
+
+
+def test_bench_floors_file_matches_contract(tmp_path):
+    """BENCH_FLOORS.json: sf-keyed committed floors; load_floors must
+    ignore a floors file from another scale (a sf0.1 floor gating a sf1
+    run would retry every row) and degrade to {} when the file is absent
+    or malformed."""
+    with open("BENCH_FLOORS.json") as fh:
+        doc = json.load(fh)
+    assert doc["sf"] == 0.1
+    assert doc["floors"] and all(v > 0 for v in doc["floors"].values())
+    # floors describe bench rows (a floor for an unbenched query is inert
+    # but suggests a stale file)
+    assert set(doc["floors"]) <= set(BENCH_QUERIES) | set(doc["floors"])
+    loaded = load_floors(os.getcwd(), 0.1)
+    assert loaded == {k: float(v) for k, v in doc["floors"].items()}
+    assert load_floors(os.getcwd(), 1.0) == {}   # scale mismatch -> no gating
+    assert load_floors(str(tmp_path), 0.1) == {}  # absent file -> no gating
+
+
 def test_summary_artifact_carries_min_and_env_telemetry():
     """BENCH_SUMMARY.json (committed per round) must keep the fields the
     contention analysis relies on: min-of-reps, loadavg snapshots, and —
@@ -134,3 +167,12 @@ def test_summary_artifact_carries_min_and_env_telemetry():
         for key in ("loadavg_avg_timed", "own_cpu_cores_timed",
                     "external_cores_est"):
             assert key in s, key
+    if "queries_retried" in s:
+        # r12 wave retry: the artifact says which rows got extra reps and
+        # under what policy, so a reader can tell a dodged wave (retried,
+        # min recovered) from a real regression (retried, min still high)
+        assert isinstance(s["queries_retried"], dict)
+        assert set(s["queries_retried"]) <= set(s["queries_min"])
+        assert all(1 <= v <= s["wave_retries_cap"]
+                   for v in s["queries_retried"].values())
+        assert s["wave_ratio"] > 1.0

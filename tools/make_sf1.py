@@ -15,7 +15,11 @@ table can be extended one more decade:
   exact/near-dup cluster 10x and make dedup look superlinear on data that
   no real corpus resembles;
 - embedding element 0 is nudged by copy*0.37 for the same reason (identical
-  vectors would turn ANN buckets into 10x pileups).
+  vectors would turn ANN buckets into 10x pileups);
+- customer names are regenerated from the offset custkey (verbatim-copied
+  names put every record-linkage blocking bucket at copies x its base size
+  — the max_bucket cap then drops nearly all of them at sf10 and the
+  measured slope collapses to a fixture artifact; see copy_of).
 
 - scaled copies DROP the h16(doc_id)%10==5 hash slice of documents (the
   engine's "new eval release" selector), so the incremental-
@@ -76,6 +80,24 @@ def copy_of(df: DataFrame, table: str, i: int, sp: dict[str, int]) -> DataFrame:
     out = df
     for col, span_key in KEYED.get(table, {}).items():
         out = out.withColumn(col, F.col(col) + F.lit(i * sp[span_key]))
+    if table == "customer" and i > 0:
+        # regenerate c_name from the OFFSET custkey (same props.k /
+        # doc-suffix precedent): copies with names copied verbatim put
+        # every (nation, band, band-value) blocking bucket of the
+        # record-linkage tier at copies x its base size, so at sf10 nearly
+        # all buckets blow the max_bucket=64 cap and get dropped —
+        # candidate work collapses and the measured slope (0.6x/decade,
+        # SCALING.md r11) is a fixture artifact, not engine behavior. A
+        # genuinely bigger TPC-H names customers sequentially over the
+        # bigger key range; mirroring that preserves the name STRUCTURE
+        # (zero-padded 9-digit suffix, pigeonhole banding, within-copy
+        # edit-distance geometry) while the bucket population grows the
+        # way real data's would.
+        out = out.withColumn(
+            "c_name",
+            F.concat(F.lit("Customer#"),
+                     F.lpad(F.col("c_custkey").cast("string"), 9, "0")),
+        )
     if table == "events" and i > 0:
         # offset the item key inside props too (same disjointness rule as
         # the id columns): props.k feeds the co-purchase item key of the

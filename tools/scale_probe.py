@@ -37,6 +37,18 @@ def main() -> int:
                          "proceeds regardless at the deadline, the stamped "
                          "loadavg tells the reader which case happened")
     ap.add_argument("--quiet-load", type=float, default=1.5)
+    ap.add_argument("--ledger", default=None,
+                    help="merge this probe's rows into a SCALING.json "
+                         "ledger (query -> [{sf, min, median, reps, "
+                         "loadavg, waited_quiet_s}]) so slope tables can "
+                         "be diffed mechanically the way "
+                         "PLAN_FINGERPRINTS.json diffs plans; an existing "
+                         "(query, sf_dir) row is replaced only when the "
+                         "new min is LOWER (min-of-observations is the "
+                         "channel's stable signal). NOTE: rows persist "
+                         "across /tmp restagings — after a fixture-scheme "
+                         "change (e.g. make_sf1 customer-name fix) delete "
+                         "the affected query's rows before re-probing")
     args = ap.parse_args()
 
     def wait_quiet() -> float:
@@ -92,7 +104,51 @@ def main() -> int:
     print(json.dumps({"sf_dir": args.sf_dir, "reps": args.reps,
                       "mins": {n: r["min"] for n, r in results.items()},
                       "loadavg_end": loadavg()}), flush=True)
+    if args.ledger:
+        merge_ledger(args.ledger, args.sf_dir, args.reps, results)
     return 0
+
+
+def sf_of_dir(sf_dir: str) -> float | None:
+    """Scale factor parsed from the dir name (qms_sf10, testdata/sf0.1)."""
+    import re
+
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(
+        os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else None
+
+
+def merge_ledger(path: str, sf_dir: str, reps: int, results: dict) -> None:
+    """Merge probe rows into the SCALING.json ledger (see --ledger help).
+    Rows are keyed (query, sf_dir); per key the LOWEST min wins — the
+    ledger accumulates each scale's least-contended observation across
+    probe sessions, the same min-of-observations contract as bench.py."""
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {"note": "machine-readable slope ledger: per query, the "
+                       "least-contended (lowest-min) probe observation per "
+                       "scale dir; written by tools/scale_probe.py "
+                       "--ledger, schema pinned by tests/test_scaling_"
+                       "ledger.py, cited by SCALING.md",
+               "rows": {}}
+    for name, r in results.items():
+        row = {"sf": sf_of_dir(sf_dir), "sf_dir": sf_dir,
+               "min": r["min"],
+               "median": sorted(r["reps"])[len(r["reps"]) // 2],
+               "reps": reps, "loadavg": r["loadavg"],
+               "waited_quiet_s": r["waited_quiet_s"]}
+        rows = doc["rows"].setdefault(name, [])
+        old = next((x for x in rows if x["sf_dir"] == sf_dir), None)
+        if old is None:
+            rows.append(row)
+        elif row["min"] < old["min"]:
+            rows[rows.index(old)] = row
+        rows.sort(key=lambda x: (x["sf"] is None, x["sf"], x["sf_dir"]))
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":
