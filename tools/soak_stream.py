@@ -708,12 +708,26 @@ def _pipeline_flat(args) -> int:
     # flatness test reads the healthy sawtooth as 2x "growth" (first run
     # of this mode did exactly that). Bounded means two things instead:
     # the ENVELOPE doesn't grow (late-half max vs early-half max) and the
-    # peak never exceeds the designed 2-block bound.
+    # peak never exceeds the designed amplitude bound. That bound is TWO
+    # key blocks PLUS one trigger interval of input: eviction runs inside
+    # batch n with the watermark computed from batch n-1, so the rows a
+    # watermark crossing will evict coexist with one trigger's new
+    # arrivals before the pass removes them (the 30-min 10k-key run
+    # measured the steady peak at EXACTLY 2*keys + rate*trigger = 22,500
+    # for its whole post-warmup life — a hard 2*keys bound misreads that
+    # healthy one-batch lag as growth).
     rows = [b["state_rows"] for b in post]
     early_max = max(rows[: len(rows) // 2])
     late_max = max(rows[len(rows) // 2:])
     envelope_flat = late_max <= args.tolerance * early_max
-    under_bound = late_max <= 2 * args.keys
+    trigger_s = 5   # processingTime="5 seconds" below
+    rotation_s = 30  # key-block rotation cadence in the derived source
+    # blocks alive = the active one + however many rotations the watermark
+    # delay keeps a finished block's state (ceil(W/R); >=1 even for tiny W
+    # since eviction can't precede the block's own end)
+    blocks = 1 + max(1, -(-args.watermark_seconds // rotation_s))
+    amplitude_bound = args.keys * blocks + args.rate * trigger_s
+    under_bound = late_max <= amplitude_bound
     removed_any = any((b["rows_removed"] or 0) > 0 for b in post)
     ok = envelope_flat and under_bound and removed_any
     print(json.dumps({
@@ -722,7 +736,7 @@ def _pipeline_flat(args) -> int:
         "early_max_state_rows": early_max,
         "late_max_state_rows": late_max,
         "late_over_early_max": round(late_max / max(early_max, 1), 3),
-        "two_block_bound": 2 * args.keys,
+        "amplitude_bound": amplitude_bound,
         "under_bound": under_bound,
         "watermark_evicts": removed_any,
         "minutes": args.minutes, "rate": args.rate, "keys": args.keys,
