@@ -76,58 +76,58 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # regenerate. The tail (checked locally by tools/check_oracle.py) holds the
 # remaining green queries plus rows-only approximate operators whose
 # oracles can't exist.
-WINDOW_LEDGER_THROUGH = "r11"
+WINDOW_LEDGER_THROUGH = "r12"
 DRIVER_WINDOW: tuple[str, ...] = (
-    "stream_dedup_watermarked",  # last green: never (new this round)
-    "aggregate_pkg",  # last green: r03
-    "cast_types",  # last green: r03
-    "doc_fingerprint",  # last green: r03
-    "bucket_point_lookup",  # last green: r04
-    "sql_insert_overwrite_partition",  # last green: r04
-    "window_funcs",  # last green: r04
-    "corpus_shuffle",  # last green: r05
-    "range_join_incidents",  # last green: r05
-    "chain_map_wordcount",  # last green: r06
-    "cluster_by_shape",  # last green: r03
-    "complex_types",  # last green: r03
-    "dbcount_shape",  # last green: r03
-    "distinct_select",  # last green: r03
-    "embedding_neardup",  # last green: r03
-    "field_selection",  # last green: r03
-    "inverse_map",  # last green: r03
-    "join_inner",  # last green: r03
-    "join_left",  # last green: r03
-    "join_override",  # last green: r03
-    "join_right",  # last green: r03
-    "json_field_extract",  # last green: r03
-    "key_field_sort",  # last green: r03
-    "lang_id",  # last green: r03
-    "like_rlike_filter",  # last green: r03
-    "multi_insert_shared_scan",  # last green: r03
-    "pi_estimator",  # last green: r03
-    "sample_bucket",  # last green: r03
-    "scalar_funcs",  # last green: r03
-    "similarity_bruteforce",  # last green: r03
-    "sort_validate",  # last green: r03
-    "text_quality",  # last green: r03
-    "text_stats",  # last green: r03
-    "topk_per_group",  # last green: r03
-    "union_all",  # last green: r03
-    "uniq_value_count",  # last green: r03
-    "value_histogram",  # last green: r03
-    "wikistats_shape",  # last green: r03
-    "csv_typed_roundtrip",  # last green: r04
-    "schema_evolution_read",  # last green: r04
-    "stream_tumbling_count",  # last green: r04
-    "bucketed_join",  # last green: r05
-    "compact_small_files",  # last green: r05
-    "corpus_curation",  # last green: r05
-    "cq_moving_avg_stream",  # last green: r05
-    "dedup_components",  # last green: r05
-    "dedup_lsh_recall",  # last green: r05
-    "domain_cap",  # last green: r05
-    "embedding_quantize",  # last green: r05
-    "index_build",  # last green: r05
+    "merge_upsert_orders",  # last green: r05
+    "multimodal_frames",  # last green: r05
+    "online_agg_events",  # last green: r05
+    "percentile_agg",  # last green: r05
+    "pii_scrub",  # last green: r05
+    "scd2_user_state",  # last green: r05
+    "seqfile_roundtrip",  # last green: r05
+    "sql_ddl_roundtrip",  # last green: r05
+    "counters_observe",  # last green: r06
+    "sketch_bounds",  # last green: r06
+    "pivot_wide",  # last green: r05
+    "range_frame_window",  # last green: r05
+    "repetition_filter",  # last green: r05
+    "rollup_agg",  # last green: r05
+    "similarity_ivf_exact",  # last green: r05
+    "skip_bad_records",  # last green: r05
+    "sql_groupby2",  # last green: r05
+    "sql_join2",  # last green: r05
+    "sql_partition_pruning",  # last green: r05
+    "sql_subq",  # last green: r05
+    "sql_transform",  # last green: r05
+    "stratified_sample",  # last green: r05
+    "stream_dedup",  # last green: r05
+    "stream_late_data",  # last green: r05
+    "tpch_q3_shape",  # last green: r05
+    "train_val_split",  # last green: r05
+    "window_distribution",  # last green: r05
+    "bigram_lm_score",  # last green: r06
+    "bpe_pair_counts",  # last green: r06
+    "chunk_documents",  # last green: r06
+    "cooccurrence_lift",  # last green: r06
+    "cq_moving_avg",  # last green: r06
+    "cq_tumbling_window",  # last green: r06
+    "cube_agg",  # last green: r06
+    "dedup_incremental_lsh",  # last green: r06
+    "dedup_keep_best",  # last green: r06
+    "dedup_spans",  # last green: r06
+    "distcp_roundtrip",  # last green: r06
+    "doc_similarity_pairs",  # last green: r06
+    "har_roundtrip",  # last green: r06
+    "heavy_hitters_topk",  # last green: r06
+    "jsonl_roundtrip",  # last green: r06
+    "kv_text_roundtrip",  # last green: r06
+    "multimodal_features",  # last green: r06
+    "multiple_inputs_union",  # last green: r06
+    "online_agg_topk",  # last green: r06
+    "pipes_wordcount",  # last green: r06
+    "salted_join_orders",  # last green: r06
+    "seqfilter_scan",  # last green: r06
+    "sessionize_events",  # last green: r06
 )
 # Rows-only by design (no SQL-expressible oracle; each differential- or
 # precision-gated in pytest): bpe_train_merges, bpe_encode_corpus,
