@@ -441,7 +441,12 @@ def main() -> None:
             one_rep()
         if extra:
             queries_retried[name] = extra
-        times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
+        # retries feed the MIN only: the median stays a uniform
+        # first-N_REPS statistic across all rows, retried or not (ADVICE
+        # r12 — folding extra reps into the median made its rep regime
+        # row-dependent while the artifact still said "reps": N_REPS)
+        base = reps[:N_REPS]
+        times[name] = round(sorted(base)[len(base) // 2], 3) if base else -1.0
         times_min[name] = round(min(reps), 3) if reps else -1.0
         # per-query attribution: the run-level external-cores verdict
         # averages the whole window, so a co-tenant WAVE that inflates a

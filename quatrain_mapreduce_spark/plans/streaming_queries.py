@@ -1199,12 +1199,15 @@ _WM_DEDUP_ORACLE = """
         "-> dropDuplicatesWithinWatermark over a REAL file stream, one "
         "micro-batch per hour-stamped slice. The fixture (staging."
         "stage_watermark_dedup_slices) re-plays every gate-passing distinct "
-        "(source, fp) document twice — once at hour doc_id%4 and again 1 or "
-        "4 hours later — so the 30-minute watermark exercises the full "
-        "state lifecycle: within-horizon duplicates are DROPPED (state "
-        "alive), 4-hour re-arrivals are KEPT AGAIN (state evicted when the "
-        "watermark passed), making the kept set a pure function of the "
-        "table that one DuckDB oracle checks. This is the bounded-state "
+        "(source, fp) document twice — once at hour doc_id%4, and again "
+        "either one slice later with an event time 20 min past the first "
+        "sighting (inside the 30-min threshold: the drop is the documented "
+        "dropDuplicatesWithinWatermark guarantee, not eviction timing — "
+        "ADVICE r12) or 4 hours later — so the watermark exercises the "
+        "full state lifecycle: within-threshold duplicates are DROPPED "
+        "(state alive), 4-hour re-arrivals are KEPT AGAIN (state evicted "
+        "when the watermark passed), making the kept set a pure function "
+        "of the table that one DuckDB oracle checks. This is the bounded-state "
         "trade an always-on 100 TB ingest makes versus dropDuplicates, "
         "whose state grows with the corpus forever; the state envelope of "
         "this exact form is soak-proven BOUNDED (tools/soak_stream.py "

@@ -44,9 +44,17 @@ def stage_dir(sf_dir: str, tag: str) -> str:
 
 
 # Fixed event-time origin for the watermarked-dedup fixture (2026-01-01
-# 00:00:00 UTC); slice k carries ts = EPOCH + k*3600 exactly, so the slice
-# index is recoverable from unix_timestamp(ts) with no timezone dependence.
+# 00:00:00 UTC); every KEPT row carries ts = EPOCH + k*3600 exactly, so the
+# slice index is recoverable from unix_timestamp(ts) with no timezone
+# dependence.
 WM_DEDUP_EPOCH = 1_767_225_600
+# Event-time offset of the gap-1 duplicate past its first sighting: 20 min,
+# strictly inside the 30-min delay threshold, so the drop is the DOCUMENTED
+# dropDuplicatesWithinWatermark guarantee ("duplicates within the delay
+# threshold of each other are deduplicated"), not a bet on eviction timing
+# (ADVICE r12: a 60-min-later event time sat in Spark's "may or may not be
+# deduplicated" zone and relied on watermark lag + batch-end eviction).
+WM_DEDUP_DUP_OFFSET = 1200
 
 
 def stage_watermark_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
@@ -57,17 +65,31 @@ def stage_watermark_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
     Rows: ONE representative document per (source, fp) among Gopher-gate
     passers (the min-doc_id row and its text), occurring TWICE:
 
-    - first at slice ``s = doc_id % 4``,
-    - again at slice ``s + gap``, gap = 1 if ``(doc_id div 4) % 2 == 0``
-      else 4.
+    - first at slice ``s = doc_id % 4`` with ts = EPOCH + s hours exactly,
+    - again 1 slice later (``(doc_id div 4) % 2 == 0``) carrying event time
+      first_ts + WM_DEDUP_DUP_OFFSET (20 min), or 4 slices later carrying
+      ts = EPOCH + (s+4) hours exactly.
 
-    With a 30-minute watermark delay and 1-hour slice spacing, the gap-1
-    re-arrival lands INSIDE the dedup horizon (state alive -> dropped) and
-    the gap-4 re-arrival lands past it (kept again): eviction requires
-    watermark > first_ts + 30min, which batch s+3's watermark
-    (maxTs(slice s+2) - 30min = first_ts + 1.5h) satisfies with a full
-    batch to spare — so the key's state is gone before slice s+4 processes
-    under either evict-at-batch-start or evict-at-batch-end semantics.
+    Both legs sit on DOCUMENTED guarantees with a 30-minute watermark
+    delay (ADVICE r12 — the previous gap-1 leg gave the duplicate a 60-min-
+    later event time, past the threshold, where Spark only promises "may or
+    may not be deduplicated" and the drop rested on watermark lag plus
+    batch-end eviction):
+
+    - the gap-1 duplicate's EVENT TIME is 20 min past the first sighting —
+      inside the 30-min threshold, where dropDuplicatesWithinWatermark
+      guarantees the drop outright (state provably alive: batch s+1 runs
+      with watermark maxTs(slice s) - 30min = first_ts - 30min, far below
+      the first_ts + 30min expiry). It still ARRIVES one micro-batch later,
+      so the cross-batch state lookup is exercised for real.
+    - the gap-4 re-arrival lands past eviction: expiry is
+      first_ts + 30min, and batch s+3's watermark (maxTs(slice s+2) -
+      30min = first_ts + 1.5h) passes it with a full batch to spare — the
+      key's state is gone before slice s+4 processes under either
+      evict-at-batch-start or evict-at-batch-end semantics (kept-row event
+      times stay on the exact hour grid: gap-1 duplicates never appear in
+      output, so slice recovery from unix_timestamp(ts) is unaffected).
+
     The kept set is therefore a pure function of the documents table
     (SQL-expressible for the DuckDB oracle) while the stream exercises the
     REAL dropDuplicatesWithinWatermark state lifecycle end to end: create,
@@ -85,7 +107,10 @@ def stage_watermark_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
     from quatrain_mapreduce_spark.operators.curation import gopher_rules
     from quatrain_mapreduce_spark.operators.dedup import normalized_text
 
-    d = stage_dir(sf_dir, "wmdedup")
+    # tag bumped with the r13 gap-1 event-time change: stage_dir keys on
+    # (sf_dir, tag, source fingerprint) only, so an unbumped tag would
+    # silently reuse a pre-change fixture staged by an earlier round
+    d = stage_dir(sf_dir, "wmdedup2")
     marker = os.path.join(d, "_STAGED")
     if os.path.exists(marker):
         return d
@@ -97,18 +122,26 @@ def stage_watermark_dedup_slices(spark: SparkSession, sf_dir: str) -> str:
         .agg(F.min("doc_id").alias("doc_id"),
              F.min_by("text", "doc_id").alias("text"))
     )
+    base_slice = (F.col("doc_id") % 4).cast("int")
+    is_gap1 = F.expr("(doc_id div 4) % 2 = 0")
     first = reps.select(
         "doc_id", "source", "text",
-        (F.col("doc_id") % 4).cast("int").alias("slice"),
+        base_slice.alias("slice"),
+        (base_slice.cast("bigint") * 3600).alias("off"),
     )
+    # gap-1 duplicates ARRIVE one slice later but carry an event time only
+    # WM_DEDUP_DUP_OFFSET past the first sighting — inside the 30-min delay
+    # threshold, so the drop is the documented guarantee (docstring)
     again = reps.select(
         "doc_id", "source", "text",
-        (F.col("doc_id") % 4
-         + F.when(F.expr("(doc_id div 4) % 2") == 0, 1).otherwise(4)
-         ).cast("int").alias("slice"),
+        (base_slice + F.when(is_gap1, 1).otherwise(4)).cast("int")
+        .alias("slice"),
+        F.when(is_gap1,
+               base_slice.cast("bigint") * 3600 + WM_DEDUP_DUP_OFFSET)
+        .otherwise((base_slice.cast("bigint") + 4) * 3600).alias("off"),
     )
     rows = first.unionByName(again).withColumn(
-        "ts", F.timestamp_seconds(F.lit(WM_DEDUP_EPOCH) + F.col("slice") * 3600)
+        "ts", F.timestamp_seconds(F.lit(WM_DEDUP_EPOCH) + F.col("off"))
     ).select("doc_id", "source", "ts", "text", "slice").persist()
     try:
         present = {r["slice"] for r in rows.select("slice").distinct().collect()}

@@ -35,16 +35,16 @@ bounded at d*w (<=4096) cells NO MATTER the corpus size, so the monitor
 never becomes a vocabulary-sized aggregation (pinned by
 tests/test_streaming.py).
 
-Filesystem assumption: committed_batch_ids, the fold's predecessor read,
-and read_training_stream_result list the checkpoint and sink roots with
-driver-local ``os`` calls, so ``out_root`` must be a path the DRIVER's
-local filesystem can see (local disk, NFS, a fuse mount). On a cluster
-whose checkpoint/sink live on HDFS/S3 the listings would come back empty
-and the reader would wrongly report "no committed batches" — route the
-listings through the JVM Hadoop FS API (``spark._jvm.org.apache.hadoop
-.fs.FileSystem``) before pointing this at an object store. The engine
-side (the streaming plan, the state store, the parquet writes) is
-already cluster-ready; only this reader-side listing is driver-local.
+Filesystem portability: committed_batch_ids, the fold's predecessor
+check, and read_training_stream_result resolve the checkpoint and sink
+roots through the JVM Hadoop FileSystem API (``Path.getFileSystem`` on the
+session's hadoopConfiguration), so ``out_root`` may live on any supported
+scheme — bare local paths, ``file://``, ``hdfs://``, ``s3a://`` — exactly
+like the reference's own DFS-native sink commit protocol
+(QL/exec/FileSinkOperator.java:39 tmp-write + move on HDFS paths). The
+streaming plan, state store, and parquet writes were already
+scheme-agnostic; the reader-side listings now are too (pinned by
+test_pipeline_file_scheme_roundtrip).
 """
 
 from __future__ import annotations
@@ -54,13 +54,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``, scheme-dispatched by Hadoop — the
+    same resolution Spark's own file sink / checkpoint managers use, so the
+    reader's view of "committed" matches the writer's on any filesystem."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_is_dir(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory())
+
+
+def _fs_child_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of a directory, [] if it doesn't exist."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not (fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
 CMS_CELL_SCHEMA = "i string, b int, c bigint"
 KEPT_SCHEMA = "doc_id bigint, source string, norm string, fp string"
 
 _NORM_TOKS = "filter(split(norm, ' '), x -> x <> '')"
 
 
-def committed_batch_ids(ckpt: str) -> set[int]:
+def committed_batch_ids(ckpt: str, spark: SparkSession | None = None) -> set[int]:
     """Batch ids a reader may trust, reconstructed from the checkpoint's
     commit log. The foreachBatch analogue of the file sink's
     _spark_metadata authority — with one trap the first 10-minute soak
@@ -74,12 +95,20 @@ def committed_batch_ids(ckpt: str) -> set[int]:
     only ever removes COMMITTED entries — so the single possibly-
     uncommitted batch is always strictly above the retained maximum.
 
-    Driver-local listing: ``ckpt`` must be visible to the driver's local
-    filesystem (module docstring, "Filesystem assumption")."""
-    cdir = os.path.join(ckpt, "commits")
-    if not os.path.isdir(cdir):
-        return set()
-    retained = {int(f) for f in os.listdir(cdir) if f.isdigit()}
+    Listing goes through the Hadoop FS API (module docstring, "Filesystem
+    portability"), so ``ckpt`` may be a local path or any Hadoop scheme."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "committed_batch_ids needs a SparkSession (none active) — "
+                "the commit-log listing is scheme-dispatched via Hadoop FS"
+            )
+    retained = {
+        int(f)
+        for f in _fs_child_names(spark, os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    }
     if not retained:
         return set()
     return set(range(max(retained) + 1))
@@ -200,7 +229,7 @@ def start_training_stream(deduped: DataFrame, out_root: str,
                 # batch's delta would be silent monitor corruption — the
                 # same class the commits/-retention fix addressed — so fail
                 # the batch loudly instead.
-                if not os.path.isdir(prev_path):
+                if not _fs_is_dir(sess, prev_path):
                     raise RuntimeError(
                         f"CMS fold: predecessor cells version {prev_path} "
                         f"is missing for batch {batch_id}; the cumulative "
@@ -237,9 +266,9 @@ def read_training_stream_result(
     versions the checkpoint committed, so orphaned post-crash writes are
     invisible exactly as under a file sink's _spark_metadata.
 
-    Driver-local listing: ``out_root`` must be visible to the driver's
-    local filesystem (module docstring, "Filesystem assumption")."""
-    commits = committed_batch_ids(os.path.join(out_root, "ckpt"))
+    All existence checks are scheme-dispatched via Hadoop FS (module
+    docstring, "Filesystem portability")."""
+    commits = committed_batch_ids(os.path.join(out_root, "ckpt"), spark)
     if not commits:
         raise ValueError(f"no committed batches under {out_root}")
     # By construction every committed id has a kept dir (the fold writes
@@ -248,7 +277,7 @@ def read_training_stream_result(
     # output; report it instead of silently shrinking the corpus.
     missing = [
         i for i in sorted(commits)
-        if not os.path.isdir(os.path.join(out_root, "kept", f"b{i}"))
+        if not _fs_is_dir(spark, os.path.join(out_root, "kept", f"b{i}"))
     ]
     if missing:
         raise ValueError(

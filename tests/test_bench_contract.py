@@ -129,9 +129,13 @@ def test_bench_floors_file_matches_contract(tmp_path):
         doc = json.load(fh)
     assert doc["sf"] == 0.1
     assert doc["floors"] and all(v > 0 for v in doc["floors"].values())
-    # floors describe bench rows (a floor for an unbenched query is inert
-    # but suggests a stale file)
-    assert set(doc["floors"]) <= set(BENCH_QUERIES) | set(doc["floors"])
+    # floors describe bench rows — a floor for an unbenched query is inert
+    # at runtime but means the committed file went stale (renamed/removed
+    # bench row), so fail here rather than let it rot (ADVICE r12: the
+    # previous form of this assert was a tautology)
+    assert set(doc["floors"]) <= set(BENCH_QUERIES), (
+        set(doc["floors"]) - set(BENCH_QUERIES)
+    )
     loaded = load_floors(os.getcwd(), 0.1)
     assert loaded == {k: float(v) for k, v in doc["floors"].items()}
     assert load_floors(os.getcwd(), 1.0) == {}   # scale mismatch -> no gating

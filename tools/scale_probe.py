@@ -133,6 +133,16 @@ def merge_ledger(path: str, sf_dir: str, reps: int, results: dict) -> None:
                        "--ledger, schema pinned by tests/test_scaling_"
                        "ledger.py, cited by SCALING.md",
                "rows": {}}
+    # a hand-edited/truncated file can parse as JSON yet lack the shape we
+    # merge into (ADVICE r12: doc["rows"] raised a bare KeyError) — recover
+    # the same way the unreadable path does, loudly
+    if not isinstance(doc, dict) or not isinstance(doc.get("rows"), dict):
+        print(f"scale_probe: {path} parsed but has no 'rows' dict; "
+              "starting a fresh ledger", file=sys.stderr)
+        doc = {"note": doc.get("note") if isinstance(doc, dict) else None,
+               "rows": {}}
+        if not doc["note"]:
+            doc.pop("note")
     for name, r in results.items():
         row = {"sf": sf_of_dir(sf_dir), "sf_dir": sf_dir,
                "min": r["min"],
