@@ -219,6 +219,18 @@ def start_training_stream(deduped: DataFrame, out_root: str,
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(kept_root, f"b{batch_id}")
             )
+            # Crash-window hook for the mid-fold kill soak (tools/
+            # soak_stream.py --mode pipeline-midfold): widens the
+            # kept-written / cells-absent window so a targeted SIGKILL
+            # demonstrably lands INSIDE the fold — proving the re-run-batch
+            # path recovers the CMS fold idempotently (both writes are
+            # overwrite-mode, keyed on batch_id). A no-op unless the env
+            # var is set; never set in production.
+            pause = float(os.environ.get("QMS_FOLD_PAUSE_S", "0") or 0)
+            if pause:
+                import time
+
+                time.sleep(pause)
             delta = cms_cells_of(norm_tokens(batch_df))
             prev_path = os.path.join(cells_root, f"v{batch_id - 1}")
             if batch_id > 0:
