@@ -299,6 +299,13 @@ def main() -> None:
             snap["n_procs"] = None
         return snap
 
+    # prefix mode validated up front — a typo'd name must fail before the
+    # multi-minute warmup, not after it
+    through = os.environ.get("SPARK_GRAFT_BENCH_THROUGH")
+    if through and through not in BENCH_QUERIES:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_THROUGH={through!r} is not a bench row")
+
     env_start = _env_snapshot()
     # contention backoff: if the host is already loaded at start, wait once
     # (bounded) for it to drain before paying the warmup cost — a run that
@@ -407,7 +414,17 @@ def main() -> None:
     times_min: dict[str, float] = {}
     floors = load_floors(os.path.dirname(os.path.abspath(__file__)), sf)
     queries_retried: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    # Same-channel floor probe (r12 verdict directive #5): timing a PREFIX
+    # of the workload reproduces exactly what the full bench gives a row —
+    # identical warmup passes (those already ran over the whole workload
+    # above) plus the same timed rows ahead of it — which a solo
+    # scale_probe cannot (sessionize_events: solo floor 1.00 s vs 0.35-0.53
+    # in-suite, pure warm-depth difference). Timing stops after the named
+    # row; the summary goes to BENCH_SUMMARY_prefix.json so the committed
+    # round artifact is never clobbered by a probe.
+    timed_names = (BENCH_QUERIES[: BENCH_QUERIES.index(through) + 1]
+                   if through else BENCH_QUERIES)
+    for name in timed_names:
         if name not in qs:
             continue
         reps: list[float] = []
@@ -502,6 +519,8 @@ def main() -> None:
         "reps": N_REPS,
         "sf": sf,
     }
+    if through:
+        summary["prefix_through"] = through
     # The driver captures bench stdout with a bounded TAIL. BENCH_r06 lost the
     # warm dict's first ~9 entries to that bound; BENCH_r08 (warm + cold, 50
     # rows each, 3dp) overflowed it entirely and parsed as null (VERDICT r8
@@ -510,9 +529,10 @@ def main() -> None:
     # else — sized well under the tail bound; the FULL summary (3dp warm,
     # cold dict, staging + environment telemetry) is persisted to
     # BENCH_SUMMARY.json at the repo root for the driver/judge to read.
+    summary_name = "BENCH_SUMMARY_prefix.json" if through else "BENCH_SUMMARY.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_SUMMARY.json"), "w") as fh:
+                               summary_name), "w") as fh:
             json.dump(summary, fh, separators=(",", ":"))
             fh.write("\n")
     except OSError as exc:

@@ -46,6 +46,15 @@ the checkpoint commit log — equals the batch twin with zero duplicate /
 phantom / missing (source, fp), AND that the final CMS snapshot equals the
 twin's cells exactly while staying bounded at d*w cells.
 
+Mode ``pipeline-midfold`` (r12 stretch #8). The pipeline choreography with
+the SIGKILL targeted INSIDE the foreachBatch fold: a pause hook
+(QMS_FOLD_PAUSE_S, read by streaming/pipeline.py's fold) widens the window
+after kept/b{id} completes and before cells/v{id} starts, and the parent
+polls for exactly that on-disk state (kept _SUCCESS present, cells version
+absent, batch uncommitted) and kills the process group the moment it sees
+it — proving by measurement, not argument, that the re-run-batch path
+recovers the CMS fold idempotently.
+
 Mode ``pipeline-flat``. Bounded-state proof for the composed pipeline's
 PRODUCTION dedup form (dropDuplicatesWithinWatermark): rotating-key
 synthetic docs stream continuously; dedup state must stay a sawtooth
@@ -622,6 +631,122 @@ def _assert_pipeline_exactly_once(args, out_root: str, log: str) -> int:
     return 0 if ok else 1
 
 
+def _retained_commit_ids(out_root: str) -> set[int]:
+    """Harness-side committed-id reconstruction (same max-of-retained rule
+    as streaming/pipeline.committed_batch_ids; plain os listing is fine
+    here — the soak workdir is always driver-local /tmp)."""
+    cdir = os.path.join(out_root, "ckpt", "commits")
+    if not os.path.isdir(cdir):
+        return set()
+    retained = {int(f) for f in os.listdir(cdir) if f.isdigit()}
+    return set(range(max(retained) + 1)) if retained else set()
+
+
+def _pipeline_midfold_kill(args) -> int:
+    """r12 stretch #8: SIGKILL targeted INSIDE the foreachBatch fold — after
+    kept/b{id} finishes (its _SUCCESS exists) but before cells/v{id} starts.
+    The prior pipeline soaks kill between batches, so the mid-fold window
+    (kept written, cells absent, batch uncommitted) was covered by argument
+    only (overwrite-mode writes keyed on batch_id); this mode proves the
+    re-run-batch path recovers the CMS fold idempotently by measurement.
+
+    Choreography: phase 1 runs the child with QMS_FOLD_PAUSE_S widening the
+    kept->cells window while the parent polls the sink for exactly that
+    window and SIGKILLs the process group the moment it sees it (recording
+    the on-disk state at kill); phase 2 restarts WITHOUT the pause and ends
+    gracefully; then the standard exactly-once assertion runs. Exit 1 if
+    the kill never landed mid-fold or the assertion fails."""
+    work = tempfile.mkdtemp(prefix="qms_soak_pipemf_")
+    out_root = os.path.join(work, "out")
+    log = os.path.join(work, "progress.jsonl")
+    stop_file = os.path.join(work, "STOP")
+    child_base = [
+        sys.executable, os.path.abspath(__file__), "--mode", "pipeline-child",
+        "--rate", str(args.rate), "--keys", str(args.keys),
+        "--out-root", out_root, "--log", log, "--stop-file", stop_file,
+    ]
+    total = args.minutes * 60
+    hunt_s = total * 0.5
+    env = dict(os.environ, QMS_FOLD_PAUSE_S="3.0")
+    proc = subprocess.Popen(
+        child_base + ["--run-seconds", str(int(hunt_s) + 120),
+                      "--phase", "pre-midfold-kill"],
+        start_new_session=True, env=env,
+    )
+    landed = None
+    t0 = time.monotonic()
+    kept_root = os.path.join(out_root, "kept")
+    while time.monotonic() - t0 < hunt_s and landed is None:
+        time.sleep(0.2)
+        if proc.poll() is not None:
+            break
+        committed = _retained_commit_ids(out_root)
+        if not os.path.isdir(kept_root):
+            continue
+        for n in os.listdir(kept_root):
+            if not (n.startswith("b") and n[1:].isdigit()):
+                continue
+            bid = int(n[1:])
+            if bid in committed:
+                continue
+            if (os.path.exists(os.path.join(kept_root, n, "_SUCCESS"))
+                    and not os.path.isdir(
+                        os.path.join(out_root, "cells", f"v{bid}"))):
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                landed = bid
+                break
+    if landed is None:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+        except ProcessLookupError:
+            pass
+        print(json.dumps({"verdict": "KILL_NOT_LANDED",
+                          "hunt_seconds": round(hunt_s, 1)}), flush=True)
+        return 1
+    # record the on-disk state the kill left behind — the demonstration
+    # the argument-only coverage lacked
+    at_kill = {
+        "midfold_kill_batch": landed,
+        "kept_success_at_kill": os.path.exists(
+            os.path.join(kept_root, f"b{landed}", "_SUCCESS")),
+        "cells_present_at_kill": os.path.isdir(
+            os.path.join(out_root, "cells", f"v{landed}")),
+        "committed_at_kill": landed in _retained_commit_ids(out_root),
+        "hunt_s": round(time.monotonic() - t0, 1),
+    }
+    print(json.dumps({"phase": "pre-midfold-kill", "ended_by": "SIGKILL",
+                      **at_kill}), flush=True)
+    # phase 2: recover WITHOUT the pause hook, end gracefully
+    if os.path.exists(stop_file):
+        os.unlink(stop_file)
+    rest = max(60.0, total - (time.monotonic() - t0))
+    proc = subprocess.Popen(
+        child_base + ["--run-seconds", str(int(rest) + 120),
+                      "--phase", "post-midfold"],
+        start_new_session=True,
+    )
+    time.sleep(rest)
+    open(stop_file, "w").close()
+    ended = "graceful stop-file"
+    try:
+        proc.wait(timeout=180)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        ended = "SIGKILL after stop-file timeout"
+    print(json.dumps({"phase": "post-midfold", "ended_by": ended,
+                      "ran_s": round(rest, 1)}), flush=True)
+    rc = _assert_pipeline_exactly_once(args, out_root, log)
+    ok = (rc == 0 and at_kill["kept_success_at_kill"]
+          and not at_kill["cells_present_at_kill"]
+          and not at_kill["committed_at_kill"])
+    print(json.dumps({"midfold_verdict": "RECOVERED_EXACTLY_ONCE" if ok
+                      else "FAILED", **at_kill}), flush=True)
+    return 0 if ok else 1
+
+
 def _pipeline_flat(args) -> int:
     """Bounded-state proof for the composed pipeline's PRODUCTION dedup
     form (curate_dedup_stages with ts_col+watermark ->
@@ -748,7 +873,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["flat", "kill-restart", "child",
                                        "pipeline", "pipeline-child",
-                                       "pipeline-flat"],
+                                       "pipeline-flat", "pipeline-midfold"],
                     default="flat")
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--rate", type=int, default=500, help="rows/sec")
@@ -774,6 +899,8 @@ def main() -> int:
         return _pipeline_kill_restart(args)
     if args.mode == "pipeline-flat":
         return _pipeline_flat(args)
+    if args.mode == "pipeline-midfold":
+        return _pipeline_midfold_kill(args)
     return _flat(args)
 
 
