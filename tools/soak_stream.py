@@ -822,58 +822,107 @@ def _pipeline_flat(args) -> int:
         q.stop()
 
     batches = [seen[b] for b in sorted(seen)]
-    horizon_s = 3 * (30 + args.watermark_seconds)
+    doc = pipeline_flat_verdict(
+        batches, keys=args.keys, rate=args.rate,
+        watermark_seconds=args.watermark_seconds, tolerance=args.tolerance,
+    )
+    doc["minutes"] = args.minutes
+    print(json.dumps(doc), flush=True)
+    return 0 if doc["verdict"] == "BOUNDED" else 1
+
+
+def pipeline_flat_verdict(batches: list[dict], *, keys: int, rate: int,
+                          watermark_seconds: int, tolerance: float,
+                          trigger_s: int = 5, rotation_s: int = 30) -> dict:
+    """BOUNDED/GROWING verdict over pipeline-flat batch rows (each the
+    JSONL dict _pipeline_flat logs). Pure so the live run and the offline
+    --mode reverdict path apply the IDENTICAL criterion, and so the
+    criterion itself is unit-testable without a stream.
+
+    Unlike the sessionization curve, dedup-within-watermark state is a
+    SAWTOOTH: it climbs to (active + draining) key blocks, then a
+    rotation's eviction drops a whole block at once — a median-vs-max
+    flatness test reads the healthy sawtooth as 2x "growth" (first run of
+    this mode did exactly that). Bounded means two things instead: the
+    ENVELOPE doesn't grow (late-half max vs early-half max) and no
+    observation exceeds its derived amplitude bound. That bound is the
+    live key blocks PLUS one batch of input: eviction runs inside batch n
+    with the watermark computed from batch n-1, so the rows a watermark
+    crossing will evict coexist with that batch's new arrivals until the
+    pass removes them. The lag term is PER BATCH (that batch's own
+    numInputRows), not the nominal rate*trigger: a trigger interval that
+    stretches under load ingests more than rate*trigger rows and the
+    state peak moves with the ACTUAL arrivals — the 150-min 10k-key run
+    measured batch 147 at exactly 2*keys + 3,000 = 23,000 when its
+    interval stretched to 3,000 rows, which a fixed 22,500 scalar bound
+    (the r12 formula, calibrated on a 30-min run whose every batch
+    ingested exactly 2,500) would misread as growth."""
+    horizon_s = 3 * (30 + watermark_seconds)
     post = [b for b in batches if b["wall_s"] > horizon_s]
     if len(post) < 6:
-        print(json.dumps({"verdict": "TOO_SHORT", "batches": len(batches)}))
-        return 1
-    # Unlike the sessionization curve, dedup-within-watermark state is a
-    # SAWTOOTH: it climbs to (active + draining) = 2 key blocks, then a
-    # rotation's eviction drops a whole block at once — a median-vs-max
-    # flatness test reads the healthy sawtooth as 2x "growth" (first run
-    # of this mode did exactly that). Bounded means two things instead:
-    # the ENVELOPE doesn't grow (late-half max vs early-half max) and the
-    # peak never exceeds the designed amplitude bound. That bound is TWO
-    # key blocks PLUS one trigger interval of input: eviction runs inside
-    # batch n with the watermark computed from batch n-1, so the rows a
-    # watermark crossing will evict coexist with one trigger's new
-    # arrivals before the pass removes them (the 30-min 10k-key run
-    # measured the steady peak at EXACTLY 2*keys + rate*trigger = 22,500
-    # for its whole post-warmup life — a hard 2*keys bound misreads that
-    # healthy one-batch lag as growth).
+        return {"verdict": "TOO_SHORT", "batches": len(batches)}
     rows = [b["state_rows"] for b in post]
     early_max = max(rows[: len(rows) // 2])
     late_max = max(rows[len(rows) // 2:])
-    envelope_flat = late_max <= args.tolerance * early_max
-    trigger_s = 5   # processingTime="5 seconds" below
-    rotation_s = 30  # key-block rotation cadence in the derived source
+    envelope_flat = late_max <= tolerance * early_max
     # blocks alive = the active one + however many rotations the watermark
     # delay keeps a finished block's state (ceil(W/R); >=1 even for tiny W
     # since eviction can't precede the block's own end)
-    blocks = 1 + max(1, -(-args.watermark_seconds // rotation_s))
-    amplitude_bound = args.keys * blocks + args.rate * trigger_s
-    under_bound = late_max <= amplitude_bound
-    removed_any = any((b["rows_removed"] or 0) > 0 for b in post)
+    blocks = 1 + max(1, -(-watermark_seconds // rotation_s))
+    nominal_lag = rate * trigger_s  # fallback when a row lacks input_rows
+    over = [
+        b["state_rows"] - (keys * blocks + (b.get("input_rows") or nominal_lag))
+        for b in post
+    ]
+    max_over = max(over)
+    under_bound = max_over <= 0
+    removed_any = any((b.get("rows_removed") or 0) > 0 for b in post)
     ok = envelope_flat and under_bound and removed_any
-    print(json.dumps({
+    return {
         "verdict": "BOUNDED" if ok else "GROWING",
         "post_warmup_batches": len(post),
         "early_max_state_rows": early_max,
         "late_max_state_rows": late_max,
         "late_over_early_max": round(late_max / max(early_max, 1), 3),
-        "amplitude_bound": amplitude_bound,
+        "amplitude_bound": keys * blocks + nominal_lag,
+        "max_over_per_batch_bound": max_over,
+        "max_input_rows_post": max((b.get("input_rows") or 0) for b in post),
         "under_bound": under_bound,
         "watermark_evicts": removed_any,
-        "minutes": args.minutes, "rate": args.rate, "keys": args.keys,
-    }), flush=True)
-    return 0 if ok else 1
+        "rate": rate, "keys": keys,
+    }
+
+
+def _reverdict(args) -> int:
+    """Recompute the pipeline-flat verdict OFFLINE from a captured stdout/
+    log file of batch JSONL rows (--log). Exists so a multi-hour run whose
+    in-flight process loaded an older criterion — or died with the host —
+    can still be judged from its raw rows, under exactly the code the live
+    path runs."""
+    import re
+
+    with open(args.log) as fh:
+        text = fh.read()
+    seen: dict[int, dict] = {}
+    for m in re.finditer(r'\{"batch": \d+[^}]*\}', text):
+        row = json.loads(m.group(0))
+        seen.setdefault(row["batch"], row)
+    batches = [seen[b] for b in sorted(seen)]
+    doc = pipeline_flat_verdict(
+        batches, keys=args.keys, rate=args.rate,
+        watermark_seconds=args.watermark_seconds, tolerance=args.tolerance,
+    )
+    doc["source_log"] = args.log
+    print(json.dumps(doc), flush=True)
+    return 0 if doc["verdict"] == "BOUNDED" else 1
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["flat", "kill-restart", "child",
                                        "pipeline", "pipeline-child",
-                                       "pipeline-flat", "pipeline-midfold"],
+                                       "pipeline-flat", "pipeline-midfold",
+                                       "reverdict"],
                     default="flat")
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--rate", type=int, default=500, help="rows/sec")
@@ -899,6 +948,8 @@ def main() -> int:
         return _pipeline_kill_restart(args)
     if args.mode == "pipeline-flat":
         return _pipeline_flat(args)
+    if args.mode == "reverdict":
+        return _reverdict(args)
     if args.mode == "pipeline-midfold":
         return _pipeline_midfold_kill(args)
     return _flat(args)
