@@ -246,7 +246,7 @@ def contention_verdict(start_load: float | None,
 
 
 def stdout_line(times_min: dict[str, float], sf: float,
-                contended: bool) -> str:
+                contended: bool, through: str | None = None) -> str:
     """The ONE compact JSON line bench prints. The driver captures stdout
     with a bounded tail (BENCH_r08 overflowed it and parsed as null), so
     this carries only the min-of-reps total, sf, a contention bit, and
@@ -266,11 +266,18 @@ def stdout_line(times_min: dict[str, float], sf: float,
     — when true, even the minima may be inflated and the run should be
     re-taken on a quiet host before cross-round comparison."""
     total = round(sum(t for t in times_min.values() if t >= 0), 3)
+    # A prefix-mode line must be self-identifying: it sums only the rows
+    # through `through`, and without an in-band marker a stray
+    # SPARK_GRAFT_BENCH_THROUGH in the driver's environment would record
+    # a phantom ~20x speedup in BENCH_r{N} with nothing in the captured
+    # stdout to say the workload was partial.
+    extra = {"prefix_through": through} if through else {}
     return json.dumps({
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
         "agg": "min",
+        **extra,
         "queries": {n: round(t, 2) for n, t in times_min.items()},
         "contended": contended,
         "sf": sf,
@@ -447,6 +454,11 @@ def main() -> None:
 
         for _ in range(N_REPS):
             one_rep()
+        # snapshot BEFORE retries: a base rep that raised leaves reps
+        # short of N_REPS, and reps[:N_REPS] would then fold a retry
+        # observation into the median — the row-dependent rep regime the
+        # slice exists to prevent
+        n_base = len(reps)
         # bounded wave retry: only rows with a committed floor, only when
         # the whole rep window missed it by >WAVE_RATIO, at most
         # WAVE_RETRIES extra reps — so a genuine plan regression still
@@ -462,7 +474,7 @@ def main() -> None:
         # first-N_REPS statistic across all rows, retried or not (ADVICE
         # r12 — folding extra reps into the median made its rep regime
         # row-dependent while the artifact still said "reps": N_REPS)
-        base = reps[:N_REPS]
+        base = reps[:n_base]
         times[name] = round(sorted(base)[len(base) // 2], 3) if base else -1.0
         times_min[name] = round(min(reps), 3) if reps else -1.0
         # per-query attribution: the run-level external-cores verdict
@@ -536,9 +548,9 @@ def main() -> None:
             json.dump(summary, fh, separators=(",", ":"))
             fh.write("\n")
     except OSError as exc:
-        print(f"bench: could not write BENCH_SUMMARY.json: {exc}", file=sys.stderr)
+        print(f"bench: could not write {summary_name}: {exc}", file=sys.stderr)
     sys.stderr.flush()
-    print(stdout_line(times_min, sf, contended), flush=True)
+    print(stdout_line(times_min, sf, contended, through), flush=True)
 
 
 if __name__ == "__main__":

@@ -286,11 +286,16 @@ def read_training_stream_result(
     # By construction every committed id has a kept dir (the fold writes
     # kept/b{id} — even for an empty batch — before the batch can commit),
     # so a missing dir always signals external deletion of committed
-    # output; report it instead of silently shrinking the corpus.
-    missing = [
-        i for i in sorted(commits)
-        if not _fs_is_dir(spark, os.path.join(out_root, "kept", f"b{i}"))
-    ]
+    # output; report it instead of silently shrinking the corpus. One
+    # listing of kept/ answers all ids at once — a per-id exists() probe
+    # is O(4n) Py4J round-trips after a multi-hour run's thousands of
+    # committed batches.
+    present = {
+        int(n[1:]) for n in _fs_child_names(
+            spark, os.path.join(out_root, "kept"))
+        if n.startswith("b") and n[1:].isdigit()
+    }
+    missing = [i for i in sorted(commits) if i not in present]
     if missing:
         raise ValueError(
             f"committed batch dirs missing under {out_root}/kept: "

@@ -123,26 +123,27 @@ def merge_ledger(path: str, sf_dir: str, reps: int, results: dict) -> None:
     Rows are keyed (query, sf_dir); per key the LOWEST min wins — the
     ledger accumulates each scale's least-contended observation across
     probe sessions, the same min-of-observations contract as bench.py."""
+    default_note = ("machine-readable slope ledger: per query, the "
+                    "least-contended (lowest-min) probe observation per "
+                    "scale dir; written by tools/scale_probe.py "
+                    "--ledger, schema pinned by tests/test_scaling_"
+                    "ledger.py, cited by SCALING.md")
     try:
         with open(path) as fh:
             doc = json.load(fh)
     except (OSError, ValueError):
-        doc = {"note": "machine-readable slope ledger: per query, the "
-                       "least-contended (lowest-min) probe observation per "
-                       "scale dir; written by tools/scale_probe.py "
-                       "--ledger, schema pinned by tests/test_scaling_"
-                       "ledger.py, cited by SCALING.md",
-               "rows": {}}
+        doc = {"note": default_note, "rows": {}}
     # a hand-edited/truncated file can parse as JSON yet lack the shape we
     # merge into (ADVICE r12: doc["rows"] raised a bare KeyError) — recover
-    # the same way the unreadable path does, loudly
+    # the same way the unreadable path does, loudly, keeping any surviving
+    # note and restoring the canonical one otherwise
     if not isinstance(doc, dict) or not isinstance(doc.get("rows"), dict):
         print(f"scale_probe: {path} parsed but has no 'rows' dict; "
               "starting a fresh ledger", file=sys.stderr)
-        doc = {"note": doc.get("note") if isinstance(doc, dict) else None,
+        note = doc.get("note") if isinstance(doc, dict) else None
+        doc = {"note": note if isinstance(note, str) and note
+               else default_note,
                "rows": {}}
-        if not doc["note"]:
-            doc.pop("note")
     for name, r in results.items():
         row = {"sf": sf_of_dir(sf_dir), "sf_dir": sf_dir,
                "min": r["min"],

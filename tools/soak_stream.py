@@ -689,11 +689,20 @@ def _pipeline_midfold_kill(args) -> int:
             bid = int(n[1:])
             if bid in committed:
                 continue
+            # Never kill on batch 0: its fold SKIPS the prev-cells read
+            # (no predecessor), so a batch-0 kill would "prove" recovery
+            # without ever exercising the cumulative predecessor-union
+            # path this mode exists to cover. Wait for bid >= 1.
+            if bid == 0:
+                continue
             if (os.path.exists(os.path.join(kept_root, n, "_SUCCESS"))
                     and not os.path.isdir(
                         os.path.join(out_root, "cells", f"v{bid}"))):
-                os.killpg(proc.pid, signal.SIGKILL)
-                proc.wait()
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                    proc.wait()
+                except ProcessLookupError:
+                    break  # child died on its own between poll() and kill
                 landed = bid
                 break
     if landed is None:
@@ -857,7 +866,7 @@ def pipeline_flat_verdict(batches: list[dict], *, keys: int, rate: int,
     interval stretched to 3,000 rows, which a fixed 22,500 scalar bound
     (the r12 formula, calibrated on a 30-min run whose every batch
     ingested exactly 2,500) would misread as growth."""
-    horizon_s = 3 * (30 + watermark_seconds)
+    horizon_s = 3 * (rotation_s + watermark_seconds)
     post = [b for b in batches if b["wall_s"] > horizon_s]
     if len(post) < 6:
         return {"verdict": "TOO_SHORT", "batches": len(batches)}
