@@ -59,6 +59,19 @@ def test_stdout_headlines_min_of_reps_and_self_labels_contention():
     assert json.loads(line2)["contended"] is True
 
 
+def test_stdout_line_prefix_mode_is_self_identifying():
+    """A prefix-mode run (SPARK_GRAFT_BENCH_THROUGH) sums only a slice of
+    the workload; its stdout line must carry an in-band marker so a stray
+    env var can't record a phantom ~20x speedup in a captured BENCH_r{N}.
+    The normal-mode line must NOT carry the key — the driver channel's
+    shape is pinned."""
+    times = {"q1": 1.0, "q2": 2.0}
+    full = json.loads(stdout_line(times, 0.1, contended=False))
+    assert "prefix_through" not in full
+    prefix = json.loads(stdout_line(times, 0.1, False, through="q2"))
+    assert prefix["prefix_through"] == "q2"
+
+
 def test_contention_threshold_and_loadavg_fold():
     """The threshold is the PLANS.md-documented ~3 for this box (env
     override allowed); max_loadavg folds 1-min loads across snapshots and

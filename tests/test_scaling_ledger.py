@@ -62,6 +62,25 @@ def test_merge_orders_rows_by_scale(tmp_path):
         assert row["median"] >= row["min"]
 
 
+def test_malformed_ledger_recovers_and_keeps_a_note(tmp_path):
+    """A file that parses as JSON but lacks the 'rows' dict (hand-edited,
+    truncated) must recover to a mergeable ledger — keeping a surviving
+    note, or restoring the canonical self-description otherwise, never
+    writing a ledger with no note at all (ADVICE r12 + the r13 review)."""
+    path = str(tmp_path / "SCALING.json")
+    with open(path, "w") as fh:
+        json.dump({"rows": 3}, fh)  # parses, wrong shape, no note
+    merge_ledger(path, "/tmp/qms_sf1", 3, {"q": _result(2.0)})
+    doc = json.load(open(path))
+    assert doc["rows"]["q"][0]["min"] == 2.0
+    assert isinstance(doc.get("note"), str) and "slope ledger" in doc["note"]
+    with open(path, "w") as fh:
+        json.dump({"note": "hand note", "rows": []}, fh)  # rows not a dict
+    merge_ledger(path, "/tmp/qms_sf1", 3, {"q": _result(2.0)})
+    doc = json.load(open(path))
+    assert doc["note"] == "hand note"  # surviving note kept
+
+
 def test_committed_ledger_schema_if_present():
     """Once SCALING.json is committed at the repo root, every row must obey
     the writer's schema (the judge diffs this file mechanically; a

@@ -87,6 +87,27 @@ def test_no_evictions_is_growing():
     assert not doc["watermark_evicts"]
 
 
+def test_warmup_horizon_honors_rotation_parameter():
+    """horizon_s must scale with rotation_s, not a hardcoded 30: a 60 s
+    key rotation keeps pre-steady-state rows alive past 3*(30+W), and
+    admitting them into the judgment window corrupts the early-half
+    envelope. Over-bound rows confined to wall_s < 3*(60+W) must be
+    excluded when rotation_s=60 (BOUNDED) — and judged when the caller
+    says rotation is really 30 (GROWING via the per-batch bound)."""
+    ramp = [dict(_row(i, 30_000), wall_s=185.0 + 5.0 * i)
+            for i in range(15)]  # wall 185..255, all inside 3*(60+30)=270
+    steady = [dict(_row(i, 22_500), wall_s=280.0 + 5.0 * i)
+              for i in range(40)]
+    doc60 = pipeline_flat_verdict(ramp + steady, keys=KEYS, rate=RATE,
+                                  watermark_seconds=W, tolerance=TOL,
+                                  rotation_s=60)
+    assert doc60["verdict"] == "BOUNDED"
+    doc30 = pipeline_flat_verdict(ramp + steady, keys=KEYS, rate=RATE,
+                                  watermark_seconds=W, tolerance=TOL,
+                                  rotation_s=30)
+    assert doc30["verdict"] == "GROWING"
+
+
 def test_warmup_rows_are_excluded_and_short_runs_refuse():
     rows = [dict(_row(i, 50_000), wall_s=10.0 * i) for i in range(6)]
     doc = pipeline_flat_verdict(rows, keys=KEYS, rate=RATE,
