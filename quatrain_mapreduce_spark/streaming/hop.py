@@ -52,19 +52,28 @@ def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     # staging dir instead of a dir of dangling symlinks from the previous
     # data generation (the exact invalidation bug staging.py documents).
     src = os.path.join(sf_dir, f"{table}.parquet")
-    d = stage_dir(sf_dir, f"streamsrc-{table}")
+    # tag bumped with the structure-preserving layout change: an old
+    # flattened staged dir would otherwise get nested links ADDED beside
+    # its flat ones (stage_dir is idempotent per (sf_dir, tag,
+    # fingerprint)) and every file would stream twice
+    d = stage_dir(sf_dir, f"streamsrc2-{table}")
     os.makedirs(d, exist_ok=True)
     staged = 0
     if os.path.isdir(os.path.realpath(src)):
         # recursive: a partitionBy-written or otherwise nested table keeps
         # its data files in subdirectories — a top-level-only glob stages
         # ZERO files and silently reproduces the zero-micro-batch bug this
-        # function exists to fix (ADVICE r9). Flattened link names keep
-        # FileStreamSource's oldest-first ordering deterministic.
+        # function exists to fix (ADVICE r9). Links PRESERVE the relative
+        # directory structure: hive-style `day=1/` components carry the
+        # partition column's VALUES, and flattening them into file names
+        # makes the stream fill that column with NULL for every row while
+        # the batch twin reads it correctly (leaf files don't contain
+        # partition columns). Sorted full paths keep FileStreamSource's
+        # oldest-first ordering deterministic either way.
         for p in sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
                                   recursive=True)):
-            rel = os.path.relpath(p, src).replace(os.sep, "__")
-            link = os.path.join(d, rel)
+            link = os.path.join(d, os.path.relpath(p, src))
+            os.makedirs(os.path.dirname(link), exist_ok=True)
             if not os.path.lexists(link):  # lexists: never follow a dangling link
                 os.symlink(p, link)
             staged += 1
@@ -321,6 +330,10 @@ class OnlineAggregator:
         checkpoint = os.path.join(work, "checkpoint")
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(checkpoint, ignore_errors=True)
+        # a second run() on the same instance must not append after the
+        # first run's entries — stale snapshot metadata breaks the
+        # monotone-convergence contract snapshot_df consumers rely on
+        self.snapshots.clear()
 
         stream = (
             self.spark.readStream.schema(self.schema)
@@ -332,9 +345,17 @@ class OnlineAggregator:
 
         def per_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(staging)
-            seen["rows"] = spark.read.parquet(staging).count()
+            # O(batch) progress accounting — a full re-count of the
+            # staging dir per micro-batch added a second O(data-so-far)
+            # pass on top of the re-aggregation cost the docstring
+            # already owns
+            seen["rows"] += batch_df.count()
             progress = min(seen["rows"] / total, 1.0) if total else 1.0
-            snap_path = os.path.join(work, f"snapshot-{progress:.4f}")
+            # keyed by batch id, not rounded progress: two batches with
+            # close cumulative progress collided on one snapshot path and
+            # the overwrite silently replaced the earlier snapshot while
+            # self.snapshots kept both entries pointing at it
+            snap_path = os.path.join(work, f"snapshot-b{batch_id:05d}")
             snap = agg_fn(spark.read.parquet(staging))
             snap.write.mode("overwrite").parquet(snap_path)
             self.snapshots.append((progress, snap_path))
@@ -500,10 +521,24 @@ def accumulate_counts_stream(
 
         def accumulate(batch, bid: int) -> None:
             counts = count_fn(batch)
+            # numeric sort: lexical order puts 'v10000' before 'v9999'
+            # once ids outgrow the 4-digit pad, silently dropping batch
+            # 10000's counts from the running total (r13 review)
             vers = sorted(
-                v for v in glob.glob(os.path.join(work, "v*"))
-                if int(os.path.basename(v)[1:]) < bid
+                (v for v in glob.glob(os.path.join(work, "v*"))
+                 if int(os.path.basename(v)[1:]) < bid),
+                key=lambda v: int(os.path.basename(v)[1:]),
             )
+            if not vers and bid > 0:
+                # every batch writes a version, so a missing predecessor
+                # past batch 0 means external deletion of running state —
+                # fresh-starting here would silently zero the accumulated
+                # counts (same loud-failure contract as the pipeline
+                # fold's predecessor check, which this scaffold mirrors)
+                raise RuntimeError(
+                    f"no predecessor version below batch {bid} under "
+                    f"{work} — accumulated counts were deleted externally"
+                )
             if vers:
                 prev = batch.sparkSession.read.parquet(vers[-1])
                 counts = (
@@ -523,7 +558,8 @@ def accumulate_counts_stream(
         q.awaitTermination()
         open(done, "w").close()
 
-    vers = sorted(glob.glob(os.path.join(work, "v*")))
+    vers = sorted(glob.glob(os.path.join(work, "v*")),
+                  key=lambda v: int(os.path.basename(v)[1:]))
     return spark.read.parquet(vers[-1]).select(
         *key_cols,
         *[F.col(c).cast("bigint").alias(c) for c in sum_cols],

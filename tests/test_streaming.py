@@ -539,10 +539,13 @@ def test_online_agg_ci_converges_and_final_is_exact(spark, sf_dir):
 
 
 def test_stream_staging_handles_nested_tables_and_fails_loud():
-    """ADVICE r9: a partitionBy-written (nested) table must stage its leaf
-    data files (recursive glob, flattened names), and a directory with NO
-    data files must raise instead of silently producing a zero-micro-batch
-    stream."""
+    """ADVICE r9 + r13 review: a partitionBy-written (nested) table must
+    stage its leaf data files PRESERVING the hive-style directory
+    components — `day=1/` carries the partition column's VALUE, and
+    flattening it into the link name made the stream read that column as
+    NULL for every row while the batch twin was correct. A directory with
+    NO data files must still raise instead of silently producing a
+    zero-micro-batch stream."""
     import os
 
     import pytest as _pytest
@@ -555,13 +558,44 @@ def test_stream_staging_handles_nested_tables_and_fails_loud():
         os.makedirs(os.path.join(src, sub))
         with open(os.path.join(src, sub, "part-0.parquet"), "wb") as fh:
             fh.write(b"x")
-    staged = sorted(os.listdir(_stage_stream_dir(sf, "events")))
-    assert staged == ["day=1__part-0.parquet", "day=2__part-0.parquet"]
+    d = _stage_stream_dir(sf, "events")
+    staged = sorted(
+        os.path.relpath(os.path.join(r, f), d)
+        for r, _, fs in os.walk(d) for f in fs
+    )
+    assert staged == ["day=1/part-0.parquet", "day=2/part-0.parquet"]
 
     sf_empty = tempfile.mkdtemp(prefix="qms_test_nestempty_")
     os.makedirs(os.path.join(sf_empty, "events.parquet"))
     with _pytest.raises(FileNotFoundError):
         _stage_stream_dir(sf_empty, "events")
+
+
+def test_stream_staging_preserves_partition_values(spark):
+    """End-to-end form of the r13 review finding: stream a hive-partitioned
+    table through the staged dir and require the partition column's VALUES
+    to match the batch read — the flattened layout streamed them as NULL
+    with no error (staged>0, loud-failure guard satisfied)."""
+    import os
+
+    from quatrain_mapreduce_spark.streaming.hop import _stage_stream_dir
+
+    sf = tempfile.mkdtemp(prefix="qms_test_partvals_")
+    tbl = os.path.join(sf, "events.parquet")
+    (spark.range(100).selectExpr("id", "cast(id % 3 as int) as day")
+     .write.partitionBy("day").parquet(tbl))
+    batch = spark.read.parquet(tbl)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(_stage_stream_dir(sf, "events")))
+    q = (stream.groupBy("day").count().writeStream.outputMode("complete")
+         .format("memory").queryName("partvals")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "select * from partvals").collect())
+    want = sorted(tuple(r) for r in batch.groupBy("day").count().collect())
+    assert got == want and all(d is not None for d, _ in got)
 
 
 def test_online_agg_snapshots_converge_monotonically_to_exact(spark, sf_dir):
