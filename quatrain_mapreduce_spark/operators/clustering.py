@@ -187,7 +187,12 @@ def semantic_dedup(
         a.join(b, "cluster_id")
         .where(F.col("a_id") < F.col("b_id"))
         .where(
-            _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+            # norm clamp mirrors the vectorized twin's 1e-300 guard: a
+            # zero-norm vector must score 0.0 (kept), not DIVIDE_BY_ZERO
+            # under ANSI / NaN >= tau (dropped) without it — the two
+            # paths are asserted result-identical
+            _dot(F.col("a_vec"), F.col("b_vec"))
+            / F.greatest(F.col("a_nrm") * F.col("b_nrm"), F.lit(1e-300))
             >= F.lit(float(tau))
         )
         .select(F.col("b_id").alias("r_id"))

@@ -82,8 +82,19 @@ def connected_components(
     ``max_iter`` is a safety bound only — star contraction converges in
     O(log² n) alternations (near-dup graphs: almost always ≤ 4).
     """
+    from pyspark.sql.types import NumericType
+
+    # normalize BOTH endpoints to one comparable type, but never force
+    # long: string/uuid/md5 doc ids flow fine through every pair
+    # generator (min/least/< are total on strings), and a long cast on
+    # them aborts under ANSI — or NULL-collapses the whole graph with
+    # ANSI off. For string ids "minimum node id" means lexicographic min.
+    numeric = all(
+        isinstance(edges.schema[c].dataType, NumericType) for c in (src, dst)
+    )
+    tgt = "long" if numeric else "string"
     raw = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        F.col(src).cast(tgt).alias("u"), F.col(dst).cast(tgt).alias("v")
     )
     # nodes seen ONLY in self-loops still need a label row below
     loop_only = (

@@ -298,8 +298,13 @@ def minhash_lsh_pairs(
     return (
         cand.join(sets.withColumnsRenamed({id_col: "a_id", "sh": "a_sh"}), "a_id")
         .join(sets.withColumnsRenamed({id_col: "b_id", "sh": "b_sh"}), "b_id")
+        # filter on the RAW division, round only the reported column:
+        # rounding first admitted pairs up to 5e-7 below the threshold,
+        # disagreeing with ngram_jaccard_pairs / verify_pairs at the
+        # boundary (those compare unrounded — dedup.py 'no rounding
+        # needed' note)
+        .where(_jaccard(F.col("a_sh"), F.col("b_sh")) >= threshold)
         .select("a_id", "b_id", F.round(_jaccard(F.col("a_sh"), F.col("b_sh")), 6).alias("jac"))
-        .where(F.col("jac") >= threshold)
     )
 
 
@@ -362,10 +367,17 @@ def verify_pairs(
     here too — LSH candidates ignore blocks, so without this the verified
     set is a strict SUPERSET whenever near-dups cross block boundaries.
     """
+    from pyspark.storagelevel import StorageLevel
+
     cols = [F.col(id_col), F.transform(word_shingles(text_col, n), lambda g: F.xxhash64(g)).alias("sh")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    sets = spread(df).where(F.size(tokenize(text_col)) >= n).select(*cols)
+    # persist: the shingle frame feeds BOTH join sides below, and without
+    # it the corpus is tokenized/shingled/hashed twice per action — the
+    # same ~2x the sibling operators measured when they added this
+    # (ngram_jaccard_pairs / minhash_lsh_pairs MEMORY_AND_DISK notes)
+    sets = (spread(df).where(F.size(tokenize(text_col)) >= n).select(*cols)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     a_renames = {id_col: "a_id", "sh": "a_sh"}
     b_renames = {id_col: "b_id", "sh": "b_sh"}
     if block_col:
@@ -395,9 +407,15 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @pandas_udf(LongType())
     def simhash(hashes: pd.Series) -> pd.Series:
-        # fully vectorized across the Arrow batch: flatten all token hashes,
-        # compute the 64-bit sign matrix once, segment-sum per document via
-        # cumulative sums (zero-length docs fall out naturally as sig=0)
+        # vectorized across the Arrow batch, CHUNKED along the token axis:
+        # the one-shot (total_tokens x 64) sign/cumsum matrices peak at
+        # ~1.3 KB per token — multi-GB transients on a 10k-row batch of
+        # long documents (r13 review, Python-worker OOM risk). Instead the
+        # running per-bit vote cumsum is materialized only at document
+        # boundaries, CHUNK tokens at a time: peak extra memory is
+        # CHUNK*64*12 B (~200 MB at 2^18) regardless of batch size, and
+        # the integer sums are bit-identical to the one-shot form
+        # (zero-length docs fall out naturally as sig=0)
         arrs = [
             np.asarray(h, dtype=np.int64).astype(np.uint64) if h is not None
             else np.empty(0, dtype=np.uint64)
@@ -407,11 +425,34 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         if lens.sum() == 0:
             return pd.Series(np.zeros(len(hashes), dtype=np.int64))
         flat = np.concatenate(arrs)
-        signs = (2 * ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)) - 1
-        cum = np.vstack([np.zeros((1, 64), dtype=np.int64), np.cumsum(signs, axis=0)])
         ends = np.cumsum(lens)
-        votes = cum[ends] - cum[ends - lens]
-        sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        starts = ends - lens
+        bits = np.arange(64, dtype=np.uint64)
+        # cumulative vote totals are needed only at these positions
+        need = np.unique(np.concatenate([starts, ends]))
+        cum_at = np.empty((need.size, 64), dtype=np.int64)
+        run = np.zeros(64, dtype=np.int64)
+        CHUNK = 1 << 18
+        ni = 0
+        off = 0
+        while True:
+            seg = flat[off:off + CHUNK]
+            if seg.size:
+                signs = (2 * ((seg[:, None] >> bits) & np.uint64(1))
+                         .astype(np.int32)) - 1
+                cseg = np.cumsum(signs, axis=0, dtype=np.int64)
+            while ni < need.size and need[ni] <= off + seg.size:
+                p = need[ni]
+                cum_at[ni] = run if p == off else run + cseg[p - off - 1]
+                ni += 1
+            if seg.size:
+                run = run + cseg[-1]
+            off += seg.size
+            if seg.size < CHUNK:
+                break
+        votes = (cum_at[np.searchsorted(need, ends)]
+                 - cum_at[np.searchsorted(need, starts)])
+        sig = ((votes > 0).astype(np.uint64) << bits).sum(axis=1)
         return pd.Series(sig.astype(np.int64))
 
     toks = spread(df).select(
@@ -426,6 +467,16 @@ def simhash_pairs(
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), self-join per
     chunk, verify hamming via bit_count(xor)."""
+    if max_hamming >= 4:
+        # the fixed 4-chunk banding's pigeonhole guarantee stops at
+        # hamming 3: two signatures differing by one bit in EVERY chunk
+        # (hamming 4) share no identical chunk and would be silently
+        # absent from the candidates — refuse rather than under-recall
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
+            "pigeonhole guarantee (hamming <= 3); re-band with "
+            ">= max_hamming+1 chunks for larger radii"
+        )
     sigs = simhash_signature(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col), F.col("simhash"),

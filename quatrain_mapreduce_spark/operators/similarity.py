@@ -49,7 +49,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # norm clamp: one all-zero embedding (padding / failed-encode row)
+    # otherwise raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode —
+    # or, with ANSI off, yields NaN which sorts ABOVE every real score and
+    # becomes the rank-1 neighbor of every query. Clamped, a zero vector
+    # scores 0.0 against everything. Same guard as the vectorized paths
+    # (clustering.py) and quantize_embeddings.
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def embedding_dim(parquet_path: str, vec_col: str = "embedding") -> int:
@@ -115,8 +121,17 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     F.lit/F.array/python-lambda HOFs costs a py4j round trip per element and
     per lambda — measured at 4-5 s of pure driver time for 80 planes × 64
     dims. A single SQL string parses JVM-side in one call (~0.1 s)."""
+    if len(planes) > 63:
+        raise ValueError(
+            f"lsh_bucket packs one bit per plane into a signed 64-bit "
+            f"bucket id — {len(planes)} planes overflow it; use <= 63 "
+            "(or band the planes across multiple tables)"
+        )
     terms = [_sign_term(vec_col, p, 1 << i) for i, p in enumerate(planes)]
-    return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
+    # BIGINT: weights reach 1<<(n-1), and a 32-plane bucket overflows an
+    # INT cast (ANSI abort, or silent wraparound with ANSI off) — the
+    # module header explicitly tells 100 TB users to raise n_planes
+    return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
 
 
 def sign_bits(vec_col: str, planes: list[list[float]]) -> list[Column]:
@@ -349,19 +364,31 @@ def embedding_neardup_pairs(
         )
         for b in range(n_bands)
     ]
-    v = df.select(F.col(id_col), F.col(vec_col).alias("vec"), F.explode(F.array(*bands)).alias("bd")) \
-          .select(id_col, "vec", "bd.band", "bd.bkey")
+    # band rows carry NO vector payload: the window and the band self-join
+    # would otherwise exchange n_bands copies of the widest column in the
+    # table; vectors rejoin by id only for the candidate-bounded cosine
+    # verify (the same shape as minhash_lsh_pairs' band rows)
+    v = df.select(F.col(id_col), F.explode(F.array(*bands)).alias("bd")) \
+          .select(id_col, "bd.band", "bd.bkey")
     w = Window.partitionBy("band", "bkey")
     v = v.withColumn("n", F.count("*").over(w)).where(F.col("n") <= max_bucket).drop("n")
     a, b = v.alias("a"), v.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"),
-                F.col("a.vec").alias("a_vec"), F.col("b.vec").alias("b_vec"))
-        .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
-        .where(F.col("cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+    return (
+        cand.join(vecs.withColumnsRenamed({id_col: "a_id", "vec": "a_vec"}), "a_id")
+        .join(vecs.withColumnsRenamed({id_col: "b_id", "vec": "b_vec"}), "b_id")
+        # threshold on the RAW cosine, round only the reported column —
+        # rounding first admitted pairs up to 5e-7 below the threshold
+        # and diverged from the oracle's raw-valued WHERE
+        .where(sim >= threshold)
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos"))
     )
 
 
@@ -434,9 +461,13 @@ def activity_profile_knn(events: DataFrame, user_col: str, ts_col: str,
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    # integer `div`, not `/` + cast: double division of an ~1e15 epoch can
-    # land a boundary instant at n - 1ulp and floor into the wrong bucket
-    hb = F.expr(f"(unix_micros({ts_col}) div 3600000000) % 24")
+    from quatrain_mapreduce_spark.operators.util import sql_hour_of_day_us
+
+    # integer arithmetic, not `/` + cast: double division of an ~1e15
+    # epoch can land a boundary instant at n - 1ulp and floor into the
+    # wrong bucket; pmod-first so pre-1970 instants bucket 0..23 instead
+    # of the signed-truncation artifacts (util.sql_hour_of_day_us)
+    hb = F.expr(sql_hour_of_day_us(f"unix_micros({ts_col})"))
     prof = (
         events.select(F.col(user_col).alias("u"), hb.alias("hb"))
         .groupBy("u", "hb").agg(F.count("*").alias("c"))

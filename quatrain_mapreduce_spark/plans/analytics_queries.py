@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.operators.graph import co_purchase_edges
+from quatrain_mapreduce_spark.operators.util import sql_hour_of_day_us
 from quatrain_mapreduce_spark.registry import register
 
 
@@ -892,7 +893,8 @@ def missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cells AS (
             SELECT event_type,
-                   (epoch_us(ts) // 3600000000) % 24 AS hb,
+                   (epoch_us(ts) % 86400000000 + 86400000000)
+                     % 86400000000 // 3600000000 AS hb,
                    CAST(count(*) AS BIGINT) AS o
             FROM events GROUP BY 1, 2
         ), rows_t AS (
@@ -937,7 +939,7 @@ def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         ev.select(
             "event_type",
-            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hb"),
+            F.expr(sql_hour_of_day_us("unix_micros(ts)")).alias("hb"),
         )
         .groupBy("event_type", "hb")
         .agg(F.count("*").alias("o"))

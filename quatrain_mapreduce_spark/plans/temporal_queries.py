@@ -167,7 +167,9 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_similarity_knn",
     oracle="""
         WITH prof AS (
-            SELECT user_id AS u, (epoch_us(ts) // 3600000000) % 24 AS hb,
+            SELECT user_id AS u,
+                   (epoch_us(ts) % 86400000000 + 86400000000)
+                     % 86400000000 // 3600000000 AS hb,
                    count(*) AS c
             FROM events GROUP BY 1, 2
         ), nrm AS (

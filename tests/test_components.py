@@ -139,3 +139,15 @@ def test_self_loop_only_node_gets_labeled(spark):
     got = {r["node"]: r["root"] for r in
            connected_components(edges).collect()}
     assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_string_node_ids_supported(spark):
+    """r13 review: string/uuid/md5 doc ids flow through every pair
+    generator, so components must label them too — the unconditional long
+    cast aborted under ANSI (or NULL-collapsed the graph with ANSI off).
+    Root = lexicographic min for string ids."""
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: r["root"] for r in connected_components(df).collect()}
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "doc-x": "doc-x", "doc-y": "doc-x"}
