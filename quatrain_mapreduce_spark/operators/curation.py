@@ -77,6 +77,12 @@ def cms_probes(
     sf10 data term is ~10x smaller), same cell algebra, differentially
     tested against the portable tier's guarantees in
     tests/test_sketch_sampling.py."""
+    if hash not in ("portable", "xxhash64"):
+        # loud: a typo ('xxhash', 'xxHash64') would otherwise silently
+        # fall back to the ~10x-slower portable tier with correct results
+        raise ValueError(f"unknown cms_probes hash tier {hash!r}; "
+                         "use 'portable' or 'xxhash64'")
+
     def bucket(i: int) -> F.Column:
         if hash == "xxhash64":
             return F.pmod(F.xxhash64(F.expr(tok_expr), F.lit(i)), F.lit(w))
@@ -225,14 +231,35 @@ def cap_per_domain(
     the canonical skew axis — a boilerplate-heavy domain with 10^9 pages
     would otherwise dominate the corpus; the per-partition rank keeps state
     O(k) per domain with AQE splitting oversized domain partitions.
+
+    Output adds/replaces ``q`` (the quality score used for the cap — part
+    of the contract, domain_cap reads it). The working rank column is
+    __-prefixed like the module's other internals so a caller's own
+    ``rank`` column survives.
     """
     w = Window.partitionBy(domain_col).orderBy(F.desc("q"), F.col(id_col))
     return (
         df.withColumn("q", quality_col(text_col))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("rank")
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
     )
+
+
+def _decon_grams(id_col: str, text_col: str, n: int):
+    """(id, exploded word n-gram) frame builder shared by decontaminate and
+    contamination_score — ONE home for the decontamination n-gram contract
+    (the two previously carried byte-identical copies, r13 review)."""
+    from quatrain_mapreduce_spark.operators.util import spread
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return (
+            spread(frame.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    F.explode(word_shingles(text_col, n)).alias("ng"))
+        )
+
+    return grams
 
 
 def decontaminate(
@@ -251,14 +278,14 @@ def decontaminate(
 
     ``eval_ids`` carries just ``id_col``; returns the decontaminated frame.
     """
-    from quatrain_mapreduce_spark.operators.util import spread
+    from pyspark.storagelevel import StorageLevel
 
-    grams = lambda frame: (  # noqa: E731
-        spread(frame.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
-    )
+    grams = _decon_grams(id_col, text_col, n)
     eval_grams = grams(df.join(eval_ids, id_col, "semi")).select("ng").distinct()
-    train = df.join(eval_ids, id_col, "anti")
+    # persist the branch point: train feeds BOTH the contaminated-gram
+    # probe and the returned anti-join — unpersisted, the df-anti-eval
+    # lineage scanned the corpus twice (the docstring's "scanned once")
+    train = df.join(eval_ids, id_col, "anti").persist(StorageLevel.MEMORY_AND_DISK)
     contaminated = grams(train).join(eval_grams, "ng", "semi").select(id_col).distinct()
     return train.join(contaminated, id_col, "anti")
 
@@ -313,13 +340,16 @@ def scrub_pii(df: DataFrame, text_col: str) -> DataFrame:
     regexp_extract_all — no Python in the row path, fully codegen'd, so at
     100 TB this runs at scan throughput."""
     c = F.col(text_col)
+    # phones are counted on the EMAIL-SCRUBBED text, matching what the
+    # phone replacement actually sees: counting both patterns on the raw
+    # text let an email/phone overlap ('555-123-4567@example.com') report
+    # n_phones=1 while the output contained no <PHONE> and leaked a
+    # partial number — audit counts must agree with the scrubbed output
+    emails_scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return (
         df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))))
-        .withColumn("n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))))
-        .withColumn(
-            "scrubbed",
-            F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"),
-        )
+        .withColumn("n_phones", F.size(F.regexp_extract_all(emails_scrubbed, F.lit(PHONE_RE), F.lit(0))))
+        .withColumn("scrubbed", F.regexp_replace(emails_scrubbed, PHONE_RE, "<PHONE>"))
     )
 
 
@@ -342,8 +372,11 @@ def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
         n > 0,
         F.size(F.filter(toks, lambda t: ~t.rlike("[a-zA-Z0-9]"))) / n,
     ).otherwise(F.lit(0.0))
+    # array_intersect already de-duplicates its result; a wrapping
+    # array_distinct was a redundant O(n) pass per document in this
+    # hot scan path
     stop_hits = F.size(
-        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
     )
     out = df.select(
         "*",
@@ -361,6 +394,36 @@ def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
         & (F.col("stop_hits") >= 2)
     )
     return out.withColumn("passes", passes.cast("int"))
+
+
+def _token_spans(text_col: str, k: int) -> F.Column:
+    """Consecutive ``k``-token spans of a space-split text column — the ONE
+    home for the span-building arithmetic dedup_spans and strip_boilerplate
+    share (previously two verbatim copies, r13 review; the matching SQL
+    lives in their oracles)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((F.size(toks) - F.lit(1)) / F.lit(k)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(k) + F.lit(1),
+                                           F.lit(k))),
+    )
+
+
+def _reassemble_spans(out_col: str) -> list[F.Column]:
+    """Per-doc reassembly aggregate over (pos, span) rows: surviving spans
+    back in original order plus the kept-span count — shared by
+    dedup_spans / strip_boilerplate."""
+    return [
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias(out_col),
+        F.count("*").cast("long").alias("n_spans_kept"),
+    ]
 
 
 def dedup_spans(
@@ -381,28 +444,16 @@ def dedup_spans(
     are all duplicates drop out entirely (their row count is the dedup
     rate).
     """
-    toks = F.split(F.col(text_col), " ")
-    k = span_tokens
-    spans = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(toks) - F.lit(1)) / F.lit(k)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(k) + F.lit(1), F.lit(k))),
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(_token_spans(text_col, span_tokens)).alias("pos", "span"),
     )
-    ex = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "span"))
     winners = (
         ex.groupBy("span")
         .agg(F.min(F.struct(id_col, "pos")).alias("w"))
         .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"), "span")
     )
-    return winners.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda s: s["span"],
-            ),
-        ).alias("text_dedup"),
-        F.count("*").cast("long").alias("n_spans_kept"),
-    )
+    return winners.groupBy(id_col).agg(*_reassemble_spans("text_dedup"))
 
 
 def pack_manifest(
@@ -456,13 +507,19 @@ def pack_manifest(
     d = d.join(F.broadcast(offsets), "shard")
     end = F.col("offset") + F.col("within_end")
     start = end - F.col(n_tok_col)
+    # zero-token docs occupy NO sequence: the unconditional arithmetic
+    # emitted an inverted span (last_seq = first_seq - 1, e.g. -1 at
+    # stream start) — NULL/NULL says "empty" unambiguously to a loader
+    in_seq = F.col(n_tok_col) > 0
     return d.select(
         id_col,
         n_tok_col,
         F.col("shard").cast("int").alias("shard"),
         start.alias("tok_start"),
-        F.floor(start / F.lit(float(seq_len))).cast("long").alias("first_seq"),
-        F.floor((end - 1) / F.lit(float(seq_len))).cast("long").alias("last_seq"),
+        F.when(in_seq, F.floor(start / F.lit(float(seq_len))))
+         .cast("long").alias("first_seq"),
+        F.when(in_seq, F.floor((end - 1) / F.lit(float(seq_len))))
+         .cast("long").alias("last_seq"),
     )
 
 
@@ -609,12 +666,7 @@ def contamination_score(
 
     Returns (id_col, n_grams, n_hit, frac_r) for train docs with >= 1 gram.
     """
-    from quatrain_mapreduce_spark.operators.util import spread
-
-    grams = lambda frame: (  # noqa: E731
-        spread(frame.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("ng"))
-    )
+    grams = _decon_grams(id_col, text_col, n)
     eval_grams = grams(df.join(eval_ids, id_col, "semi")).select("ng").distinct()
     train_grams = grams(df.join(eval_ids, id_col, "anti"))
     hit = train_grams.join(
@@ -644,15 +696,21 @@ def corpus_diff(v1: DataFrame, v2: DataFrame, id_col: str,
     """
     from quatrain_mapreduce_spark.operators.dedup import normalized_text
 
-    f1 = v1.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp1"))
-    f2 = v2.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp2"))
+    # explicit presence markers, NOT fingerprint nullness: a row with
+    # NULL text fingerprints to NULL while very much existing in its
+    # snapshot, and fp-as-existence misclassified such rows as "added"
+    # (r13 review — even a both-sides-present NULL-text row surfaced)
+    f1 = v1.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp1"),
+                   F.lit(True).alias("in1"))
+    f2 = v2.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fp2"),
+                   F.lit(True).alias("in2"))
     j = f1.join(f2, id_col, "full")
     return (
         j.select(
             id_col,
-            F.when(F.col("fp1").isNull(), F.lit("added"))
-            .when(F.col("fp2").isNull(), F.lit("removed"))
-            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+            F.when(F.col("in1").isNull(), F.lit("added"))
+            .when(F.col("in2").isNull(), F.lit("removed"))
+            .when(~F.col("fp1").eqNullSafe(F.col("fp2")), F.lit("changed"))
             .alias("status"),
         )
         .where(F.col("status").isNotNull())
@@ -681,17 +739,9 @@ def strip_boilerplate(
     as a LEFT ANTI join keyed by the same shuffle partitioning, then one
     per-doc reassembly agg. Dropped docs were pure boilerplate.
     """
-    toks = F.split(F.col(text_col), " ")
-    k = span_tokens
-    spans = F.transform(
-        F.sequence(F.lit(0),
-                   F.floor((F.size(toks) - F.lit(1)) / F.lit(k)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(k) + F.lit(1),
-                                           F.lit(k))),
-    )
     ex = df.select(
         F.col(id_col), F.col(group_col),
-        F.posexplode(spans).alias("pos", "span"),
+        F.posexplode(_token_spans(text_col, span_tokens)).alias("pos", "span"),
     )
     boiler = (
         ex.groupBy(group_col, "span")
@@ -700,13 +750,4 @@ def strip_boilerplate(
         .select(group_col, "span")
     )
     kept = ex.join(boiler, [group_col, "span"], "left_anti")
-    return kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda s: s["span"],
-            ),
-        ).alias("text_clean"),
-        F.count("*").cast("long").alias("n_spans_kept"),
-    )
+    return kept.groupBy(id_col).agg(*_reassemble_spans("text_clean"))

@@ -202,8 +202,12 @@ _HX = portable_h16_sql("ex_id")
         )
         SELECT ex_id, n_tok, CAST(shard AS INTEGER) AS shard,
                CAST(tok_end - n_tok AS BIGINT) AS tok_start,
-               CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT) AS first_seq,
-               CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS last_seq
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - n_tok) / 512.0)
+                    END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - 1) / 512.0)
+                    END AS BIGINT) AS last_seq
         FROM c
     """,
     doc="End-to-end training export in ONE declarative plan: source-"
@@ -422,7 +426,9 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
-               CAST(len(regexp_extract_all(text2, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}')) AS INTEGER) AS n_phones,
                md5(regexp_replace(regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g'),
                                   '{PHONE_RE}', '<PHONE>', 'g')) AS fp
         FROM t
@@ -635,8 +641,12 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- CAST: windowed sum() is HUGEINT -> pandas float64 in the
                -- driver's fetchdf view; Spark emits BIGINT
                CAST(tok_end - n_tok AS BIGINT) AS tok_start,
-               CAST(floor((tok_end - n_tok) / 1024.0) AS BIGINT) AS first_seq,
-               CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - n_tok) / 1024.0)
+                    END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - 1) / 1024.0)
+                    END AS BIGINT) AS last_seq
         FROM c
     """,
     doc="Sequence-packing manifest (concat-then-chunk training layout, "
@@ -1344,9 +1354,10 @@ def lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((sum(n_tok) + 1023) // 1024 AS BIGINT) AS n_seqs,
                CAST((1024 - sum(n_tok) % 1024) % 1024 AS BIGINT)
                  AS pad_tokens,
-               CAST(((1024 - sum(n_tok) % 1024) % 1024) * 1000000
-                    // (((sum(n_tok) + 1023) // 1024) * 1024) AS BIGINT)
-                 AS pad_ppm
+               CAST(CASE WHEN sum(n_tok) = 0 THEN 0
+                         ELSE ((1024 - sum(n_tok) % 1024) % 1024) * 1000000
+                              // (((sum(n_tok) + 1023) // 1024) * 1024)
+                    END AS BIGINT) AS pad_ppm
         FROM d GROUP BY shard
     """,
     doc="Sequence-packing efficiency report — the padding-waste ledger "
@@ -1379,8 +1390,12 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_tokens + 1023) div 1024").cast("bigint").alias("n_seqs"),
         F.expr("(1024 - n_tokens % 1024) % 1024").cast("bigint")
          .alias("pad_tokens"),
-        F.expr("(((1024 - n_tokens % 1024) % 1024) * 1000000)"
-               " div (((n_tokens + 1023) div 1024) * 1024)").cast("bigint")
+        # zero-token shard: 0 sequences, so the padding fraction is 0 by
+        # definition — the unguarded form divides by zero (ANSI abort on
+        # Spark 4, error in DuckDB too)
+        F.expr("CASE WHEN n_tokens = 0 THEN 0"
+               " ELSE (((1024 - n_tokens % 1024) % 1024) * 1000000)"
+               " div (((n_tokens + 1023) div 1024) * 1024) END").cast("bigint")
          .alias("pad_ppm"),
     )
 
@@ -1583,8 +1598,12 @@ _TDP_CTES = f"""base AS (
         SELECT doc_id, source, n_spans_kept, n_tok,
                CAST(shard AS INTEGER) AS shard,
                CAST(tok_end - n_tok AS BIGINT) AS tok_start,
-               CAST(floor((tok_end - n_tok) / 1024.0) AS BIGINT) AS first_seq,
-               CAST(floor((tok_end - 1) / 1024.0) AS BIGINT) AS last_seq
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - n_tok) / 1024.0)
+                    END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tok > 0
+                         THEN floor((tok_end - 1) / 1024.0)
+                    END AS BIGINT) AS last_seq
         FROM pc
     """,
     doc="The END-TO-END training-data pipeline, composed the way a "
