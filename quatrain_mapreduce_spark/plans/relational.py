@@ -902,10 +902,11 @@ def bloom_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one scan job per column-question). Timestamp bounds are exact "
         "epoch-micros doubles, never strings (string rendering is session-"
         "timezone-dependent — the r5 lesson). The oracle is the "
-        "independent per-column UNION ALL formulation. The exact "
-        "multi-COUNT(DISTINCT) plans through Expand (one scan, k "
-        "row-replicas); approx_count_distinct is the documented 100 TB "
-        "drop-in.",
+        "independent per-column UNION ALL formulation. Exact distinct "
+        "counts run as per-column keys-only hash aggregates (r13: the "
+        "single-agg multi-COUNT(DISTINCT) form degraded to SortAggregate "
+        "over a 7x Expand — see operators/profiling.py); "
+        "approx_count_distinct is the documented 100 TB drop-in.",
     tags=("profiling", "analytics"),
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

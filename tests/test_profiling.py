@@ -23,15 +23,35 @@ def test_profile_table_hand_example(spark):
     assert out["ts"]["min_str"] is None
 
 
-def test_profile_table_is_one_scan(spark):
+def test_profile_table_plan_is_hash_only(spark):
+    # r13 optimization: exact distinct runs as per-column keys-only hash
+    # aggregates — never the single-agg multi-COUNT(DISTINCT) form, whose
+    # Expand + string-min/max buffers degrade to SortAggregate over a full
+    # sort of k row-replicas of the table
     df = spark.range(10).select(
         F.col("id"), F.col("id").cast("string").alias("s")
     )
     plan = (
         profile_table(df)._jdf.queryExecution().executedPlan().toString()
     )
-    # multi-distinct plans through Expand over ONE source scan
-    assert plan.count("Range (0, 10") == 1
+    assert "Expand" not in plan
+    # the basics aggregate keeps a keys-[] SortAggregate (string min/max
+    # buffers; with no grouping keys it sorts nothing) — what must be gone
+    # is any actual Sort operator and any keyed sort-based aggregation
+    assert "Sort [" not in plan
+    assert "SortAggregate(key=[id" not in plan
+    # one pruned scan per distinct branch + one for the basics aggregate
+    assert plan.count("Range (0, 10") == 3
+
+
+def test_profile_table_nulls_not_counted_as_distinct(spark):
+    # COUNT(DISTINCT c) ignores nulls; the keys-only-dedup formulation must
+    # match (a NULL key would otherwise survive distinct() and count +1)
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",)], "s string"
+    )
+    [r] = profile_table(df).collect()
+    assert (r["n_nulls"], r["n_distinct"]) == (2, 1)
 
 
 def test_record_linkage_fuzzy_planted_pair(spark, tmp_path):
@@ -190,17 +210,20 @@ def test_analyze_table_stats_reach_catalyst(spark, tmp_path):
 
 
 def test_profile_table_approx_has_no_expand(spark):
-    # the point of the 100 TB swap: HLL distinct removes Catalyst's Expand
-    # (k row-replicas pre-shuffle) that exact multi-COUNT(DISTINCT) needs
+    # the point of the 100 TB swap: HLL distinct is a single-scan,
+    # Expand-free aggregate — no row replicas, no per-column re-scans
+    # (the exact form's remaining per-column cost after the r13 rewrite)
     from quatrain_mapreduce_spark.operators.profiling import (
-        profile_table, profile_table_approx,
+        profile_distinct_gated, profile_table_approx,
     )
     df = spark.range(10).select(
         F.col("id"), F.col("id").cast("string").alias("s")
     )
-    exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # the acceptance harness still carries exact multi-COUNT(DISTINCT)
+    # alongside the sketch, so Expand remains the cost it demonstrates
+    gated_plan = profile_distinct_gated(df)._jdf.queryExecution().executedPlan().toString()
     approx_plan = profile_table_approx(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan        # the cost the swap removes
+    assert "Expand" in gated_plan        # the cost the swap removes
     assert "Expand" not in approx_plan   # sketch partials, no row replicas
     assert approx_plan.count("Range (0, 10") == 1  # still one scan
 
