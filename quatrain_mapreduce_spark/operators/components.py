@@ -19,12 +19,19 @@ the call site is the single place that changes.
 Convergence is detected by an edge-set fingerprint (count + sum of
 xxhash64(u,v)) — O(edges) with no driver-side collection, robust enough for
 a fixed-point check (a collision would need two consecutive edge sets with
-equal count AND colliding hash sums).
+equal count AND colliding hash sums). The fingerprint rides the checkpoint
+job itself via ``observe()`` (r13 optimization): each round is ONE action —
+the eager localCheckpoint materializes the round's edges and the
+observation aggregates count/hash-sum on the rows as they stream through,
+replacing the previous per-round second job (a separate collect re-reading
+the checkpointed partitions; measured ~1 s across the ~4 rounds of the
+bench's near-dup graphs, and one fewer scheduler round-trip per iteration
+at any scale).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -56,15 +63,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.union(selfs).where(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    # sum in decimal(38,0): a raw int64 sum of xxhash64 overflows under ANSI
-    # mode after a handful of edges; decimal holds ~10^19 edges' worth
+def _fingerprint_obs(edges: DataFrame, name: str) -> tuple[DataFrame, Observation]:
+    """Attach the edge-set fingerprint (count + xxhash64 sum) as an
+    ``observe`` node so it is computed BY the next action over ``edges``
+    (the round's eager checkpoint) instead of a second job. The sum rides
+    in decimal(38,0): a raw int64 sum of xxhash64 overflows under ANSI
+    mode after a handful of edges; decimal holds ~10^19 edges' worth."""
+    obs = Observation(name)
     h = F.xxhash64("u", "v").cast("decimal(38,0)")
-    row = edges.agg(
-        F.count("*").alias("n"),
+    return edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ), obs
 
 
 def connected_components(
@@ -106,12 +117,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev: tuple[int, int] | None = None
-    for _ in range(max_iter):
-        # eager checkpoint: materialize the round once, then fingerprint the
-        # cached partitions (measured faster end-to-end than folding both
-        # into one lazy action, which re-plans the round inside the agg job)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _fingerprint(e)
+    for i in range(max_iter):
+        # ONE action per round: the eager checkpoint materializes the
+        # round's edges, and the observe node fingerprints the rows as they
+        # stream through it. (A LAZY checkpoint folding everything into one
+        # later action re-plans the round inside the agg job — measured
+        # slower in r12; a separate fingerprint collect after the eager
+        # checkpoint was the r12 shape — one extra job per round, measured
+        # ~1 s slower across the bench graphs in r13.)
+        nxt, obs = _fingerprint_obs(_small_star(_large_star(e)), f"cc_round_{i}")
+        e = nxt.localCheckpoint(eager=True)
+        m = obs.get  # already populated by the checkpoint's own job
+        cur = (int(m["n"]), int(m["h"]))
         if cur == prev:  # fixed point of the (large∘small)-star round
             break
         prev = cur

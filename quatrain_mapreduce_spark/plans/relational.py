@@ -487,11 +487,27 @@ def complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sort", "validate"),
 )
 def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization: the r12 shape validated order with a GLOBAL
+    # unpartitioned lag window — WindowExec moves the entire sorted table
+    # to ONE partition ("No Partition Defined for Window" warning), the
+    # one true scale-killer the bench tail still showed. TeraValidate's
+    # actual protocol is distributed: after the range-partitioned sort,
+    # (a) adjacency within each partition is checked partition-locally,
+    # and (b) partition boundaries are checked by comparing each
+    # partition's last key to the next partition's first key — a
+    # #partitions-sized frame. Here: lag windows partitioned by
+    # spark_partition_id() of the sorted output (range partitions, so
+    # within-partition order + cross-boundary min/max check = total
+    # order), then per-partition (first,last,violations) aggregates and
+    # one tiny window over the partition summary. Result is identical:
+    # (n_rows, violations) with violations provably 0 for sorted input.
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    ordered = li.orderBy("l_orderkey", "l_linenumber")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ordered = li.orderBy("l_orderkey", "l_linenumber").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("l_orderkey", "l_linenumber")
     prev_key = F.lag(F.col("l_orderkey")).over(w)
     prev_line = F.lag(F.col("l_linenumber")).over(w)
     flagged = ordered.withColumn(
@@ -503,8 +519,21 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    return flagged.agg(
-        F.count("*").alias("n_rows"), F.sum("_bad").cast("bigint").alias("violations")
+    per_part = flagged.groupBy("_pid").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_bad").alias("within_bad"),
+        F.min(F.struct("l_orderkey", "l_linenumber")).alias("first_kv"),
+        F.max(F.struct("l_orderkey", "l_linenumber")).alias("last_kv"),
+    )
+    wb = Window.orderBy("_pid")  # one row per partition — bounded frame
+    prev_last = F.lag("last_kv").over(wb)
+    boundary_bad = F.when(
+        prev_last.isNotNull() & (F.col("first_kv") < prev_last), F.lit(1)
+    ).otherwise(F.lit(0))
+    return per_part.withColumn("_bbad", boundary_bad).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        (F.coalesce(F.sum("within_bad"), F.lit(0))
+         + F.coalesce(F.sum("_bbad"), F.lit(0))).cast("bigint").alias("violations"),
     )
 
 
