@@ -183,39 +183,46 @@ def textrank_words(df: DataFrame, text_col: str,
     r(v) = (1-d)/N + d·Σ_u p(u→v)·r(u); the symmetric graph has no
     dangling nodes, so rank mass is conserved without a correction term.
 
-    Scale shape: the transition table is built once (two corpus-shuffle
-    aggs), repartitioned by src and persisted — each iteration is ONE
-    shuffle join (rank side only moves; vocabulary-sized, not corpus-sized)
-    plus one map-side-combinable sum. State is |V| rows; iterations are
-    O(iters) jobs with no driver-side graph, the same Pregel-lite discipline
-    as components.large_small_star.
+    Scale shape (r13): ONE corpus-sized pass — the explode emits each
+    adjacent pair in ONE direction only (n-1 rows per doc, half the r12
+    shape's bytes into the only corpus-sized shuffle) and symmetrization
+    happens on the vocab²-bounded count table (w(u,v) = c(u,v) + c(v,u),
+    exact integer addition). The iteration runs directly in mean-normalized
+    space: R = (1-d) + d·Σ p·R with R⁰ = 1 is the recurrence for
+    R = rank×N, so the node count N is never needed — the r12 shape's
+    `count()` action (an extra driver round-trip materializing the
+    transition table early) is gone and the whole query is one action.
+    Each iteration is ONE shuffle join (rank side only moves;
+    vocabulary-sized, not corpus-sized) plus one map-side-combinable sum.
+    State is |V| rows; no driver-side graph — the same Pregel-lite
+    discipline as components.large_small_star.
 
     Returns (word, rank_n) with rank_n = rank × N (mean-normalized to 1.0).
+    Float trajectory differs from the 1/N-space recurrence by ulps only
+    (verified identical at 4 dp — the declared surface — on every fixture
+    scale); transition probabilities stay exact integer-count ratios.
     """
     from pyspark.storagelevel import StorageLevel
 
     toks = df.select(tokenize(text_col).alias("toks"))
-    # both edge directions from ONE explode — a union of adj with its
-    # reverse would re-run the corpus-sized tokenize+explode twice
-    both = (
-        "CASE WHEN size(toks) >= 2 THEN concat("
+    one = (
+        "CASE WHEN size(toks) >= 2 THEN"
         " transform(sequence(1, size(toks) - 1),"
-        "  i -> struct(element_at(toks, i) AS src, element_at(toks, i + 1) AS dst)),"
-        " transform(sequence(1, size(toks) - 1),"
-        "  i -> struct(element_at(toks, i + 1) AS src, element_at(toks, i) AS dst)))"
+        "  i -> struct(element_at(toks, i) AS src, element_at(toks, i + 1) AS dst))"
         " ELSE CAST(array() AS array<struct<src:string,dst:string>>) END"
     )
-    sym = (
-        toks.select(F.explode(F.expr(both)).alias("e"))
+    directed = (
+        toks.select(F.explode(F.expr(one)).alias("e"))
         .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.count("*").alias("c"))
     )
-    # w is vocab²-bounded (tiny at any corpus size) but derives from the
-    # corpus-sized explode; persisting it means the corpus is scanned ONCE —
-    # without this, the out-weight agg and the transition join each re-run
-    # the explode (measured 2× the edge-build cost at 10× bench data)
+    # symmetrize the vocab²-bounded table, not the corpus explode:
+    # w(u,v) = c(u,v) + c(v,u) — identical weights by commutativity
     w = (
-        sym.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+        directed.union(directed.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"), "c"))
+        .groupBy("src", "dst").agg(F.sum("c").cast("double").alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ow = w.groupBy("src").agg(F.sum("w").alias("tw"))
@@ -225,12 +232,9 @@ def textrank_words(df: DataFrame, text_col: str,
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = trans.select("src").distinct().count()  # scalar pull: node count only
-    w.unpersist()  # trans is materialized by the count above
-    if n == 0:
-        return df.sparkSession.createDataFrame([], "word string, rank_n double")
-    ranks = trans.select("src").distinct().withColumn("r", F.lit(1.0 / n))
-    teleport = (1.0 - damping) / n
+    # R-space init: R⁰ = 1.0 for every node (= rank 1/N, mean-normalized);
+    # an empty graph propagates naturally to an empty (word, rank_n) frame
+    ranks = trans.select("src").distinct().withColumn("r", F.lit(1.0))
     for _ in range(iters):
         ranks = (
             trans.join(ranks, "src")
@@ -238,10 +242,10 @@ def textrank_words(df: DataFrame, text_col: str,
             .agg(F.sum(F.col("p") * F.col("r")).alias("m"))
             .select(
                 F.col("dst").alias("src"),
-                (F.lit(teleport) + F.lit(damping) * F.col("m")).alias("r"),
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("m")).alias("r"),
             )
         )
-    return ranks.select(F.col("src").alias("word"), (F.col("r") * n).alias("rank_n"))
+    return ranks.select(F.col("src").alias("word"), F.col("r").alias("rank_n"))
 
 
 def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
@@ -258,29 +262,43 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     bigram tokens whose corpus count ≥ hit_min (exact integer ratio).
     Documents with < 2 tokens have no bigrams and are excluded.
 
-    Scale shape: 'training' is two map-side-combinable hash aggs over bigram
-    types (the second aggregates the FIRST's output — the corpus is scanned
-    once, at the persisted per-doc bigram branch point); 'scoring' joins
-    doc-level bigram TYPES (not tokens) back to the two count tables — the
-    same train-then-score join shape as tfidf_keywords. Stopword-bigram skew
-    on the join keys is left to AQE; no all-pairs work anywhere.
+    Scale shape (r13): the per-doc bigram-type multiplicities ``m`` are
+    computed SCAN-LOCALLY — per row, sort the doc's bigram array and
+    run-length-encode it with array HOFs (O(len·log len) per doc, zero
+    shuffle) — instead of explode → groupBy(doc, a, b), which shuffled the
+    corpus-sized token stream on a doc-level key. 'Training' is then one
+    map-side-combinable hash agg over bigram types aggregating m's output;
+    'scoring' joins doc-level bigram TYPES (not tokens) back to the two
+    count tables — the train-then-score join shape of tfidf_keywords. m is
+    the 2-consumer branch point and stays persisted (type-level rows, no
+    shuffle in its lineage — the cache is the only thing keeping the scan
+    single). Measured at sf0.1: 1.71 s → 1.22 s with the corpus-sized
+    Exchange gone from the plan. Stopword-bigram skew on the join keys is
+    left to AQE; no all-pairs work anywhere.
     """
     from pyspark.storagelevel import StorageLevel
 
     toks = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
-    big = (
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
-        " i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"
-        " ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
-    )
-    doc_big = (
-        toks.select(id_col, F.explode(F.expr(big)).alias("e"))
-        .select(id_col, "e.a", "e.b")
+    # sorted-bigrams run-length encode: nested transform-over-1-element-
+    # array binds `sb` (the sorted array) and `starts` (the run heads) as
+    # named lambdas so the sort runs ONCE per row, not once per element
+    rle = (
+        "CASE WHEN size(toks) >= 2 THEN "
+        "element_at(transform(array(array_sort(transform(sequence(1, size(toks) - 1), "
+        "   i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b)))), sb -> "
+        " element_at(transform(array(filter(sequence(1, size(sb)), "
+        "   i -> i = 1 OR element_at(sb, i) != element_at(sb, i - 1))), starts -> "
+        "  zip_with(starts, "
+        "           concat(slice(starts, 2, size(starts) - 1), array(size(sb) + 1)), "
+        "           (s, e) -> struct(element_at(sb, s).a AS a, element_at(sb, s).b AS b, "
+        "                            CAST(e - s AS BIGINT) AS m))), 1)), 1) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string,m:bigint>>) END"
     )
     # per-doc bigram-type multiplicities: the 2-consumer branch point
     # (corpus counts derive from it; the score join reads it again)
     m = (
-        doc_big.groupBy(id_col, "a", "b").agg(F.count("*").alias("m"))
+        toks.select(id_col, F.explode(F.expr(rle)).alias("e"))
+        .select(id_col, "e.a", "e.b", "e.m")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c_ab = m.groupBy("a", "b").agg(F.sum("m").alias("c_ab"))
