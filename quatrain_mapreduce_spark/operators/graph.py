@@ -71,11 +71,22 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     ``(vertex, n_triangles)`` for every vertex in at least one triangle;
     the global triangle count is ``sum(n_triangles) / 3``.
     """
+    from pyspark.storagelevel import StorageLevel
+
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # persist the canonicalized edge set: it has FOUR live consumers below
+    # (degree union x2, orientation, closing-edge probe) and without the
+    # persist each consumer re-derives it from the caller's edge
+    # construction — for the co-purchase graph a full events self-join,
+    # so one triangle count scanned events 22x (r13 plan census).
+    # MEMORY_AND_DISK: edge lists at 100 TB spill, not recompute. Same
+    # lazy-query persist precedent as basket_affinity / the sampled
+    # triangle tier.
     undirected = (
         edges.where(F.col(src) != F.col(dst))
         .select(lo.alias("a"), hi.alias("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     deg = (

@@ -536,6 +536,12 @@ def count_discriminant_classifier(
     tok = train.select(
         F.col("_pos"), F.explode(tokenize(text_col)).alias("token")
     )
+    # counts has TWO live consumers (totals + model) and is deliberately
+    # NOT persisted: the r13 4-arm A/B measured the persist as a 0.5 s
+    # materialization-barrier LOSS at sf0.1 (min 1.22 s vs 0.72 s) — the
+    # same recompute-beats-persist trade as minhash_lsh_pairs' band rows.
+    # On a cluster where the train corpus dwarfs memory, persisting this
+    # vocab-sized frame is the first knob to revisit.
     counts = tok.groupBy("token").agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("c_neg"),
@@ -552,26 +558,32 @@ def count_discriminant_classifier(
             - (F.col("c_neg") + 1) * (F.col("tot_pos") + F.col("v"))
         ).cast("bigint").alias("weight"),
     )
+    # ONE test-corpus pass: explode_outer keeps zero-token docs as a
+    # null-token row (null never matches the model join, so they score 0
+    # exactly like the old left-join-of-scores shape), and carrying the
+    # label through the tf key removes the former corpus-sized
+    # scores-back-to-test join — the r12 shape scanned the test corpus
+    # twice and re-joined it on doc_id
     tf = (
-        test.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
-        .groupBy(id_col, "token")
+        test.select(
+            F.col(id_col), F.col("_pos"),
+            F.explode_outer(tokenize(text_col)).alias("token"),
+        )
+        .groupBy(id_col, "_pos", "token")
         .agg(F.count("*").alias("tf"))
     )
-    scores = (
-        # no broadcast hint: the LM weight table is observed-bigram-sized
-        # (grows with the corpus; same unbounded-build-side class as
-        # tfidf's dfreq) — let AQE convert at runtime when small
-        tf.join(model, "token")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
-    )
     return (
-        test.select(F.col(id_col), F.col("_pos").alias("actual"))
-        .join(scores, id_col, "left")
+        # no broadcast hint: the model table is vocab-sized (grows with
+        # the corpus; same unbounded-build-side class as tfidf's dfreq) —
+        # let AQE convert at runtime when small. LEFT join: out-of-vocab
+        # tokens contribute NULL, which sum() skips.
+        tf.join(model, "token", "left")
+        .groupBy(id_col, "_pos")
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
         .select(
             F.col(id_col),
             F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
             (F.coalesce("score", F.lit(0)) > 0).alias("pred"),
-            "actual",
+            F.col("_pos").alias("actual"),
         )
     )

@@ -2561,8 +2561,14 @@ def trend_break_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import triangle_counts
 
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
-    edges = co_purchase_edges(ev)
+    # the edge list (an events self-join + distinct) feeds FOUR live
+    # consumers (degree union x2, edge count, triangle tier) — persisted,
+    # it derives once instead of per consumer (28 event scans in the r13
+    # plan census before this)
+    edges = co_purchase_edges(ev).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -2644,8 +2650,12 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_summary_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.graph import triangle_counts
 
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
-    edges = co_purchase_edges(ev)
+    # same branch-point persist as graph_summary: degree x2, edge count
+    # and the sampled triangle tier all read the one derived edge list
+    edges = co_purchase_edges(ev).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
