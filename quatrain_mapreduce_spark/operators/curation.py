@@ -436,22 +436,39 @@ def dedup_spans(
 
     The reference generation deduped whole records (MR distinct); span
     granularity is what removes boilerplate repeated across pages. Scale
-    shape: keep-first is computed as groupBy(span).min(struct(doc,pos)) —
+    shape: keep-first is computed as groupBy(span).min(packed (doc,pos)) —
     a hash aggregate with map-side combine, NOT a row_number window, so a
     span repeated millions of times (cookie banners) collapses to one row
     per mapper before the shuffle instead of sorting one hot partition.
-    Two shuffles total: span agg + per-doc reassembly. Docs whose spans
-    are all duplicates drop out entirely (their row count is the dedup
-    rate).
+    The (doc, pos) argmin is packed into ONE decimal(38,0) value
+    (doc * 1e9 + pos): min over a struct buffer is not hash-aggregatable
+    and silently degraded the whole aggregate to SortAggregate — two full
+    sorts of the exploded span stream (plans/r13 before-plans); a
+    fixed-width decimal min keeps lexicographic (doc, pos) order exactly
+    (0 <= pos < 1e9, and ids are non-negative — posexplode guarantees the
+    pos bound for any document under ~8e9 tokens) while planning as
+    HashAggregate. Two shuffles total: span agg + per-doc reassembly.
+    Docs whose spans are all duplicates drop out entirely (their row
+    count is the dedup rate).
     """
     ex = df.select(
         F.col(id_col),
         F.posexplode(_token_spans(text_col, span_tokens)).alias("pos", "span"),
     )
+    pos_base = F.lit(1_000_000_000).cast("decimal(10,0)")
+    packed = F.col(id_col).cast("decimal(38,0)") * pos_base + F.col("pos")
+    # decode via subtract-then-divide: the quotient is then an exact
+    # integer, immune to the scale-bounded rounding of decimal division
+    # (floor(w / base) could round .999999999 up before flooring)
+    pos = F.col("w") % pos_base
     winners = (
         ex.groupBy("span")
-        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
-        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"), "span")
+        .agg(F.min(packed).alias("w"))
+        .select(
+            ((F.col("w") - pos) / pos_base).cast("long").alias(id_col),
+            pos.cast("int").alias("pos"),
+            "span",
+        )
     )
     return winners.groupBy(id_col).agg(*_reassemble_spans("text_dedup"))
 
@@ -462,12 +479,18 @@ def pack_manifest(
     n_tok_col: str,
     seq_len: int,
     n_shards: int = 64,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence-packing manifest for training export: lay every document's
     tokens end-to-end in the deterministic corpus order (portable hash —
     same order as ``corpus_shuffle``) and cut the stream every ``seq_len``
     tokens. Emits per-doc (tok_start, first_seq, last_seq): everything a
-    loader needs to materialize packed training sequences.
+    loader needs to materialize packed training sequences. ``passthrough``
+    names extra ``df`` columns carried through to the output unchanged —
+    a few narrow columns riding the existing shard shuffle is strictly
+    cheaper than the doc-id equi-join a caller would otherwise need to
+    re-attach them (at corpus scale that join is a second full shuffle +
+    sort of the manifest).
 
     The naive formulation is ONE window over the whole corpus (a global
     cumulative sum = single-reducer sort — the exact anti-pattern TeraSort
@@ -483,6 +506,7 @@ def pack_manifest(
         F.col(n_tok_col).cast("long").alias(n_tok_col),
         (h % n_shards).alias("shard"),
         h.alias("hkey"),
+        *[F.col(c) for c in passthrough],
     )
     w_in = (
         Window.partitionBy("shard")
@@ -520,6 +544,7 @@ def pack_manifest(
          .cast("long").alias("first_seq"),
         F.when(in_seq, F.floor((end - 1) / F.lit(float(seq_len))))
          .cast("long").alias("last_seq"),
+        *passthrough,
     )
 
 

@@ -1634,14 +1634,19 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _tdp_stages(spark, sf_dir)
     capped = st["capped"]
     d = capped.select(
-        "doc_id",
+        "doc_id", "source",
+        F.col("n_spans_kept").cast("bigint").alias("n_spans_kept"),
         F.size(F.filter(F.split("text_dedup", " "), lambda x: x != "")).alias("n_tok"),
     )
-    manifest = pack_manifest(d, "doc_id", "n_tok", seq_len=1024, n_shards=64)
-    return manifest.join(
-        capped.select("doc_id", "source", F.col("n_spans_kept").cast("bigint").alias("n_spans_kept")),
-        "doc_id",
-    ).select(
+    # source/n_spans_kept ride the manifest's shard shuffle as passthrough
+    # columns — the former re-attach (manifest JOIN capped ON doc_id)
+    # planned as a SortMergeJoin with two extra exchanges + sorts and a
+    # second read of the capped cache (plans/r13 before-plan nodes 83-90)
+    manifest = pack_manifest(
+        d, "doc_id", "n_tok", seq_len=1024, n_shards=64,
+        passthrough=("source", "n_spans_kept"),
+    )
+    return manifest.select(
         "doc_id", "source", "n_spans_kept", "n_tok",
         "shard", "tok_start", "first_seq", "last_seq",
     )
