@@ -256,10 +256,10 @@ def ivf_build(
     Seeds = the ``n_lists`` corpus vectors with the smallest
     ``xxhash64(seed, id)`` (a deterministic uniform sample — no data order
     dependence), refined by ``lloyd_iters`` spherical-kmeans iterations:
-    assign every vector to its max-cosine centroid (broadcast-join + map-side
-    argmax — the N×C expansion collapses to one row per vector *before* the
-    shuffle), then recompute each list's elementwise mean with ``dim`` avg
-    aggregates (no explode — one shuffle of C×dim partial aggs).
+    assign every vector to its max-cosine centroid (a scan-local argmax
+    fold over the literal centroid array — zero shuffle, no N×C row
+    expansion), then recompute each list's elementwise mean with ``dim``
+    avg aggregates (no explode — one shuffle of C×dim partial aggs).
 
     Returns (centroids, assigned): centroids(list_id, c_vec) — index
     metadata, C×dim doubles, materialized driver-side like any ANN coarse
@@ -288,19 +288,42 @@ def ivf_build(
             [(i, v) for i, v in enumerate(cents)], "list_id int, c_vec array<double>"
         )
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        sim = cosine(F.col("vec"), F.col("c_vec"))
-        return (
-            c.crossJoin(F.broadcast(cent_df))
-            .groupBy(id_col)
-            .agg(
-                F.first("vec").alias("vec"),
-                F.max_by("list_id", F.struct(sim.alias("s"), (-F.col("list_id")).alias("t"))).alias("list_id"),
+    def assign(cents: list[list[float]]) -> DataFrame:
+        # Scan-local argmax fold over the (index-metadata-sized) centroid
+        # list embedded as a literal — zero shuffle, zero row expansion.
+        # The former crossJoin + max_by(list_id, struct(sim, -list_id))
+        # planned as a SortAggregate pair over the N×C expansion (a struct
+        # extremum buffer is not hash-aggregatable — r13, same fix as the
+        # SemDeDup assignment): two full sorts of C× the corpus per Lloyd
+        # pass. The fold keeps max_by's exact tie-break (ascending list_id,
+        # replace on strictly-greater cosine => lowest list_id wins ties)
+        # and the same ``cosine`` fold arithmetic, so assignments are
+        # bit-identical.
+        cent_arr = F.array(*[
+            F.struct(
+                F.lit(i).alias("lid"),
+                F.array(*[F.lit(float(x)) for x in v])
+                 .cast("array<double>").alias("c_vec"),
             )
+            for i, v in enumerate(cents)
+        ])
+        scored = F.transform(
+            cent_arr,
+            lambda ct: F.struct(
+                cosine(F.col("vec"), ct["c_vec"]).alias("s"),
+                ct["lid"].alias("lid"),
+            ),
         )
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(float("-inf")).alias("s"),
+                     F.lit(None).cast("int").alias("lid")),
+            lambda a, x: F.when(x["s"] > a["s"], x).otherwise(a),
+        )
+        return c.select(F.col(id_col), "vec", best["lid"].alias("list_id"))
 
     for _ in range(lloyd_iters):
-        assigned = assign(centroid_df(centroids))
+        assigned = assign(centroids)
         means = (
             assigned.groupBy("list_id")
             .agg(F.array(*[F.avg(F.col("vec")[i]) for i in range(dim)]).alias("m"))
@@ -312,8 +335,7 @@ def ivf_build(
         centroids = new_c
 
     c.unpersist()
-    cent_df = centroid_df(centroids)
-    return cent_df, assign(cent_df).select(id_col, "vec", "list_id")
+    return centroid_df(centroids), assign(centroids)
 
 
 def ivf_topk(
@@ -546,6 +568,52 @@ def activity_profile_knn(events: DataFrame, user_col: str, ts_col: str,
     )
 
 
+def _nearest_code(book: dict[tuple[int, int], list[float]]) -> Column:
+    """Scan-local nearest-codeword id for a (sub_id, sv) row: the literal
+    per-subspace codeword arrays are indexed by ``sub_id`` (``element_at``)
+    and folded for the min-L2 code, ties to the LOWEST code_id — exactly
+    the ordering of ``min_by(code_id, struct(d, code_id))``. The former
+    broadcast-join + min_by(struct) shape planned as a SortAggregate pair
+    over the N·m subvector rows (a struct extremum buffer is not
+    hash-aggregatable — r13, same fix as the IVF/SemDeDup assignments);
+    this fold is zero-shuffle and keeps the identical L2 fold arithmetic.
+    The codebook is bounded index metadata (m·k rows) by construction.
+    """
+    subs_sorted = sorted({s for s, _ in book})
+    books_arr = F.array(*[
+        F.array(*[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in book[(s, cid)]])
+                 .cast("array<double>").alias("c_vec"),
+            )
+            for cid in sorted(c for s2, c in book if s2 == s)
+        ])
+        for s in subs_sorted
+    ])
+    codes_here = F.element_at(books_arr, F.col("sub_id") + 1)
+
+    def l2(cv: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("sv"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        codes_here,
+        lambda ct: F.struct(l2(ct["c_vec"]).alias("d"), ct["cid"].alias("cid")),
+    )
+    # the null-acc guard makes the first codeword the seed (so an all-NaN
+    # distance row still resolves to the lowest code_id, like min_by)
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("inf")).alias("d"),
+                 F.lit(None).cast("int").alias("cid")),
+        lambda a, x: F.when(a["cid"].isNull() | (x["d"] < a["d"]), x).otherwise(a),
+    )
+    return best["cid"]
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str,
@@ -568,8 +636,8 @@ def pq_train(
 
     Deterministic like ivf_build: per-subspace seeds are the k corpus
     subvectors with smallest xxhash64(seed, sub, id); Lloyd refinement
-    assigns by min L2 (map-side argmin via min_by, N·m rows through one
-    shuffle per iteration) and recomputes means with sub-dim avg
+    assigns by min L2 (a scan-local ``_nearest_code`` fold — zero shuffle
+    per iteration) and recomputes means with sub-dim avg
     aggregates. Codebook is (sub_id, code_id, c_vec) — m*k rows of index
     metadata, driver-materialized exactly like any ANN header (FAISS).
     """
@@ -611,20 +679,10 @@ def pq_train(
             "sub_id int, code_id int, c_vec array<double>",
         )
 
-    l2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
     for _ in range(lloyd_iters):
-        assigned = (
-            subs.join(F.broadcast(book_df()), "sub_id")
-            .groupBy(id_col, "sub_id")
-            .agg(
-                F.first("sv").alias("sv"),
-                F.min_by(
-                    "code_id", F.struct(l2.alias("d"), F.col("code_id").alias("t"))
-                ).alias("code_id"),
-            )
+        assigned = subs.select(
+            F.col(id_col), "sub_id", "sv",
+            _nearest_code(book).alias("code_id"),
         )
         means = (
             assigned.groupBy("sub_id", "code_id")
@@ -647,8 +705,9 @@ def pq_encode(
     Returns the LONG form (id, sub_id, code_id) — m small-int rows per
     vector, the layout the ADC scan joins against (a production sink would
     pack it to one m-byte column; the long form keeps the scoring join
-    JVM-native). One broadcast join + map-side argmin; never more than N·m
-    rows in flight.
+    JVM-native). The codebook (bounded index metadata, m·k rows) is
+    collected once and the argmin is a scan-local fold (``_nearest_code``)
+    — zero shuffle, never more than N·m rows in flight.
     """
     sub = dim // m
     subs = corpus.select(
@@ -664,18 +723,9 @@ def pq_encode(
             ])
         ).alias("s"),
     ).select(id_col, "s.sub_id", "s.sv")
-    l2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    return (
-        subs.join(F.broadcast(codebook), "sub_id")
-        .groupBy(id_col, "sub_id")
-        .agg(
-            F.min_by(
-                "code_id", F.struct(l2.alias("d"), F.col("code_id").alias("t"))
-            ).alias("code_id")
-        )
+    book = {(r["sub_id"], r["code_id"]): r["c_vec"] for r in codebook.collect()}
+    return subs.select(
+        F.col(id_col), "sub_id", _nearest_code(book).alias("code_id")
     )
 
 

@@ -519,11 +519,18 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+    # (orderkey, linenumber) packed into one decimal(38,0) — min/max over
+    # a struct buffer is not hash-aggregatable and degraded this aggregate
+    # to SortAggregate (an extra O(n) sort pass per partition, r13); the
+    # packing preserves lexicographic order exactly (0 <= linenumber < 1e9)
+    # and the boundary comparison below is the same scalar `<`
+    kv = (F.col("l_orderkey").cast("decimal(38,0)")
+          * F.lit(1_000_000_000).cast("decimal(10,0)") + F.col("l_linenumber"))
     per_part = flagged.groupBy("_pid").agg(
         F.count("*").alias("n_rows"),
         F.sum("_bad").alias("within_bad"),
-        F.min(F.struct("l_orderkey", "l_linenumber")).alias("first_kv"),
-        F.max(F.struct("l_orderkey", "l_linenumber")).alias("last_kv"),
+        F.min(kv).alias("first_kv"),
+        F.max(kv).alias("last_kv"),
     )
     wb = Window.orderBy("_pid")  # one row per partition — bounded frame
     prev_last = F.lag("last_kv").over(wb)
