@@ -1843,30 +1843,26 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "ml", "graph"),
 )
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
     li = load_table(spark, sf_dir, "lineitem")
-    # r13: ONE corpus pass. The r12 shape computed distinct (ok, cat) pairs
-    # and consumed that frame three times live (n_orders, per-cat counts,
-    # baskets) — max_live_rescan 4, i.e. four lineitem scans AND a distinct
-    # shuffle per consumer. collect_set dedups per order by itself, so the
-    # basket build needs no distinct; n_orders is the basket row count and
-    # per-cat order counts are an explode of the (bounded, <=100-element)
-    # basket arrays — both derived from the persisted baskets frame, which
-    # is orders-sized, never lineitem-sized.
-    baskets = (
-        li.select(
-            F.col("l_orderkey").alias("ok"),
-            (F.col("l_partkey") % 100).cast("bigint").alias("cat"),
-        )
-        .groupBy("ok")
-        .agg(F.sort_array(F.collect_set("cat")).alias("cats"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nt = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
-    ic = (
-        baskets.select(F.explode("cats").alias("cat"))
-        .groupBy("cat").agg(F.count("*").cast("bigint").alias("n_i"))
+    # r13 note (measured, kept the r12 shape): the "one corpus pass" rewrite
+    # — collect_set baskets persisted at the branch, n_orders/per-cat counts
+    # derived from the arrays — measured 2.34 s min vs 1.14 s for this shape
+    # in an interleaved quiet A/B at sf0.1, and persisting `b` below costs
+    # the same (2.42 vs 1.32): the materialization barrier plus the
+    # ObjectHashAggregate sort fallback on the raw lineitem stream cost more
+    # than three nearly-free rescans of a few-MB table. At 100 TB the knob
+    # is to persist `b` at this branch point (one scan + one distinct
+    # instead of four and three); locally the unpersisted form is the
+    # measured floor, so scale-dependent persists stay out of the bench
+    # channel (OPTIMIZATION_r13.md §8-revisited).
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % 100).cast("bigint").alias("cat"),
+    ).distinct()
+    nt = b.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    ic = b.groupBy("cat").agg(F.count("*").cast("bigint").alias("n_i"))
+    baskets = b.groupBy("ok").agg(
+        F.sort_array(F.collect_set("cat")).alias("cats")
     )
     pairs = baskets.select(
         F.explode(
