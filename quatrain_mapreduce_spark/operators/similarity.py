@@ -231,12 +231,22 @@ def lsh_topk(
     q = q.select("q_id", "q_vec", F.explode(F.array(*probe_cells)).alias("cell")).select(
         "q_id", "q_vec", "cell.tab", "cell.bucket"
     )
+    # cosine BEFORE the pair dedup: a pair colliding in several tables has
+    # the same deterministic score, so max(cos) == first-occurrence — and
+    # deduping on the scalar plans as a HashAggregate with map-side combine
+    # shuffling ONE double per pair, where dropDuplicates over the attached
+    # (q_vec, c_vec) arrays planned as a SortAggregate pair (array-typed
+    # first() buffers are not hash-aggregatable) sorting the candidate
+    # stream twice with both vectors aboard (r13; guide §2.3 "shuffle keys
+    # and metadata instead of payloads"). The dots move map-side — parallel
+    # flops per occurrence instead of sorted bytes per occurrence.
     scored = (
         c.join(F.broadcast(q), ["tab", "bucket"])
         .where(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["q_id", "neighbor_id"])
-        .select("q_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"))
+        .select("q_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
