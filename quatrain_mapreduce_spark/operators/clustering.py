@@ -9,9 +9,9 @@ all but one representative of every semantically-near pair.
 
 Scale shape (the whole point of the pattern at 100 TB):
 
-- the cluster assignment embeds the k centroid rows (bounded index metadata)
-  as a literal array and computes a scan-local argmax fold per vector —
-  cost O(N·k) flops, ZERO shuffles and zero row expansion;
+- the cluster assignment is a broadcast of k centroid rows against a streamed
+  corpus scan, collapsed to one row per vector map-side (``max_by`` argmax
+  before any shuffle) — cost O(N·k) flops, one shuffle of N rows;
 - the pairwise cosine verification self-joins *within cluster_id only*, so
   the quadratic term is bounded by the largest cluster, not the corpus. At
   scale k ≈ N / target_cluster_size keeps the per-cluster Gram bounded, and
@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from quatrain_mapreduce_spark.operators.similarity import cosine
+from quatrain_mapreduce_spark.operators.similarity import _dot, _norm, cosine
 
 
 def assign_to_row_centroids(
@@ -47,46 +47,34 @@ def assign_to_row_centroids(
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid row.
 
-    ``centroids`` is (cluster_id, c_vec) — a SMALL frame (k >= 1 rows,
-    index-metadata-sized). It is collected once (the same bounded k×dim
-    pull as the vectorized twin and ``similarity.ivf_build``) and embedded
-    as a literal array, so the assignment is a SCAN-LOCAL argmax fold per
-    row: zero shuffle, zero row expansion. The former shape — crossJoin
-    with the broadcast centroids, then ``max_by(cluster_id, struct(sim,
-    -cluster_id))`` per id — multiplied the corpus k-fold AND planned as a
-    SortAggregate pair (a struct ordering buffer is not hash-aggregatable),
-    i.e. two full sorts of the N×k expansion (plans/r13
-    semantic_dedup_before.txt nodes 9-13). The fold keeps the exact
-    tie-break (centroids scanned in ascending cluster_id, replaced only on
-    strictly-greater cosine => lowest cluster_id wins ties) and the exact
-    per-pair double arithmetic (same ``cosine`` fold expression), so
-    results are bit-identical. Returns (id_col, vec, cluster_id).
+    ``centroids`` is (cluster_id, c_vec) — a SMALL frame (k rows), broadcast.
+    The N×k expansion collapses to one row per vector before the shuffle via
+    ``max_by`` (ties broken toward the lowest cluster_id, so assignment is
+    total and deterministic). Returns (id_col, vec, cluster_id).
+
+    r13 note (measured, kept): a scan-local literal-centroid argmax fold —
+    the §12/§13 shape that paid off for IVF/PQ — was built and quiet-A/B'd
+    here three ways (aggregate fold, norm-hoisted fold, array_max over
+    struct(s, -cid)); every variant measured 0.25-0.35 s SLOWER than this
+    crossJoin at sf0.1 (best fold min 1.25 s vs 0.92 s) because with k=8
+    the groupBy collapse is map-side and cheap while the interpreted
+    per-element HOF scoring is not. The SortAggregate this plans into is
+    the map-side pre-collapse (cdc_apply class); the 100 TB assignment
+    path is the vectorized twin below, asserted result-identical.
     """
-    rows = sorted(centroids.collect(), key=lambda r: r["cluster_id"])
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(int(r["cluster_id"])).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r["c_vec"]])
-             .cast("array<double>").alias("c_vec"),
-        )
-        for r in rows
-    ])
-    scored = F.transform(
-        cent_arr,
-        lambda ct: F.struct(
-            cosine(F.col("vec"), ct["c_vec"]).alias("s"),
-            ct["cid"].alias("cid"),
-        ),
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(float("-inf")).alias("s"), F.lit(None).cast("int").alias("cid")
-        ),
-        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
-    )
     c = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-    return c.select(F.col(id_col), "vec", best["cid"].alias("cluster_id"))
+    sim = cosine(F.col("vec"), F.col("c_vec"))
+    return (
+        c.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.first("vec").alias("vec"),
+            F.max_by(
+                "cluster_id",
+                F.struct(sim.alias("s"), (-F.col("cluster_id")).alias("t")),
+            ).alias("cluster_id"),
+        )
+    )
 
 
 def assign_to_row_centroids_vectorized(

@@ -280,8 +280,14 @@ def ivf_build(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from quatrain_mapreduce_spark.operators.util import spread
+
     spark = corpus.sparkSession
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    # spread first: the scan-local assignment fold (below) inherits the
+    # scan's partitioning, and a single-file local scan would serialize
+    # the N×C flops onto one core (no-op at real scale — spread only
+    # repartitions when the scan has fewer partitions than cores)
+    c = spread(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
     # the projection feeds seeds + every Lloyd assign/means pass — cache it
     # for the duration of the build (released below; the returned lazy
     # assignment re-derives it once, a plain column-pruned scan)
@@ -651,10 +657,14 @@ def pq_train(
     aggregates. Codebook is (sub_id, code_id, c_vec) — m*k rows of index
     metadata, driver-materialized exactly like any ANN header (FAISS).
     """
+    from quatrain_mapreduce_spark.operators.util import spread
+
     spark = corpus.sparkSession
     sub = dim // m
     assert sub * m == dim, "dim must divide evenly into m subspaces"
-    subs = corpus.select(
+    # spread: the scan-local code argmin inherits scan partitioning (see
+    # ivf_build note); no-op at real scale
+    subs = spread(corpus).select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -719,8 +729,10 @@ def pq_encode(
     collected once and the argmin is a scan-local fold (``_nearest_code``)
     — zero shuffle, never more than N·m rows in flight.
     """
+    from quatrain_mapreduce_spark.operators.util import spread
+
     sub = dim // m
-    subs = corpus.select(
+    subs = spread(corpus).select(
         F.col(id_col),
         F.explode(
             F.array(*[

@@ -79,16 +79,16 @@ def test_semantic_dedup_is_idempotent_on_survivors(spark, corpus):
     assert dd2.where("kept = 0").count() == 0
 
 
-def test_assignment_is_scan_local(spark, corpus):
-    """The exact-path assignment embeds the (bounded) centroid rows as a
-    literal and computes a per-row argmax fold: no join, no row expansion,
-    no shuffle, no sort — the former crossJoin + max_by(struct) shape
-    planned as a SortAggregate pair over the N×k expansion (r13)."""
+def test_assignment_broadcasts_centroids(spark, corpus):
+    """The exact-path assignment broadcasts the k centroid rows and
+    collapses the N×k expansion map-side (max_by partial aggregate). A
+    scan-local literal fold was built and rejected by quiet A/B in r13
+    (0.25-0.35 s slower at sf0.1 — see assign_to_row_centroids' note);
+    this pin keeps the measured shape."""
     cents = min_id_centroids(corpus, "vec_id", "embedding", K)
     assigned = assign_to_row_centroids(corpus, cents, "vec_id", "embedding")
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    for node in ("Join", "Exchange", "SortAggregate", "Sort "):
-        assert node not in plan, f"assignment plan regressed: {node} in\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_vectorized_path_matches_exact(spark, corpus):
