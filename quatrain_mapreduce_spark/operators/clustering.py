@@ -168,8 +168,6 @@ def semantic_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from quatrain_mapreduce_spark.operators.similarity import _dot, _norm
-
     cents = centroids if centroids is not None else min_id_centroids(df, id_col, vec_col, k)
     if vectorized:
         return _semantic_dedup_vectorized(df, cents, id_col, vec_col, tau)

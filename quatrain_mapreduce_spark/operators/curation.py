@@ -441,35 +441,64 @@ def dedup_spans(
     span repeated millions of times (cookie banners) collapses to one row
     per mapper before the shuffle instead of sorting one hot partition.
     The (doc, pos) argmin is packed into ONE decimal(38,0) value
-    (doc * 1e9 + pos): min over a struct buffer is not hash-aggregatable
-    and silently degraded the whole aggregate to SortAggregate — two full
-    sorts of the exploded span stream (plans/r13 before-plans); a
-    fixed-width decimal min keeps lexicographic (doc, pos) order exactly
-    (0 <= pos < 1e9, and ids are non-negative — posexplode guarantees the
-    pos bound for any document under ~8e9 tokens) while planning as
+    ((doc + 2^63) * 1e9 + pos): min over a struct buffer is not
+    hash-aggregatable and silently degraded the whole aggregate to
+    SortAggregate — two full sorts of the exploded span stream (plans/r13
+    before-plans); a fixed-width decimal min keeps lexicographic
+    (doc, pos) order exactly (0 <= pos < 1e9 — posexplode guarantees the
+    pos bound for any document under ~8e9 tokens; the 2^63 bias maps the
+    FULL signed-long id range onto non-negative decimals so negative ids
+    pack/decode exactly too — r14, ADVICE r13) while planning as
     HashAggregate. Two shuffles total: span agg + per-doc reassembly.
     Docs whose spans are all duplicates drop out entirely (their row
     count is the dedup rate).
+
+    Id dtype contract (ADVICE r13): integral id columns take the packed
+    HashAggregate path and keep their own type on output (previously
+    coerced to long); any other id type (string/uuid/decimal/float) falls
+    back to the min(struct(doc, pos)) form — sort-based but correct for
+    every orderable type, where a decimal cast would NULL-collapse string
+    ids silently.
     """
+    from pyspark.sql.types import IntegralType
+
     ex = df.select(
         F.col(id_col),
         F.posexplode(_token_spans(text_col, span_tokens)).alias("pos", "span"),
     )
-    pos_base = F.lit(1_000_000_000).cast("decimal(10,0)")
-    packed = F.col(id_col).cast("decimal(38,0)") * pos_base + F.col("pos")
-    # decode via subtract-then-divide: the quotient is then an exact
-    # integer, immune to the scale-bounded rounding of decimal division
-    # (floor(w / base) could round .999999999 up before flooring)
-    pos = F.col("w") % pos_base
-    winners = (
-        ex.groupBy("span")
-        .agg(F.min(packed).alias("w"))
-        .select(
-            ((F.col("w") - pos) / pos_base).cast("long").alias(id_col),
-            pos.cast("int").alias("pos"),
-            "span",
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, IntegralType):
+        pos_base = F.lit(1_000_000_000).cast("decimal(10,0)")
+        # bias by 2^63: keeps the packed value non-negative for every
+        # signed-long id, so the `% pos_base` decode below is exact (a
+        # negative dividend would return a negative remainder)
+        # 2^63 exceeds a Java long, so the literal must arrive as a string
+        bias = F.lit("9223372036854775808").cast("decimal(20,0)")
+        packed = (F.col(id_col).cast("decimal(38,0)") + bias) * pos_base + F.col("pos")
+        # decode via subtract-then-divide: the quotient is then an exact
+        # integer, immune to the scale-bounded rounding of decimal division
+        # (floor(w / base) could round .999999999 up before flooring)
+        pos = F.col("w") % pos_base
+        winners = (
+            ex.groupBy("span")
+            .agg(F.min(packed).alias("w"))
+            .select(
+                ((F.col("w") - pos) / pos_base - bias)
+                .cast(id_type).alias(id_col),
+                pos.cast("int").alias("pos"),
+                "span",
+            )
         )
-    )
+    else:
+        winners = (
+            ex.groupBy("span")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+            .select(
+                F.col(f"w.{id_col}").alias(id_col),
+                F.col("w.pos").alias("pos"),
+                "span",
+            )
+        )
     return winners.groupBy(id_col).agg(*_reassemble_spans("text_dedup"))
 
 
@@ -500,6 +529,17 @@ def pack_manifest(
     rows; offsets broadcast back. Identical output to the global window
     (the oracle computes it that way), O(corpus/n_shards) per task.
     """
+    # passthrough names must not shadow the manifest's own columns: a
+    # passthrough named 'shard'/'hkey'/'within_end'/'offset' (or the
+    # id/n_tok columns themselves) would silently duplicate or corrupt the
+    # internal projection (ADVICE r13) — refuse loudly instead
+    reserved = {"shard", "hkey", "within_end", "offset", id_col, n_tok_col}
+    clash = [c for c in passthrough if c in reserved]
+    if clash:
+        raise ValueError(
+            f"pack_manifest passthrough columns {clash} collide with "
+            f"reserved internal/output names {sorted(reserved)}"
+        )
     h = h16(id_col)
     d = df.select(
         F.col(id_col),

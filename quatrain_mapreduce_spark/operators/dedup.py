@@ -256,6 +256,53 @@ def lsh_band_rows(
     return band_rows
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct LSH candidate pairs (a_id, b_id), WITHOUT the exact-Jaccard
+    verify — for pipelines that run their OWN downstream verification
+    (``verify_pairs`` at the pair-definition's n/threshold), where
+    ``minhash_lsh_pairs``' interior verify is a redundant second pass: it
+    re-joins both shingle sets onto every candidate and filters at the LSH
+    threshold, only for the caller to re-shingle and re-filter at the real
+    one. Composition equivalence (dedup_components_lsh and family): the
+    final edge set is candidates ∩ {exact-verified pairs}; the interior
+    0.5-filter could only REMOVE candidates that the exact verify keeps, and
+    the driver-checked ``dedup_lsh_recall`` gate pins candidate recall at
+    1.0 over the ground truth — so with or without the interior verify the
+    verified edge set equals the ground truth (oracle-checked per round).
+
+    Plan shape vs the full pipeline: the verify-side joins (and the persist
+    they required) are gone — candidate generation is shingle → signature →
+    band explode → bucket self-join → distinct, exactly the linear-in-
+    corpus half. The band-rows frame feeds both self-join sides and is
+    deliberately NOT persisted: a 6-rep interleaved A/B of the full
+    dedup_components_lsh pipeline measured recompute ahead of a
+    MEMORY_AND_DISK shingle persist (min 3.26 s vs 3.36, med 4.00 vs 4.60
+    at sf0.1) — the same materialization-barrier trade r13 measured when
+    it rejected the band-rows persist inside minhash_lsh_pairs.
+    """
+    docs = (
+        spread(df)
+        .where(F.size(tokenize(text_col)) >= shingle_n)
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    )
+    band_rows = lsh_band_rows(docs, id_col, num_perm, bands, max_bucket)
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bhash") == F.col("b.bhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

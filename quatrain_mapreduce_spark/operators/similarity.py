@@ -30,11 +30,25 @@ results are deterministic and engine-comparable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Literal-fold size gate (ADVICE r13): the scan-local argmin/argmax folds in
+# ivf_build / pq_train / pq_encode embed every centroid/codeword component
+# as a Catalyst literal — O(n_lists·dim) (IVF) / O(k·dim) (PQ) expression
+# nodes REBUILT PER LLOYD PASS. At production index sizes (n_lists=4096,
+# dim=768, or k=256) that is millions of nodes: plan analysis/serialization
+# dominates runtime or exhausts driver memory. Above this many embedded
+# doubles the operators fall back to the broadcast-join + max_by/min_by
+# shape (the pre-r13 form): its SortAggregate pair is a map-side
+# pre-collapse of the N×C expansion (the documented cdc_apply_orders class)
+# and its plan size is O(1) in the index parameters.
+FOLD_MAX_LITERALS = int(os.environ.get("SPARK_GRAFT_FOLD_MAX_LITERALS", "50000"))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -314,7 +328,23 @@ def ivf_build(
         # pass. The fold keeps max_by's exact tie-break (ascending list_id,
         # replace on strictly-greater cosine => lowest list_id wins ties)
         # and the same ``cosine`` fold arithmetic, so assignments are
-        # bit-identical.
+        # bit-identical. Above FOLD_MAX_LITERALS embedded doubles the
+        # literal plan itself becomes the bottleneck — fall back to the
+        # broadcast-join + max_by shape (same tie-break by construction).
+        if len(cents) * dim > FOLD_MAX_LITERALS:
+            sim = cosine(F.col("vec"), F.col("c_vec"))
+            return (
+                c.crossJoin(F.broadcast(centroid_df(cents)))
+                .groupBy(id_col)
+                .agg(
+                    F.first("vec").alias("vec"),
+                    F.max_by(
+                        "list_id",
+                        F.struct(sim.alias("s"), (-F.col("list_id")).alias("t")),
+                    ).alias("list_id"),
+                )
+                .select(F.col(id_col), "vec", "list_id")
+            )
         cent_arr = F.array(*[
             F.struct(
                 F.lit(i).alias("lid"),
@@ -700,10 +730,31 @@ def pq_train(
         )
 
     for _ in range(lloyd_iters):
-        assigned = subs.select(
-            F.col(id_col), "sub_id", "sv",
-            _nearest_code(book).alias("code_id"),
-        )
+        # same literal-fold gate as ivf_build.assign: k·dim embedded
+        # doubles per Lloyd pass; above the cap, broadcast-join + min_by
+        # (identical argmin + tie-break, plan size O(1) in k·dim)
+        if k * dim > FOLD_MAX_LITERALS:
+            l2 = F.aggregate(
+                F.zip_with(F.col("sv"), F.col("c_vec"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            assigned = (
+                subs.join(F.broadcast(book_df()), "sub_id")
+                .groupBy(id_col, "sub_id")
+                .agg(
+                    F.first("sv").alias("sv"),
+                    F.min_by(
+                        "code_id",
+                        F.struct(l2.alias("d"), F.col("code_id").alias("t")),
+                    ).alias("code_id"),
+                )
+            )
+        else:
+            assigned = subs.select(
+                F.col(id_col), "sub_id", "sv",
+                _nearest_code(book).alias("code_id"),
+            )
         means = (
             assigned.groupBy("sub_id", "code_id")
             .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("mv"))
@@ -717,17 +768,26 @@ def pq_train(
 
 
 def pq_encode(
-    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
-    dim: int, m: int,
+    corpus: DataFrame, codebook: DataFrame | dict[tuple[int, int], list[float]],
+    id_col: str, vec_col: str, dim: int, m: int,
 ) -> DataFrame:
     """Encode every vector as its m nearest-subspace-centroid codes.
 
     Returns the LONG form (id, sub_id, code_id) — m small-int rows per
     vector, the layout the ADC scan joins against (a production sink would
     pack it to one m-byte column; the long form keeps the scoring join
-    JVM-native). The codebook (bounded index metadata, m·k rows) is
-    collected once and the argmin is a scan-local fold (``_nearest_code``)
-    — zero shuffle, never more than N·m rows in flight.
+    JVM-native).
+
+    NOTE (ADVICE r13): when ``codebook`` is a DataFrame it is collected
+    EAGERLY at call time (one Spark job per call) so the argmin can run as
+    a scan-local fold (``_nearest_code`` — zero shuffle, never more than
+    N·m rows in flight). Callers composing lazy pipelines, or re-invoking
+    per batch, should pass the already-collected dict form
+    ``{(sub_id, code_id): c_vec}`` instead (``pq_train`` holds exactly
+    that) — the dict overload triggers no job. Above FOLD_MAX_LITERALS
+    embedded doubles (k·dim) the fold would itself bloat the plan; the
+    encode then falls back to a broadcast-join + min_by argmin (identical
+    codes and tie-break, O(1) plan size).
     """
     from quatrain_mapreduce_spark.operators.util import spread
 
@@ -745,7 +805,32 @@ def pq_encode(
             ])
         ).alias("s"),
     ).select(id_col, "s.sub_id", "s.sv")
-    book = {(r["sub_id"], r["code_id"]): r["c_vec"] for r in codebook.collect()}
+    if isinstance(codebook, dict):
+        book = codebook
+    else:
+        book = {(r["sub_id"], r["code_id"]): r["c_vec"] for r in codebook.collect()}
+    n_codes = max((c for _, c in book), default=-1) + 1
+    if n_codes * dim > FOLD_MAX_LITERALS:
+        spark = corpus.sparkSession
+        book_frame = spark.createDataFrame(
+            [(s, cid, v) for (s, cid), v in sorted(book.items())],
+            "sub_id int, code_id int, c_vec array<double>",
+        )
+        l2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c_vec"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return (
+            subs.join(F.broadcast(book_frame), "sub_id")
+            .groupBy(id_col, "sub_id")
+            .agg(
+                F.min_by(
+                    "code_id",
+                    F.struct(l2.alias("d"), F.col("code_id").alias("t")),
+                ).alias("code_id")
+            )
+        )
     return subs.select(
         F.col(id_col), "sub_id", _nearest_code(book).alias("code_id")
     )

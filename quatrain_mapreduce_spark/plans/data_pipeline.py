@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.catalog import load_table
 from quatrain_mapreduce_spark.operators.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    exact_dedup, minhash_lsh_candidates, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from quatrain_mapreduce_spark.operators.multimodal import attach_media, extract_features
 from quatrain_mapreduce_spark.operators.similarity import (
@@ -153,9 +154,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", n=2, threshold=0.8, length_band=True
     )
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
-    ).select("a_id", "b_id")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8
+    )
     return gt.join(cand, ["a_id", "b_id"], "left_semi").select("a_id", "b_id", "jac")
 
 
@@ -244,9 +245,9 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.dedup import verify_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
-    ).select("a_id", "b_id")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8
+    )
     # block_col="lang": the ground-truth pair definition (and the oracle)
     # only pairs same-language docs; LSH candidates ignore blocks
     verified = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
@@ -297,9 +298,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.text import quality_col
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
-    ).select("a_id", "b_id")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8
+    )
     verified = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang")
     comp = connected_components(verified, src="a_id", dst="b_id") \
         .select(F.col("node").alias("doc_id"), F.col("root").alias("root_id"))
@@ -458,9 +459,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quatrain_mapreduce_spark.operators.dedup import verify_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8, threshold=0.5
-    ).select("a_id", "b_id")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, num_perm=32, bands=8
+    )
     pairs = verify_pairs(docs, cand, "doc_id", "text", n=2, threshold=0.8, block_col="lang") \
         .select("a_id", "b_id")
     comp = connected_components(pairs, src="a_id", dst="b_id") \

@@ -7,6 +7,7 @@ rows where the expected answer is known by construction.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from quatrain_mapreduce_spark.operators.curation import (
@@ -130,6 +131,61 @@ def test_dedup_spans_keeps_first_occurrence(spark):
     assert got[1] == (f"{boiler} u v w x", 2)   # first occurrence keeps both spans
     assert got[2] == ("y z q r", 1)             # shared span dropped, unique span kept
     assert 3 not in got                          # fully-duplicate doc drops out
+
+
+def test_dedup_spans_string_ids_fall_back_to_struct_min(spark):
+    """Non-integral ids must take the struct-min path (a decimal cast would
+    NULL-collapse them silently — ADVICE r13) and keep their own type."""
+    from quatrain_mapreduce_spark.operators.curation import dedup_spans
+
+    boiler = "a b c d"
+    docs = spark.createDataFrame(
+        [("d1", f"{boiler} u v w x"), ("d2", f"{boiler} y z q r"), ("d3", boiler)],
+        "doc_id string, text string",
+    )
+    out = dedup_spans(docs, "doc_id", "text", span_tokens=4)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: (r["text_dedup"], r["n_spans_kept"]) for r in out.collect()}
+    assert got["d1"] == (f"{boiler} u v w x", 2)
+    assert got["d2"] == ("y z q r", 1)
+    assert "d3" not in got
+
+
+def test_dedup_spans_negative_ids_pack_exactly(spark):
+    """The 2^63 bias makes the decimal packing exact over the FULL signed
+    id range: keep-first must prefer the negative (smaller) id and decode
+    it back unchanged."""
+    from quatrain_mapreduce_spark.operators.curation import dedup_spans
+
+    boiler = "a b c d"
+    docs = spark.createDataFrame(
+        [(-5, f"{boiler} u v w x"), (2, f"{boiler} y z q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_spans_kept"])
+           for r in dedup_spans(docs, "doc_id", "text", span_tokens=4).collect()}
+    assert got[-5] == (f"{boiler} u v w x", 2)
+    assert got[2] == ("y z q r", 1)
+
+
+def test_dedup_spans_integral_ids_keep_hash_aggregate(spark):
+    """The declared-query path (long ids) must still plan the packed
+    HashAggregate form — zero SortAggregate in the winners stage."""
+    from quatrain_mapreduce_spark.operators.curation import dedup_spans
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    plan = dedup_spans(docs, "doc_id", "text", span_tokens=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+
+
+def test_pack_manifest_rejects_reserved_passthrough_names(spark):
+    from quatrain_mapreduce_spark.operators.curation import pack_manifest
+
+    docs = spark.createDataFrame([(1, 5, 0)], "doc_id long, n_tok long, shard int")
+    with pytest.raises(ValueError, match="reserved"):
+        pack_manifest(docs, "doc_id", "n_tok", seq_len=64, n_shards=8,
+                      passthrough=("shard",))
 
 
 def test_pack_manifest_is_contiguous_and_matches_global_cumsum(spark):

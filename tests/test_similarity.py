@@ -161,6 +161,49 @@ def test_ivf_build_deterministic_and_covering(spark, clustered):
     assert set(m1.values()) <= set(range(8))
 
 
+def test_fold_gate_fallback_matches_literal_fold(spark, clustered, monkeypatch):
+    """Above FOLD_MAX_LITERALS the IVF/PQ assignments fall back to the
+    broadcast-join + max_by/min_by shape (ADVICE r13: the literal fold is
+    O(n_lists*dim) plan nodes per Lloyd pass) — assignments and codes must
+    be identical either way."""
+    from quatrain_mapreduce_spark.operators import similarity as sim
+
+    _, a_fold = sim.ivf_build(clustered, "vec_id", "embedding", dim=DIM, n_lists=8)
+    fold = {r["vec_id"]: r["list_id"] for r in a_fold.collect()}
+    unit = _normalize(clustered)
+    book_fold = sim.pq_train(unit, "vec_id", "embedding", dim=DIM, m=4, k=16)
+    codes_fold = {(r["vec_id"], r["sub_id"]): r["code_id"]
+                  for r in sim.pq_encode(unit, book_fold, "vec_id", "embedding",
+                                         DIM, 4).collect()}
+
+    monkeypatch.setattr(sim, "FOLD_MAX_LITERALS", 0)
+    _, a_bc = sim.ivf_build(clustered, "vec_id", "embedding", dim=DIM, n_lists=8)
+    bc = {r["vec_id"]: r["list_id"] for r in a_bc.collect()}
+    assert bc == fold
+    book_bc = sim.pq_train(unit, "vec_id", "embedding", dim=DIM, m=4, k=16)
+    assert sorted(map(tuple, book_bc.collect())) == sorted(map(tuple, book_fold.collect()))
+    codes_bc = {(r["vec_id"], r["sub_id"]): r["code_id"]
+                for r in sim.pq_encode(unit, book_bc, "vec_id", "embedding",
+                                       DIM, 4).collect()}
+    assert codes_bc == codes_fold
+
+
+def test_pq_encode_accepts_collected_dict(spark, clustered):
+    """The dict overload (ADVICE r13: lets callers reuse a driver-side
+    codebook without pq_encode re-collecting per invocation) must encode
+    identically to the DataFrame form."""
+    from quatrain_mapreduce_spark.operators.similarity import pq_encode, pq_train
+
+    unit = _normalize(clustered)
+    book_df = pq_train(unit, "vec_id", "embedding", dim=DIM, m=4, k=16)
+    book = {(r["sub_id"], r["code_id"]): r["c_vec"] for r in book_df.collect()}
+    via_df = {(r["vec_id"], r["sub_id"]): r["code_id"]
+              for r in pq_encode(unit, book_df, "vec_id", "embedding", DIM, 4).collect()}
+    via_dict = {(r["vec_id"], r["sub_id"]): r["code_id"]
+                for r in pq_encode(unit, book, "vec_id", "embedding", DIM, 4).collect()}
+    assert via_dict == via_df
+
+
 def _normalize(df):
     nrm = F.sqrt(F.aggregate(
         F.col("embedding").cast("array<double>"), F.lit(0.0),

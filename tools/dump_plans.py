@@ -1,6 +1,6 @@
-"""Dump .explain('formatted') for bench queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for bench queries to plans/<round>/<q>_<tag>.txt.
 
-Usage: python tools/dump_plans.py <tag> [query ...]
+Usage: python tools/dump_plans.py <tag> [query ...]  (round dir from $SPARK_GRAFT_PLANS_ROUND, default r14)
   tag    'before' or 'after' (file suffix)
   query  optional subset; default = every BENCH_QUERIES row
 
@@ -45,7 +45,7 @@ def main() -> None:
     names = sys.argv[2:] or BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r13")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="qms-dump-plans")
     qs = all_queries()
